@@ -1,0 +1,198 @@
+"""BVH construction (host-side, numpy) for the wavefront traversal kernels.
+
+TPU-native replacement for Mitsuba's SAH kd-tree builder
+(src/librender/skdtree.cpp + include/mitsuba/render/{gkdtree,sahkdtree3}.h).
+A BVH fits the TPU better than a kd-tree: bounded memory, short-stack
+wavefront traversal with no mailboxing, and prims can be reordered so leaf
+prims are contiguous (coalesced HBM reads in the Pallas kernel).
+
+Builder: top-down binned SAH (16 bins, greedy, median fallback).  Output is
+a flat SoA node array:
+
+  child0_min/max, child1_min/max  [N, 3] — the two children's bounds
+  child0/child1                   [N]    — >=0: internal node index;
+                                           <0: leaf, encoding -(offset<<LEAF_BITS | count)-1
+  prim_order                      [T]    — permutation mapping leaf slots to
+                                           original triangle ids
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+N_BINS = 16
+MAX_LEAF = 4
+LEAF_BITS = 5  # up to 31 prims per leaf in the encoding
+TRAVERSAL_COST = 1.0
+INTERSECT_COST = 1.0
+
+
+@dataclass
+class BVH:
+    child0_min: np.ndarray
+    child0_max: np.ndarray
+    child1_min: np.ndarray
+    child1_max: np.ndarray
+    child0: np.ndarray      # i32 [N]
+    child1: np.ndarray      # i32 [N]
+    prim_order: np.ndarray  # i32 [T]
+    scene_min: np.ndarray   # f32 [3]
+    scene_max: np.ndarray   # f32 [3]
+    depth: int
+
+    @property
+    def num_nodes(self):
+        return len(self.child0)
+
+
+def encode_leaf(offset: int, count: int) -> int:
+    return -int((offset << LEAF_BITS) | count) - 1
+
+
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
+    """Build from triangle vertices [T, 3] each."""
+    T = len(v0)
+    lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    centroid = ((lo + hi) * 0.5).astype(np.float32)
+
+    # growable node arrays
+    cap = max(2 * T, 16)
+    c0min = np.empty((cap, 3), np.float32); c0max = np.empty((cap, 3), np.float32)
+    c1min = np.empty((cap, 3), np.float32); c1max = np.empty((cap, 3), np.float32)
+    c0 = np.empty(cap, np.int32); c1 = np.empty(cap, np.int32)
+    n_nodes = 0
+    order = np.arange(T, dtype=np.int32)
+    max_depth = [0]
+
+    def node_bounds(ids):
+        return lo[ids].min(0), hi[ids].max(0)
+
+    def new_node():
+        nonlocal n_nodes
+        idx = n_nodes
+        n_nodes += 1
+        return idx
+
+    # iterative build with an explicit stack: (node_idx, start, end, depth)
+    # each stack entry owns order[start:end]
+    root = new_node()
+    stack = [(root, 0, T, 1)]
+
+    def make_leaf_range(start, end):
+        # split oversize ranges into chained nodes if count > MAX_LEAF handled
+        # by caller; here count <= (1<<LEAF_BITS)-1
+        return encode_leaf(start, end - start)
+
+    while stack:
+        node, start, end, depth = stack.pop()
+        max_depth[0] = max(max_depth[0], depth)
+        ids = order[start:end]
+        count = end - start
+
+        split_axis, split_pos = -1, -1
+        if count > MAX_LEAF:
+            cmin = centroid[ids].min(0)
+            cmax = centroid[ids].max(0)
+            ext = cmax - cmin
+            axis = int(np.argmax(ext))
+            if ext[axis] > 1e-12:
+                # binned SAH along the widest centroid axis
+                scale = N_BINS * (1.0 - 1e-6) / ext[axis]
+                bin_idx = ((centroid[ids, axis] - cmin[axis]) * scale).astype(np.int32)
+                bin_idx = np.clip(bin_idx, 0, N_BINS - 1)
+                bin_cnt = np.bincount(bin_idx, minlength=N_BINS)
+                bin_lo = np.full((N_BINS, 3), np.inf, np.float32)
+                bin_hi = np.full((N_BINS, 3), -np.inf, np.float32)
+                for b in range(N_BINS):
+                    sel = bin_idx == b
+                    if sel.any():
+                        bin_lo[b] = lo[ids[sel]].min(0)
+                        bin_hi[b] = hi[ids[sel]].max(0)
+                # prefix/suffix accumulation
+                lcnt = np.cumsum(bin_cnt)[:-1]
+                rcnt = count - lcnt
+                llo = np.minimum.accumulate(bin_lo, 0)[:-1]
+                lhi = np.maximum.accumulate(bin_hi, 0)[:-1]
+                rlo = np.minimum.accumulate(bin_lo[::-1], 0)[::-1][1:]
+                rhi = np.maximum.accumulate(bin_hi[::-1], 0)[::-1][1:]
+
+                def area(a_lo, a_hi):
+                    d = np.maximum(a_hi - a_lo, 0)
+                    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+                sah = (lcnt * area(llo, lhi) + rcnt * area(rlo, rhi))
+                sah = np.where((lcnt == 0) | (rcnt == 0), np.inf, sah)
+                best = int(np.argmin(sah))
+                parent_d = np.maximum(hi[ids].max(0) - lo[ids].min(0), 0)
+                parent_area = 2 * (parent_d[0] * parent_d[1] +
+                                   parent_d[1] * parent_d[2] +
+                                   parent_d[2] * parent_d[0])
+                leaf_cost = INTERSECT_COST * count
+                split_cost = TRAVERSAL_COST + INTERSECT_COST * sah[best] / max(
+                    parent_area / 2, 1e-20)
+                if np.isfinite(sah[best]) and (split_cost < leaf_cost or
+                                               count > (1 << LEAF_BITS) - 1):
+                    split_axis = axis
+                    in_left = bin_idx <= best
+                    nl = int(in_left.sum())
+                    if 0 < nl < count:
+                        perm = np.concatenate([ids[in_left], ids[~in_left]])
+                        order[start:end] = perm
+                        split_pos = start + nl
+            if split_axis < 0:
+                # forced median split (degenerate centroids / SAH failure) —
+                # guarantees every leaf holds <= MAX_LEAF prims
+                axis = int(np.argmax(ext)) if ext.max() > 0 else 0
+                key = np.argsort(centroid[ids, axis], kind="stable")
+                order[start:end] = ids[key]
+                split_pos = start + count // 2
+                split_axis = axis
+
+        if split_pos < 0:
+            # convert to leaf by storing it in the PARENT's child slot —
+            # but we already allocated this node; make it a degenerate
+            # internal node with one leaf child and one empty child.
+            half = max(count // 2, 1) if count > 1 else 1
+            b0lo, b0hi = node_bounds(order[start:start + half])
+            c0min[node], c0max[node] = b0lo, b0hi
+            c0[node] = make_leaf_range(start, start + half)
+            if count - half > 0:
+                b1lo, b1hi = node_bounds(order[start + half:end])
+                c1min[node], c1max[node] = b1lo, b1hi
+                c1[node] = make_leaf_range(start + half, end)
+            else:
+                c1min[node] = np.inf; c1max[node] = -np.inf
+                c1[node] = encode_leaf(0, 0)
+            continue
+
+        lids = order[start:split_pos]
+        rids = order[split_pos:end]
+        b0lo, b0hi = node_bounds(lids)
+        b1lo, b1hi = node_bounds(rids)
+        c0min[node], c0max[node] = b0lo, b0hi
+        c1min[node], c1max[node] = b1lo, b1hi
+
+        if len(lids) <= MAX_LEAF:
+            c0[node] = make_leaf_range(start, split_pos)
+        else:
+            if n_nodes >= cap:
+                raise RuntimeError("BVH node capacity exceeded")
+            ch = new_node()
+            c0[node] = ch
+            stack.append((ch, start, split_pos, depth + 1))
+        if len(rids) <= MAX_LEAF:
+            c1[node] = make_leaf_range(split_pos, end)
+        else:
+            ch = new_node()
+            c1[node] = ch
+            stack.append((ch, split_pos, end, depth + 1))
+
+    smin, smax = lo.min(0), hi.max(0)
+    return BVH(
+        child0_min=c0min[:n_nodes].copy(), child0_max=c0max[:n_nodes].copy(),
+        child1_min=c1min[:n_nodes].copy(), child1_max=c1max[:n_nodes].copy(),
+        child0=c0[:n_nodes].copy(), child1=c1[:n_nodes].copy(),
+        prim_order=order, scene_min=smin, scene_max=smax,
+        depth=max_depth[0])

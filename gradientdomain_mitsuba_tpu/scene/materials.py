@@ -1,0 +1,254 @@
+"""Material (BSDF) table: plugin nodes -> SoA parameter arrays + enum.
+
+TPU-native replacement for Mitsuba's BSDF plugin instantiation
+(src/bsdfs/*.cpp): instead of virtual dispatch per surface interaction, the
+wavefront shader does one branch-free enum dispatch over this table.
+Conductor presets replace the data/ior/*.spd database for common metals.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+# BSDF kind enum (order is ABI for the dispatch kernels in ops/bsdf.py)
+DIFFUSE = 0
+CONDUCTOR = 1          # smooth mirror-metal
+DIELECTRIC = 2         # smooth glass
+ROUGH_CONDUCTOR = 3
+PLASTIC = 4            # smooth coat over diffuse
+ROUGH_PLASTIC = 5
+ROUGH_DIELECTRIC = 6
+THIN_DIELECTRIC = 7
+ROUGH_DIFFUSE = 8      # Oren-Nayar
+PHONG = 9
+WARD = 10
+NULL_BSDF = 11
+
+KIND_NAMES = {
+    "diffuse": DIFFUSE, "conductor": CONDUCTOR, "dielectric": DIELECTRIC,
+    "roughconductor": ROUGH_CONDUCTOR, "plastic": PLASTIC,
+    "roughplastic": ROUGH_PLASTIC, "roughdielectric": ROUGH_DIELECTRIC,
+    "thindielectric": THIN_DIELECTRIC, "roughdiffuse": ROUGH_DIFFUSE,
+    "phong": PHONG, "ward": WARD, "null": NULL_BSDF,
+}
+
+# microfacet distribution enum
+DIST_BECKMANN = 0
+DIST_GGX = 1
+DIST_PHONG = 2
+DIST_NAMES = {"beckmann": DIST_BECKMANN, "ggx": DIST_GGX,
+              "phong": DIST_PHONG, "as": DIST_BECKMANN}
+
+# flags bitfield
+FLAG_TWOSIDED = 1
+
+# Named dielectric IORs (subset of Mitsuba's lookupIOR table, util.cpp)
+IOR_NAMES = {
+    "vacuum": 1.0, "air": 1.000277, "helium": 1.000036,
+    "water": 1.3330, "water ice": 1.31, "ethanol": 1.361,
+    "fused quartz": 1.458, "pyrex": 1.470, "acrylic glass": 1.49,
+    "polypropylene": 1.49, "bk7": 1.5046, "sodium chloride": 1.544,
+    "amber": 1.55, "pet": 1.575, "diamond": 2.419,
+    "benzene": 1.501, "glycerol": 1.4729, "bromine": 1.661,
+}
+
+# Conductor presets: (eta_rgb, k_rgb) — standard tabulated values averaged
+# to sRGB primaries (stand-in for data/ior/<name>.eta.spd / .k.spd).
+CONDUCTOR_PRESETS = {
+    "cu": ((0.200438, 0.924033, 1.102212), (3.912949, 2.447867, 2.142188)),
+    "au": ((0.143119, 0.374957, 1.442479), (3.983126, 2.385721, 1.603215)),
+    "ag": ((0.155184, 0.116475, 0.138372), (4.828131, 3.122411, 2.146812)),
+    "al": ((1.657460, 0.880369, 0.521229), (9.223869, 6.269523, 4.837001)),
+    "cr": ((4.361113, 2.910425, 1.650794), (5.196218, 4.222426, 3.746025)),
+    "ni": ((2.361108, 1.663935, 1.467325), (4.498536, 3.051379, 2.344902)),
+    "w":  ((4.367642, 3.300089, 2.431462), (3.500774, 2.601543, 2.273448)),
+    "none": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),  # ideal mirror
+}
+
+
+class Materials(NamedTuple):
+    """SoA table over M materials (device arrays after compile)."""
+    kind: np.ndarray          # [M] i32
+    flags: np.ndarray         # [M] i32 (FLAG_* bits)
+    reflectance: np.ndarray   # [M, 3] diffuse albedo / specular tint
+    specular: np.ndarray      # [M, 3] specularReflectance scale
+    transmittance: np.ndarray  # [M, 3] specularTransmittance scale
+    alpha: np.ndarray         # [M] roughness (or Oren-Nayar sigma / phong exp)
+    eta: np.ndarray           # [M, 3] conductor n / dielectric eta in [:,0]
+    k: np.ndarray             # [M, 3] conductor absorption
+    dist: np.ndarray          # [M] i32 microfacet distribution
+    tex_reflectance: np.ndarray  # [M] i32 texture id or -1
+    fdr_int: np.ndarray       # [M] internal diffuse Fresnel reflectance (plastic)
+
+
+def _lookup_ior(v, default):
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return IOR_NAMES[v.lower()]
+    if isinstance(v, np.ndarray):
+        return float(np.mean(v))
+    return float(v)
+
+
+def fresnel_diffuse_reflectance(eta: float) -> float:
+    """Average Fresnel reflectance for diffuse illumination (Mitsuba's
+    fresnelDiffuseReflectance, libcore/util.cpp fast approximation)."""
+    if eta < 1.0:
+        return (-0.4399 + 0.7099 / eta - 0.3319 / (eta * eta)
+                + 0.0636 / (eta * eta * eta))
+    inv_eta = 1.0 / eta
+    inv_eta2 = inv_eta * inv_eta
+    inv_eta3 = inv_eta2 * inv_eta
+    inv_eta4 = inv_eta3 * inv_eta
+    inv_eta5 = inv_eta4 * inv_eta
+    return (0.919317 - 3.4793 * inv_eta + 6.75335 * inv_eta2
+            - 7.80989 * inv_eta3 + 4.98554 * inv_eta4 - 1.36881 * inv_eta5)
+
+
+class MaterialBuilder:
+    """Accumulates BSDF plugin nodes into the SoA table, deduplicating by id."""
+
+    def __init__(self):
+        self.rows = []
+        self.by_node = {}
+        self.texture_nodes = []   # texture plugin nodes, resolved later
+
+    def default_id(self):
+        """Material used for shapes with no BSDF (Mitsuba default: diffuse 0.5)."""
+        return self.add_row(kind=DIFFUSE, reflectance=(0.5, 0.5, 0.5))
+
+    def add_row(self, kind, flags=0, reflectance=(0.5, 0.5, 0.5),
+                specular=(1, 1, 1), transmittance=(1, 1, 1), alpha=0.1,
+                eta=(1.5046, 1.5046, 1.5046), k=(0, 0, 0), dist=DIST_BECKMANN,
+                tex_reflectance=-1, fdr_int=0.0):
+        self.rows.append(dict(
+            kind=kind, flags=flags, reflectance=np.asarray(reflectance, np.float32),
+            specular=np.asarray(specular, np.float32),
+            transmittance=np.asarray(transmittance, np.float32),
+            alpha=float(alpha), eta=np.asarray(eta, np.float32),
+            k=np.asarray(k, np.float32), dist=dist,
+            tex_reflectance=tex_reflectance, fdr_int=float(fdr_int)))
+        return len(self.rows) - 1
+
+    def add_texture(self, node) -> int:
+        self.texture_nodes.append(node)
+        return len(self.texture_nodes) - 1
+
+    def from_plugin(self, node) -> int:
+        """BSDF plugin node -> material id (cached per node object)."""
+        key = id(node)
+        if key in self.by_node:
+            return self.by_node[key]
+        mid = self._build(node, flags=0)
+        self.by_node[key] = mid
+        return mid
+
+    def _spectrum_or_texture(self, node, names, default):
+        """Returns (rgb, tex_id). `names` is a list of accepted prop aliases."""
+        from .ir import spectrum_value
+        for n in names:
+            v = node.props.get(n)
+            if v is None:
+                continue
+            if hasattr(v, "kind"):  # nested texture plugin
+                return np.asarray(default, np.float32), self.add_texture(v)
+            return spectrum_value(v), -1
+        # unnamed texture child
+        for c in node.children:
+            if c.kind == "texture":
+                return np.asarray(default, np.float32), self.add_texture(c)
+        return np.asarray(default, np.float32), -1
+
+    def _build(self, node, flags) -> int:
+        t = node.type
+        if t == "twosided":
+            inner = node.child("bsdf") or next(
+                (v for v in node.props.values() if hasattr(v, "kind")
+                 and v.kind == "bsdf"), None)
+            if inner is None:
+                raise ValueError("twosided BSDF without nested BSDF")
+            return self._build(inner, flags | FLAG_TWOSIDED)
+        if t in ("bumpmap", "normalmap", "coating", "roughcoating", "mask",
+                 "mixturebsdf", "blendbsdf"):
+            # unsupported wrappers: fall through to the first nested BSDF
+            inner = node.child("bsdf")
+            if inner is not None:
+                return self._build(inner, flags)
+            raise ValueError(f"BSDF wrapper '{t}' without nested BSDF")
+        if t not in KIND_NAMES:
+            raise ValueError(f"unsupported BSDF type '{t}'")
+        kind = KIND_NAMES[t]
+
+        ext_ior = _lookup_ior(node.get("extIOR"), 1.000277)
+        int_ior = _lookup_ior(node.get("intIOR"), 1.5046)
+        rel_eta = int_ior / ext_ior
+        alpha = float(node.get("alpha", 0.1))
+        dist = DIST_NAMES.get(node.get("distribution", "beckmann"),
+                              DIST_BECKMANN)
+        from .ir import spectrum_value
+        spec = spectrum_value(node.get("specularReflectance"), (1, 1, 1))
+        trans = spectrum_value(node.get("specularTransmittance"), (1, 1, 1))
+
+        if kind in (DIFFUSE, ROUGH_DIFFUSE):
+            refl, tex = self._spectrum_or_texture(
+                node, ["reflectance", "diffuseReflectance"], (0.5, 0.5, 0.5))
+            sigma = float(node.get("alpha", 0.2)) if kind == ROUGH_DIFFUSE else 0.0
+            return self.add_row(kind=kind, flags=flags, reflectance=refl,
+                                alpha=sigma, tex_reflectance=tex)
+        if kind in (CONDUCTOR, ROUGH_CONDUCTOR):
+            mat = node.get("material", "cu")
+            if isinstance(mat, str) and mat.lower() in CONDUCTOR_PRESETS:
+                eta, k = CONDUCTOR_PRESETS[mat.lower()]
+            else:
+                eta, k = CONDUCTOR_PRESETS["cu"]
+            if node.get("eta") is not None:
+                eta = spectrum_value(node.get("eta"))
+            if node.get("k") is not None:
+                k = spectrum_value(node.get("k"))
+            return self.add_row(kind=kind, flags=flags, specular=spec,
+                                alpha=alpha, eta=eta, k=k, dist=dist)
+        if kind in (DIELECTRIC, ROUGH_DIELECTRIC, THIN_DIELECTRIC):
+            return self.add_row(kind=kind, flags=flags, specular=spec,
+                                transmittance=trans, alpha=alpha,
+                                eta=(rel_eta,) * 3, dist=dist)
+        if kind in (PLASTIC, ROUGH_PLASTIC):
+            refl, tex = self._spectrum_or_texture(
+                node, ["diffuseReflectance", "reflectance"], (0.5, 0.5, 0.5))
+            return self.add_row(
+                kind=kind, flags=flags, reflectance=refl, specular=spec,
+                alpha=alpha, eta=(rel_eta,) * 3, dist=dist,
+                tex_reflectance=tex,
+                fdr_int=fresnel_diffuse_reflectance(1.0 / rel_eta))
+        if kind == PHONG:
+            refl, tex = self._spectrum_or_texture(
+                node, ["diffuseReflectance"], (0.5, 0.5, 0.5))
+            return self.add_row(kind=kind, flags=flags, reflectance=refl,
+                                specular=spectrum_value(
+                                    node.get("specularReflectance"),
+                                    (0.2, 0.2, 0.2)),
+                                alpha=float(node.get("exponent", 30.0)),
+                                tex_reflectance=tex)
+        if kind == NULL_BSDF:
+            return self.add_row(kind=kind, flags=flags,
+                                reflectance=(0, 0, 0))
+        raise ValueError(f"unhandled BSDF kind {t}")
+
+    def finalize(self) -> Materials:
+        if not self.rows:
+            self.default_id()
+        g = lambda k: np.stack([np.asarray(r[k]) for r in self.rows])
+        return Materials(
+            kind=g("kind").astype(np.int32),
+            flags=g("flags").astype(np.int32),
+            reflectance=g("reflectance").astype(np.float32),
+            specular=g("specular").astype(np.float32),
+            transmittance=g("transmittance").astype(np.float32),
+            alpha=g("alpha").astype(np.float32),
+            eta=g("eta").astype(np.float32),
+            k=g("k").astype(np.float32),
+            dist=g("dist").astype(np.int32),
+            tex_reflectance=g("tex_reflectance").astype(np.int32),
+            fdr_int=g("fdr_int").astype(np.float32),
+        )

@@ -1,0 +1,367 @@
+"""Mesh ingestion: OBJ / PLY / Mitsuba .serialized loaders + built-in shapes.
+
+TPU-native replacement for Mitsuba's shape plugins (src/shapes/{obj,ply,
+serialized,rectangle,sphere,cube,disk}.cpp) and TriMesh
+(src/librender/trimesh.cpp).  Everything tessellates to indexed triangles in
+numpy; spheres are tessellated (the analytic-sphere fast path is a later
+optimization — tessellation only changes geometry detail, not estimator
+semantics, at sufficient resolution).
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class Mesh:
+    positions: np.ndarray            # [V, 3] f32
+    indices: np.ndarray              # [T, 3] i32
+    normals: Optional[np.ndarray]    # [V, 3] f32 or None (-> face normals)
+    uvs: Optional[np.ndarray]        # [V, 2] f32 or None
+
+    @property
+    def num_tris(self):
+        return len(self.indices)
+
+
+def compute_vertex_normals(positions, indices):
+    """Area-weighted smooth vertex normals (TriMesh::computeNormals)."""
+    p = positions
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    fn = np.cross(p[i1] - p[i0], p[i2] - p[i0])  # area-weighted
+    vn = np.zeros_like(p)
+    np.add.at(vn, i0, fn)
+    np.add.at(vn, i1, fn)
+    np.add.at(vn, i2, fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return (vn / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# OBJ
+# ---------------------------------------------------------------------------
+
+def load_obj(path: str, face_normals: bool = False) -> Mesh:
+    vs, vns, vts = [], [], []
+    # corners keyed by (v, vt, vn) -> output index
+    corner_map = {}
+    out_pos, out_nrm, out_uv, tris = [], [], [], []
+    has_n = has_t = False
+
+    def corner(tok):
+        nonlocal has_n, has_t
+        parts = tok.split("/")
+        vi = int(parts[0])
+        ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        vi = vi - 1 if vi > 0 else len(vs) + vi
+        ti = ti - 1 if ti > 0 else (len(vts) + ti if ti else -1)
+        ni = ni - 1 if ni > 0 else (len(vns) + ni if ni else -1)
+        key = (vi, ti, ni)
+        if key in corner_map:
+            return corner_map[key]
+        idx = len(out_pos)
+        corner_map[key] = idx
+        out_pos.append(vs[vi])
+        if ni >= 0:
+            has_n = True
+            out_nrm.append(vns[ni])
+        else:
+            out_nrm.append((0.0, 0.0, 0.0))
+        if ti >= 0:
+            has_t = True
+            out_uv.append(vts[ti])
+        else:
+            out_uv.append((0.0, 0.0))
+        return idx
+
+    with open(path, errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                t = line.split()
+                vs.append((float(t[1]), float(t[2]), float(t[3])))
+            elif line.startswith("vn "):
+                t = line.split()
+                vns.append((float(t[1]), float(t[2]), float(t[3])))
+            elif line.startswith("vt "):
+                t = line.split()
+                vts.append((float(t[1]), float(t[2])))
+            elif line.startswith("f "):
+                toks = line.split()[1:]
+                idx = [corner(tok) for tok in toks]
+                for k in range(1, len(idx) - 1):  # fan triangulation
+                    tris.append((idx[0], idx[k], idx[k + 1]))
+
+    positions = np.asarray(out_pos, np.float32)
+    indices = np.asarray(tris, np.int32).reshape(-1, 3)
+    normals = np.asarray(out_nrm, np.float32) if (has_n and not face_normals) else None
+    if normals is None and not face_normals:
+        normals = compute_vertex_normals(positions, indices)
+    uvs = np.asarray(out_uv, np.float32) if has_t else None
+    return Mesh(positions, indices, normals, uvs)
+
+
+# ---------------------------------------------------------------------------
+# PLY
+# ---------------------------------------------------------------------------
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: str, face_normals: bool = False) -> Mesh:
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(prop_name, dtype, is_list, idx_dtype)])
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if line == "end_header":
+                break
+            t = line.split()
+            if not t or t[0] == "comment":
+                continue
+            if t[0] == "format":
+                fmt = t[1]
+            elif t[0] == "element":
+                elements.append((t[1], int(t[2]), []))
+            elif t[0] == "property":
+                if t[1] == "list":
+                    elements[-1][2].append(
+                        (t[4], _PLY_DTYPES[t[3]], True, _PLY_DTYPES[t[2]]))
+                else:
+                    elements[-1][2].append((t[2], _PLY_DTYPES[t[1]], False, None))
+        data = {}
+        if fmt == "ascii":
+            for name, count, props in elements:
+                rows = {p[0]: [] for p in props}
+                for _ in range(count):
+                    toks = f.readline().split()
+                    k = 0
+                    for pname, dt, is_list, ldt in props:
+                        if is_list:
+                            n = int(toks[k]); k += 1
+                            rows[pname].append([float(x) for x in toks[k:k + n]])
+                            k += n
+                        else:
+                            rows[pname].append(float(toks[k])); k += 1
+                data[name] = rows
+        else:
+            endian = "<" if "little" in fmt else ">"
+            for name, count, props in elements:
+                if not any(p[2] for p in props):
+                    dt = np.dtype([(p[0], endian + p[1]) for p in props])
+                    arr = np.frombuffer(f.read(dt.itemsize * count), dt)
+                    data[name] = {p[0]: arr[p[0]] for p in props}
+                else:
+                    rows = {p[0]: [] for p in props}
+                    for _ in range(count):
+                        for pname, dt, is_list, ldt in props:
+                            if is_list:
+                                n = np.frombuffer(
+                                    f.read(np.dtype(ldt).itemsize),
+                                    endian + ldt)[0]
+                                vals = np.frombuffer(
+                                    f.read(np.dtype(dt).itemsize * n),
+                                    endian + dt)
+                                rows[pname].append(vals)
+                            else:
+                                rows[pname].append(np.frombuffer(
+                                    f.read(np.dtype(dt).itemsize),
+                                    endian + dt)[0])
+                    data[name] = rows
+
+    v = data["vertex"]
+    positions = np.stack([np.asarray(v[k], np.float32) for k in "xyz"], -1)
+    normals = None
+    if "nx" in v:
+        normals = np.stack([np.asarray(v[k], np.float32)
+                            for k in ("nx", "ny", "nz")], -1)
+    uvs = None
+    for ku, kv in (("u", "v"), ("s", "t"), ("texture_u", "texture_v")):
+        if ku in v:
+            uvs = np.stack([np.asarray(v[ku], np.float32),
+                            np.asarray(v[kv], np.float32)], -1)
+            break
+    face_key = "vertex_indices" if "vertex_indices" in data.get("face", {}) \
+        else "vertex_index"
+    tris = []
+    for poly in data["face"][face_key]:
+        poly = np.asarray(poly, np.int64)
+        for k in range(1, len(poly) - 1):
+            tris.append((poly[0], poly[k], poly[k + 1]))
+    indices = np.asarray(tris, np.int32).reshape(-1, 3)
+    if normals is None and not face_normals:
+        normals = compute_vertex_normals(positions, indices)
+    if face_normals:
+        normals = None
+    return Mesh(positions, indices, normals, uvs)
+
+
+# ---------------------------------------------------------------------------
+# Mitsuba .serialized (reference: src/shapes/serialized.cpp, fileformat v4)
+# ---------------------------------------------------------------------------
+
+MTS_FILEFORMAT_HEADER = 0x041C
+_F_HAS_NORMALS = 0x0001
+_F_HAS_TEXCOORDS = 0x0002
+_F_HAS_COLORS = 0x0008
+_F_FACE_NORMALS = 0x0010
+_F_SINGLE = 0x1000
+_F_DOUBLE = 0x2000
+
+
+def load_serialized(path: str, shape_index: int = 0,
+                    face_normals: bool = False) -> Mesh:
+    with open(path, "rb") as f:
+        raw = f.read()
+    count = struct.unpack_from("<I", raw, len(raw) - 4)[0]
+    table_at = len(raw) - 4 - 8 * count
+    offsets = struct.unpack_from("<%dQ" % count, raw, table_at)
+    if shape_index >= count:
+        raise IndexError(f"{path}: shape index {shape_index} >= {count}")
+    start = offsets[shape_index]
+    header, version = struct.unpack_from("<HH", raw, start)
+    if header != MTS_FILEFORMAT_HEADER:
+        raise ValueError(f"{path}: bad .serialized header 0x{header:04x}")
+    end = offsets[shape_index + 1] if shape_index + 1 < count else table_at
+    payload = zlib.decompress(raw[start + 4:end])
+
+    pos = 0
+    flags, = struct.unpack_from("<I", payload, pos); pos += 4
+    if version >= 4:  # null-terminated mesh name
+        z = payload.index(b"\0", pos)
+        pos = z + 1
+    vcount, tcount = struct.unpack_from("<QQ", payload, pos); pos += 16
+    ftype = np.float64 if flags & _F_DOUBLE else np.float32
+    fsize = 8 if flags & _F_DOUBLE else 4
+
+    def take(n, dt, width):
+        nonlocal pos
+        a = np.frombuffer(payload, dt, n * width, pos).reshape(n, width)
+        pos += n * width * np.dtype(dt).itemsize
+        return a
+
+    positions = take(vcount, ftype, 3).astype(np.float32)
+    normals = None
+    if flags & _F_HAS_NORMALS:
+        normals = take(vcount, ftype, 3).astype(np.float32)
+    uvs = None
+    if flags & _F_HAS_TEXCOORDS:
+        uvs = take(vcount, ftype, 2).astype(np.float32)
+    if flags & _F_HAS_COLORS:
+        take(vcount, ftype, 3)  # vertex colors: parsed, unused
+    indices = take(tcount, np.uint32, 3).astype(np.int32)
+    if (flags & _F_FACE_NORMALS) or face_normals:
+        normals = None
+    elif normals is None:
+        normals = compute_vertex_normals(positions, indices)
+    return Mesh(positions, indices, normals, uvs)
+
+
+def save_serialized(path: str, meshes):
+    """Write meshes in Mitsuba .serialized v4 format (for scene caching and
+    round-trip tests)."""
+    offsets = []
+    with open(path, "wb") as f:
+        for mesh in meshes:
+            offsets.append(f.tell())
+            flags = _F_SINGLE
+            if mesh.normals is not None:
+                flags |= _F_HAS_NORMALS
+            if mesh.uvs is not None:
+                flags |= _F_HAS_TEXCOORDS
+            body = struct.pack("<I", flags) + b"mesh\0"
+            body += struct.pack("<QQ", len(mesh.positions), len(mesh.indices))
+            body += mesh.positions.astype(np.float32).tobytes()
+            if mesh.normals is not None:
+                body += mesh.normals.astype(np.float32).tobytes()
+            if mesh.uvs is not None:
+                body += mesh.uvs.astype(np.float32).tobytes()
+            body += mesh.indices.astype(np.uint32).tobytes()
+            f.write(struct.pack("<HH", MTS_FILEFORMAT_HEADER, 4))
+            f.write(zlib.compress(body))
+        for off in offsets:
+            f.write(struct.pack("<Q", off))
+        f.write(struct.pack("<I", len(offsets)))
+
+
+# ---------------------------------------------------------------------------
+# Built-in shapes (reference: src/shapes/{rectangle,cube,sphere,disk}.cpp)
+# ---------------------------------------------------------------------------
+
+def make_rectangle() -> Mesh:
+    """Unit rectangle [-1,1]^2 in the xy-plane, normal +z."""
+    p = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([[0, 1, 2], [2, 3, 0]], np.int32)
+    return Mesh(p, idx, n, uv)
+
+
+def make_cube() -> Mesh:
+    """Unit cube [-1,1]^3 with per-face normals."""
+    faces = []
+    for axis in range(3):
+        for sgn in (-1.0, 1.0):
+            n = np.zeros(3, np.float32); n[axis] = sgn
+            u = np.zeros(3, np.float32); u[(axis + 1) % 3] = 1.0
+            v = np.cross(n, u)
+            c = n  # face center
+            quad = [c - u - v, c + u - v, c + u + v, c - u + v]
+            faces.append((quad, n))
+    pos, nrm, uvs, idx = [], [], [], []
+    for quad, n in faces:
+        base = len(pos)
+        pos.extend(quad)
+        nrm.extend([n] * 4)
+        uvs.extend([[0, 0], [1, 0], [1, 1], [0, 1]])
+        idx.extend([[base, base + 1, base + 2], [base + 2, base + 3, base]])
+    return Mesh(np.asarray(pos, np.float32), np.asarray(idx, np.int32),
+                np.asarray(nrm, np.float32), np.asarray(uvs, np.float32))
+
+
+def make_sphere(center=(0, 0, 0), radius=1.0, n_theta=64, n_phi=128) -> Mesh:
+    """Lat-long tessellated sphere with exact per-vertex normals."""
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi + 1)
+    TH, PH = np.meshgrid(th, ph, indexing="ij")
+    x = np.sin(TH) * np.cos(PH)
+    y = np.sin(TH) * np.sin(PH)
+    z = np.cos(TH)
+    n = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    p = np.asarray(center, np.float32) + radius * n
+    uv = np.stack([PH / (2 * np.pi), 1.0 - TH / np.pi], -1).reshape(-1, 2)
+    tris = []
+    W = n_phi + 1
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a, b = i * W + j, i * W + j + 1
+            c, d = (i + 1) * W + j, (i + 1) * W + j + 1
+            if i > 0:
+                tris.append((a, c, b))
+            if i < n_theta - 1:
+                tris.append((b, c, d))
+    return Mesh(p, np.asarray(tris, np.int32), n, uv.astype(np.float32))
+
+
+def make_disk(n_seg=64) -> Mesh:
+    """Unit disk in the xy-plane, normal +z."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros(n_seg)], -1)
+    p = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (n_seg + 1, 1))
+    uv = (p[:, :2] * 0.5 + 0.5).astype(np.float32)
+    tris = [(0, 1 + i, 1 + (i + 1) % n_seg) for i in range(n_seg)]
+    return Mesh(p, np.asarray(tris, np.int32), n, uv)

@@ -1,0 +1,404 @@
+"""Scene compilation: plugin IR -> frozen pytree of device arrays.
+
+TPU-native replacement for Scene::initialize + plugin instantiation
+(src/librender/scene.cpp, src/libcore/plugin.cpp): instead of an object
+graph, the scene becomes flat SoA arrays (triangle soup in BVH order,
+material table, emitter tables, camera matrices) that jitted kernels index.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, NamedTuple, Optional
+
+import numpy as np
+
+from ..core import math as cm
+from ..ops.intersect import BVHArrays, TriSoup
+from . import bvh as bvh_mod
+from . import meshes as mesh_mod
+from .ir import Plugin, SceneDesc, spectrum_value
+from .materials import MaterialBuilder, Materials
+
+
+class Geometry(NamedTuple):
+    tris: TriSoup            # BVH leaf order
+    bvh: BVHArrays
+    positions: np.ndarray    # [V, 3] (original order)
+    normals: np.ndarray      # [V, 3] shading normals
+    uvs: np.ndarray          # [V, 2]
+    indices: np.ndarray      # [T, 3] i32 (original tri order)
+    tri_shape: np.ndarray    # [T] i32
+    shape_bsdf: np.ndarray   # [S] i32
+    shape_emitter: np.ndarray  # [S] i32 (-1 = not an emitter)
+    shape_use_face_normals: np.ndarray  # [S] bool
+
+
+class EmitterTable(NamedTuple):
+    """Area emitters + scene-level constant/env emitter."""
+    radiance: np.ndarray      # [E, 3] area emitter radiance
+    shape: np.ndarray         # [E] i32 owning shape
+    tri_offset: np.ndarray    # [E] i32 into tri_cdf/tri_index
+    tri_count: np.ndarray     # [E] i32
+    tri_cdf: np.ndarray       # [sumT] normalized per-emitter cumulative area
+    tri_index: np.ndarray     # [sumT] i32 original tri ids
+    total_area: np.ndarray    # [E]
+    # environment: kind 0=none, 1=constant, 2=envmap
+    env_kind: np.ndarray      # scalar i32
+    env_radiance: np.ndarray  # [3] constant radiance / envmap scale
+    env_to_world: np.ndarray  # [4, 4]
+    env_world_to_local: np.ndarray  # [4, 4]
+    env_map: np.ndarray       # [He, We, 3] (1x1 dummy when unused)
+    env_cdf_rows: np.ndarray  # [He+1] marginal CDF over rows
+    env_cdf_cols: np.ndarray  # [He, We+1] conditional CDF per row
+    env_pdf: np.ndarray       # [He, We] solid-angle pdf per texel
+
+
+class Camera(NamedTuple):
+    to_world: np.ndarray          # [4, 4]
+    world_to_camera: np.ndarray   # [4, 4]
+    sample_to_camera: np.ndarray  # [4, 4]
+    camera_to_sample: np.ndarray  # [4, 4]
+    aperture_radius: np.ndarray   # scalar
+    focus_distance: np.ndarray    # scalar
+
+
+class SceneData(NamedTuple):
+    """The full device scene pytree."""
+    geom: Geometry
+    materials: Materials
+    emitters: EmitterTable
+    camera: Camera
+    ray_eps: np.ndarray  # scalar: min-t epsilon scaled to scene extent
+
+
+@dataclass
+class RenderSettings:
+    """Static (host) configuration — not traced."""
+    width: int = 256
+    height: int = 256
+    spp: int = 16
+    integrator: str = "path"
+    integrator_props: Dict[str, Any] = field(default_factory=dict)
+    max_depth: int = -1          # -1 = unlimited (Mitsuba convention)
+    rr_depth: int = 5
+    sampler: str = "independent"
+    rfilter: str = "gaussian"
+    stack_depth: int = 64        # BVH traversal stack bound (static)
+    num_emitters: int = 0
+    has_env: bool = False
+    fov_x_deg: float = 45.0
+    banner: bool = False
+    output: str = "output.exr"
+    strict_normals: bool = False
+
+
+_BSDF_KINDS = ("bsdf",)
+
+
+def _shape_mesh(shape: Plugin, base_dir: str) -> mesh_mod.Mesh:
+    t = shape.type
+    fn = bool(shape.get("faceNormals", False))
+    if t == "obj":
+        return mesh_mod.load_obj(
+            os.path.join(base_dir, shape.get("filename")), face_normals=fn)
+    if t == "ply":
+        return mesh_mod.load_ply(
+            os.path.join(base_dir, shape.get("filename")), face_normals=fn)
+    if t == "serialized":
+        return mesh_mod.load_serialized(
+            os.path.join(base_dir, shape.get("filename")),
+            shape_index=int(shape.get("shapeIndex", 0)), face_normals=fn)
+    if t == "rectangle":
+        return mesh_mod.make_rectangle()
+    if t == "cube":
+        return mesh_mod.make_cube()
+    if t == "sphere":
+        center = shape.get("center", np.zeros(3, np.float32))
+        radius = float(shape.get("radius", 1.0))
+        return mesh_mod.make_sphere(center, radius)
+    if t == "disk":
+        return mesh_mod.make_disk()
+    raise ValueError(f"unsupported shape type '{t}'")
+
+
+def compile_scene(desc: SceneDesc,
+                  overrides: Optional[Dict[str, Any]] = None):
+    """SceneDesc -> (SceneData numpy pytree, RenderSettings).
+
+    The caller moves SceneData to device with jax.device_put (replicated
+    across the mesh for multi-chip rendering).
+    """
+    mb = MaterialBuilder()
+
+    all_pos, all_nrm, all_uv, all_idx = [], [], [], []
+    tri_shape, shape_bsdf, shape_emitter, shape_face_n = [], [], [], []
+    area_emitters = []  # (shape_id, radiance rgb)
+    v_off = 0
+
+    for s_id, shape in enumerate(desc.shapes):
+        mesh = _shape_mesh(shape, desc.base_dir)
+        to_world = shape.get("toWorld", np.eye(4))
+        pos = cm.transform_point(
+            np.asarray(to_world, np.float64), mesh.positions.astype(np.float64))
+        inv = np.linalg.inv(np.asarray(to_world, np.float64))
+        use_face_n = mesh.normals is None
+        if mesh.normals is not None:
+            nrm = mesh.normals.astype(np.float64) @ inv[:3, :3]
+            nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = nrm / np.maximum(nlen, 1e-20)
+        else:
+            nrm = np.zeros_like(pos)
+        if bool(shape.get("flipNormals", False)):
+            nrm = -nrm
+        # winding flip if the transform mirrors (negative determinant)
+        idx = mesh.indices.copy()
+        if np.linalg.det(np.asarray(to_world, np.float64)[:3, :3]) < 0:
+            idx = idx[:, ::-1]
+        uv = mesh.uvs if mesh.uvs is not None else np.zeros(
+            (len(pos), 2), np.float32)
+
+        # material
+        bsdf_node = shape.child("bsdf")
+        if bsdf_node is None:
+            for v in shape.props.values():
+                if isinstance(v, Plugin) and v.kind == "bsdf":
+                    bsdf_node = v
+                    break
+        mid = mb.from_plugin(bsdf_node) if bsdf_node is not None \
+            else mb.default_id()
+
+        # area emitter?
+        em_node = shape.child("emitter")
+        e_id = -1
+        if em_node is not None:
+            if em_node.type != "area":
+                raise ValueError(
+                    f"shape-attached emitter '{em_node.type}' not supported")
+            e_id = len(area_emitters)
+            area_emitters.append(
+                (s_id, spectrum_value(em_node.get("radiance"), (1, 1, 1))))
+
+        all_pos.append(pos.astype(np.float32))
+        all_nrm.append(nrm.astype(np.float32))
+        all_uv.append(uv.astype(np.float32))
+        all_idx.append(idx.astype(np.int32) + v_off)
+        tri_shape.append(np.full(len(idx), s_id, np.int32))
+        shape_bsdf.append(mid)
+        shape_emitter.append(e_id)
+        shape_face_n.append(use_face_n or bool(shape.get("faceNormals", False)))
+        v_off += len(pos)
+
+    if not all_pos:
+        raise ValueError("scene contains no shapes")
+    positions = np.concatenate(all_pos)
+    normals = np.concatenate(all_nrm)
+    uvs = np.concatenate(all_uv)
+    indices = np.concatenate(all_idx)
+    tri_shape = np.concatenate(tri_shape)
+
+    # --- BVH over all triangles -------------------------------------------
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    tree = bvh_mod.build(p0, p1, p2)
+    order = tree.prim_order
+    tris = TriSoup(
+        v0=p0[order], e1=(p1 - p0)[order], e2=(p2 - p0)[order],
+        orig_id=order.astype(np.int32))
+    bvh_arrays = BVHArrays(
+        child0_min=tree.child0_min, child0_max=tree.child0_max,
+        child1_min=tree.child1_min, child1_max=tree.child1_max,
+        child0=tree.child0, child1=tree.child1)
+
+    geom = Geometry(
+        tris=tris, bvh=bvh_arrays, positions=positions, normals=normals,
+        uvs=uvs, indices=indices, tri_shape=tri_shape,
+        shape_bsdf=np.asarray(shape_bsdf, np.int32),
+        shape_emitter=np.asarray(shape_emitter, np.int32),
+        shape_use_face_normals=np.asarray(shape_face_n, bool))
+
+    # --- emitter tables ----------------------------------------------------
+    emitters = _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2)
+
+    # --- camera + film ------------------------------------------------------
+    camera, settings = _build_sensor(desc)
+    settings.stack_depth = 2 * tree.depth + 4
+    settings.num_emitters = len(area_emitters)
+    settings.has_env = int(emitters.env_kind) != 0
+
+    # --- integrator ---------------------------------------------------------
+    integ = desc.integrator
+    if integ is not None:
+        settings.integrator = integ.type
+        settings.integrator_props = dict(integ.props)
+        settings.max_depth = int(integ.get("maxDepth", -1))
+        settings.rr_depth = int(integ.get("rrDepth", 5))
+        settings.strict_normals = bool(integ.get("strictNormals", False))
+
+    if overrides:
+        for k, v in overrides.items():
+            setattr(settings, k, v)
+
+    extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
+    scene = SceneData(
+        geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
+        ray_eps=np.float32(max(extent, 1e-3) * 1e-4))
+    return scene, settings
+
+
+def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
+    E = len(area_emitters)
+    tri_areas = 0.5 * np.linalg.norm(
+        np.cross(p1 - p0, p2 - p0), axis=-1)
+
+    radiance = np.zeros((max(E, 1), 3), np.float32)
+    shape_ids = np.zeros(max(E, 1), np.int32)
+    offs, cnts, cdfs, tidx, totals = [], [], [], [], []
+    off = 0
+    for e, (s_id, rad) in enumerate(area_emitters):
+        radiance[e] = rad
+        shape_ids[e] = s_id
+        ids = np.nonzero(tri_shape == s_id)[0].astype(np.int32)
+        a = tri_areas[ids]
+        total = float(a.sum())
+        cdf = np.cumsum(a) / max(total, 1e-30)
+        offs.append(off); cnts.append(len(ids))
+        cdfs.append(cdf.astype(np.float32)); tidx.append(ids)
+        totals.append(total)
+        off += len(ids)
+    if E == 0:
+        offs, cnts, totals = [0], [0], [1.0]
+        cdfs, tidx = [np.ones(1, np.float32)], [np.zeros(1, np.int32)]
+
+    # scene-level environment emitter
+    env_kind = 0
+    env_rad = np.zeros(3, np.float32)
+    env_to_world = np.eye(4, dtype=np.float32)
+    env_map = np.zeros((1, 1, 3), np.float32)
+    for em in desc.emitters:
+        if em.type == "constant":
+            env_kind = 1
+            env_rad = spectrum_value(em.get("radiance"), (1, 1, 1))
+        elif em.type == "envmap":
+            env_kind = 2
+            from ..utils import exr as exr_mod
+            path = os.path.join(desc.base_dir, em.get("filename"))
+            if path.lower().endswith(".exr"):
+                env_map = exr_mod.read_rgb(path).astype(np.float32)
+            else:
+                from PIL import Image
+                img = np.asarray(Image.open(path).convert("RGB"),
+                                 np.float32) / 255.0
+                env_map = (img ** 2.2).astype(np.float32)
+            env_rad = spectrum_value(em.get("scale", 1.0), (1, 1, 1))
+            env_to_world = np.asarray(
+                em.get("toWorld", np.eye(4)), np.float32)
+        elif em.type in ("point", "spot", "directional", "sun", "sky",
+                         "sunsky", "collimated"):
+            raise ValueError(f"emitter '{em.type}' not yet supported")
+
+    He, We = env_map.shape[:2]
+    # luminance-weighted, sin(theta)-weighted 2D CDF for envmap sampling
+    lum = env_map @ np.array([0.212671, 0.715160, 0.072169], np.float32)
+    theta = (np.arange(He) + 0.5) / He * np.pi
+    w = lum * np.sin(theta)[:, None] + 1e-12
+    row_sums = w.sum(1)
+    cdf_rows = np.concatenate([[0.0], np.cumsum(row_sums)])
+    cdf_rows = (cdf_rows / cdf_rows[-1]).astype(np.float32)
+    cdf_cols = np.concatenate(
+        [np.zeros((He, 1)), np.cumsum(w, 1)], axis=1)
+    cdf_cols = (cdf_cols / cdf_cols[:, -1:]).astype(np.float32)
+    # solid-angle pdf per texel: p(w) = w / (sum * texel_solid_angle)
+    texel_sa = (2 * np.pi / We) * (np.pi / He) * np.sin(theta)[:, None]
+    env_pdf = (w / w.sum() / np.maximum(texel_sa, 1e-12)).astype(np.float32)
+
+    return EmitterTable(
+        radiance=radiance, shape=shape_ids,
+        tri_offset=np.asarray(offs, np.int32),
+        tri_count=np.asarray(cnts, np.int32),
+        tri_cdf=np.concatenate(cdfs).astype(np.float32),
+        tri_index=np.concatenate(tidx).astype(np.int32),
+        total_area=np.asarray(totals, np.float32),
+        env_kind=np.int32(env_kind), env_radiance=env_rad.astype(np.float32),
+        env_to_world=env_to_world.astype(np.float32),
+        env_world_to_local=np.linalg.inv(env_to_world).astype(np.float32),
+        env_map=env_map, env_cdf_rows=cdf_rows, env_cdf_cols=cdf_cols,
+        env_pdf=env_pdf)
+
+
+def _build_sensor(desc):
+    settings = RenderSettings()
+    sensor = desc.sensor
+    to_world = np.eye(4)
+    fov = 45.0
+    near, far = 1e-2, 1e4
+    aperture, focus = 0.0, 1.0
+    if sensor is not None:
+        to_world = np.asarray(sensor.get("toWorld", np.eye(4)), np.float64)
+        film = sensor.child("film")
+        if film is not None:
+            settings.width = int(film.get("width", 768))
+            settings.height = int(film.get("height", 576))
+            rf = film.child("rfilter")
+            if rf is not None:
+                settings.rfilter = rf.type
+            settings.banner = bool(film.get("banner", False))
+        sampler = sensor.child("sampler")
+        if sampler is not None:
+            settings.sampler = sampler.type
+            settings.spp = int(sampler.get("sampleCount", 16))
+        near = float(sensor.get("nearClip", 1e-2))
+        far = float(sensor.get("farClip", 1e4))
+        if sensor.type in ("perspective", "thinlens"):
+            fov = _resolve_fov(sensor, settings.width, settings.height)
+            if sensor.type == "thinlens":
+                aperture = float(sensor.get("apertureRadius", 0.0))
+                focus = float(sensor.get("focusDistance", 1.0))
+        elif sensor.type is not None and sensor.type != "":
+            raise ValueError(f"sensor '{sensor.type}' not yet supported")
+    settings.fov_x_deg = fov
+
+    aspect = settings.width / settings.height
+    # Mitsuba perspective.cpp: cameraToSample =
+    #   scale(-0.5, -0.5*aspect, 1) * translate(-1, -1/aspect, 0) * perspective
+    persp = cm.np_perspective(fov, near, far)
+    cam_to_sample = (cm.np_scale([-0.5, -0.5 * aspect, 1.0])
+                     @ cm.np_translate([-1.0, -1.0 / aspect, 0.0])
+                     @ persp)
+    sample_to_cam = np.linalg.inv(cam_to_sample)
+    camera = Camera(
+        to_world=to_world.astype(np.float32),
+        world_to_camera=np.linalg.inv(to_world).astype(np.float32),
+        sample_to_camera=sample_to_cam.astype(np.float32),
+        camera_to_sample=cam_to_sample.astype(np.float32),
+        aperture_radius=np.float32(aperture),
+        focus_distance=np.float32(focus))
+    return camera, settings
+
+
+def _resolve_fov(sensor, width, height):
+    fov = float(sensor.get("fov", 45.0))
+    axis = sensor.get("fovAxis", "x")
+    aspect = width / height
+    if axis == "x":
+        return fov
+    if axis == "y":
+        return np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * aspect))
+    if axis == "smaller":
+        return fov if aspect >= 1 else np.rad2deg(
+            2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * aspect))
+    if axis == "larger":
+        return fov if aspect <= 1 else np.rad2deg(
+            2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * aspect))
+    if axis == "diagonal":
+        d = np.sqrt(1 + 1 / aspect ** 2)
+        return np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov) / 2) / d))
+    return fov
+
+
+def load_scene(path, variables=None, overrides=None):
+    """Convenience: XML file -> (SceneData, RenderSettings)."""
+    from . import xml_loader
+    desc = xml_loader.load(path, variables)
+    return compile_scene(desc, overrides)
