@@ -22,3 +22,7 @@ Layout (mirrors SURVEY.md layer map):
 """
 
 __version__ = "0.1.0"
+
+from .utils import jaxconfig as _jaxconfig
+
+_jaxconfig.configure()

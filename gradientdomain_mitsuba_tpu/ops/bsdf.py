@@ -1,0 +1,550 @@
+"""BSDF sample/eval/pdf: branch-free SoA dispatch over the material enum.
+
+TPU-native replacement for Mitsuba's BSDF plugin virtual dispatch
+(src/bsdfs/{diffuse,conductor,dielectric,roughconductor,plastic,
+roughplastic,roughdiffuse,phong,thindielectric}.cpp + microfacet.h).
+Every function is batched over N surface interactions; each material model
+is evaluated with vector ops and combined with jnp.where masks — no
+data-dependent branching, so the VPU stays dense.  Mitsuba conventions:
+
+  - directions in the LOCAL shading frame, +z = shading normal
+  - wi points AWAY from the surface toward the previous vertex
+  - eval() returns f(wi,wo) * |cos(theta_o)| (solid-angle measure)
+  - pdf() is the solid-angle density of sample()'s smooth component
+  - sample() returns (wo, weight = f*cos/pdf, pdf, is_delta, eta) where eta
+    is the RELATIVE index ratio of the transition (1 for reflection)
+
+Microfacet models use FULL-NDF sampling (D(m)cos(m)), matching Mitsuba
+0.5's microfacet.h which predates visible-normal sampling — required for
+statistical identity with the reference estimators.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import warp
+from ..core.math import reflect_local
+from ..core.spectrum import luminance
+from ..scene.materials import (CONDUCTOR, DIELECTRIC, DIFFUSE, DIST_GGX,
+                               FLAG_TWOSIDED, NULL_BSDF, PHONG, PLASTIC,
+                               ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
+                               ROUGH_DIFFUSE, ROUGH_PLASTIC, THIN_DIELECTRIC)
+
+INV_PI = 1.0 / jnp.pi
+
+
+class MatParams(NamedTuple):
+    """Per-interaction material parameters (gathered from the table)."""
+    kind: jnp.ndarray          # [N] i32
+    twosided: jnp.ndarray      # [N] bool
+    reflectance: jnp.ndarray   # [N, 3] (texture-resolved albedo)
+    specular: jnp.ndarray      # [N, 3]
+    transmittance: jnp.ndarray  # [N, 3]
+    alpha: jnp.ndarray         # [N]
+    eta: jnp.ndarray           # [N, 3]
+    k: jnp.ndarray             # [N, 3]
+    dist: jnp.ndarray          # [N] i32
+    fdr_int: jnp.ndarray       # [N]
+    spec_weight: jnp.ndarray   # [N] specular sampling weight (plastic/phong)
+
+
+def gather_params(materials, mid, albedo_override=None) -> MatParams:
+    """Gather material rows for a batch of material ids [N]."""
+    g = lambda a: a[mid]
+    refl = g(materials.reflectance)
+    if albedo_override is not None:
+        refl = albedo_override
+    spec = g(materials.specular)
+    # Mitsuba's specularSamplingWeight: sAvg / (sAvg + dAvg) by luminance
+    s_lum = luminance(spec)
+    d_lum = luminance(refl)
+    return MatParams(
+        kind=g(materials.kind),
+        twosided=(g(materials.flags) & FLAG_TWOSIDED) != 0,
+        reflectance=refl, specular=spec,
+        transmittance=g(materials.transmittance),
+        alpha=g(materials.alpha), eta=g(materials.eta), k=g(materials.k),
+        dist=g(materials.dist), fdr_int=g(materials.fdr_int),
+        spec_weight=s_lum / jnp.maximum(s_lum + d_lum, 1e-9))
+
+
+# ---------------------------------------------------------------------------
+# Fresnel
+# ---------------------------------------------------------------------------
+
+def fresnel_dielectric(cos_i, eta):
+    """Exact unpolarized dielectric Fresnel (fresnelDielectricExt semantics).
+
+    cos_i may be signed (negative = from inside); eta = int/ext ratio.
+    Returns (F, cos_t) where cos_t carries the sign of the transmitted side.
+    """
+    outside = cos_i >= 0.0
+    rel_eta = jnp.where(outside, eta, 1.0 / jnp.maximum(eta, 1e-9))
+    ci = jnp.abs(cos_i)
+    sin_t2 = (1.0 - ci * ci) / jnp.maximum(rel_eta * rel_eta, 1e-18)
+    tir = sin_t2 >= 1.0
+    ct = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
+    rs = (ci - rel_eta * ct) / jnp.maximum(ci + rel_eta * ct, 1e-12)
+    rp = (rel_eta * ci - ct) / jnp.maximum(rel_eta * ci + ct, 1e-12)
+    F = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+    cos_t = jnp.where(tir, 0.0, jnp.where(outside, -ct, ct))
+    return F, cos_t
+
+
+def fresnel_conductor(cos_i, eta, k):
+    """Unpolarized conductor Fresnel; eta/k are [..., 3] RGB."""
+    ci = jnp.abs(cos_i)[..., None]
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - si2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + ci2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * ci
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
+    t3 = ci2 * a2b2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-12)
+    return 0.5 * (rp + rs)
+
+
+# ---------------------------------------------------------------------------
+# Microfacet helpers (Beckmann / GGX, full NDF — Mitsuba 0.5 microfacet.h)
+# ---------------------------------------------------------------------------
+
+def mf_D(m, alpha, dist):
+    db = warp.square_to_beckmann_pdf(m, alpha) / jnp.maximum(
+        jnp.abs(m[..., 2]), 1e-9)
+    dg = warp.square_to_ggx_pdf(m, alpha) / jnp.maximum(
+        jnp.abs(m[..., 2]), 1e-9)
+    return jnp.where(dist == DIST_GGX, dg, db)
+
+
+def mf_sample(u, alpha, dist):
+    mb = warp.square_to_beckmann(u, alpha)
+    mg = warp.square_to_ggx(u, alpha)
+    return jnp.where((dist == DIST_GGX)[..., None], mg, mb)
+
+
+def mf_pdf(m, alpha, dist):
+    """pdf of sampled half-vector (D * cos)."""
+    pb = warp.square_to_beckmann_pdf(m, alpha)
+    pg = warp.square_to_ggx_pdf(m, alpha)
+    return jnp.where(dist == DIST_GGX, pg, pb)
+
+
+def _smith_g1(v, m, alpha, dist):
+    cos_v = v[..., 2]
+    # side check: v and m on same side
+    valid = (jnp.sum(v * m, axis=-1) * cos_v) > 0.0
+    ct2 = jnp.clip(cos_v * cos_v, 1e-9, 1.0)
+    tan_v = jnp.sqrt(jnp.maximum(1.0 - ct2, 0.0) / ct2)
+    # Beckmann rational approximation
+    a = 1.0 / jnp.maximum(alpha * tan_v, 1e-9)
+    g_b = jnp.where(
+        a < 1.6,
+        (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a),
+        1.0)
+    # GGX exact
+    g_g = 2.0 / (1.0 + jnp.sqrt(1.0 + (alpha * tan_v) ** 2))
+    g = jnp.where(dist == DIST_GGX, g_g, g_b)
+    return jnp.where(valid, g, 0.0)
+
+
+def mf_G(wi, wo, m, alpha, dist):
+    return _smith_g1(wi, m, alpha, dist) * _smith_g1(wo, m, alpha, dist)
+
+
+# ---------------------------------------------------------------------------
+# Per-model eval / pdf / sample (each takes flipped-to-front wi when the
+# model is intrinsically one-sided; dielectrics handle both sides)
+# ---------------------------------------------------------------------------
+
+def _d_zero3(x):
+    return jnp.zeros(x.shape[:-1] + (3,), x.dtype)
+
+
+def _diffuse_eval(p: MatParams, wi, wo):
+    f = p.reflectance * INV_PI * jnp.maximum(wo[..., 2], 0.0)[..., None]
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def _diffuse_pdf(p, wi, wo):
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid, warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+
+
+def _roughdiffuse_eval(p: MatParams, wi, wo):
+    """Oren-Nayar (fast qualitative model, matching roughdiffuse.cpp's
+    default non-'useFastApprox=false' path semantics closely enough)."""
+    sigma = p.alpha
+    sigma2 = sigma * sigma
+    A = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
+    B = 0.45 * sigma2 / (sigma2 + 0.09)
+    ci, co = wi[..., 2], wo[..., 2]
+    # azimuth cos difference
+    si = jnp.sqrt(jnp.maximum(1 - ci * ci, 0.0))
+    so = jnp.sqrt(jnp.maximum(1 - co * co, 0.0))
+    cos_dphi = jnp.where(
+        (si > 1e-4) & (so > 1e-4),
+        (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) /
+        jnp.maximum(si * so, 1e-9), 0.0)
+    sin_alpha = jnp.maximum(si, so)
+    tan_beta = jnp.minimum(si / jnp.maximum(ci, 1e-4),
+                           so / jnp.maximum(co, 1e-4))
+    f = (p.reflectance * INV_PI *
+         (A + B * jnp.maximum(cos_dphi, 0.0) * sin_alpha * tan_beta)[..., None]
+         * jnp.maximum(co, 0.0)[..., None])
+    valid = (ci > 0) & (co > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def _roughconductor_eval(p: MatParams, wi, wo):
+    m = wi + wo
+    mlen = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m = m / jnp.maximum(mlen, 1e-12)
+    m = m * jnp.sign(m[..., 2:3])  # half-vector on the +z side
+    D = mf_D(m, p.alpha, p.dist)
+    G = mf_G(wi, wo, m, p.alpha, p.dist)
+    F = fresnel_conductor(jnp.sum(wi * m, axis=-1), p.eta, p.k)
+    ci = wi[..., 2]
+    spec = (D * G / jnp.maximum(4.0 * ci, 1e-9))[..., None] * F * p.specular
+    valid = (ci > 0) & (wo[..., 2] > 0) & (mlen[..., 0] > 1e-12)
+    return jnp.where(valid[..., None], spec, 0.0)
+
+
+def _roughconductor_pdf(p, wi, wo):
+    m = wi + wo
+    mlen = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m = m / jnp.maximum(mlen, 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    pdf_m = mf_pdf(m, p.alpha, p.dist)
+    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * m, axis=-1)), 1e-9)
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid, pdf_m * jac, 0.0)
+
+
+def _roughplastic_eval(p: MatParams, wi, wo):
+    spec = _roughconductor_spec_dielectric(p, wi, wo)
+    Fi, _ = fresnel_dielectric(wi[..., 2], p.eta[..., 0])
+    Fo, _ = fresnel_dielectric(wo[..., 2], p.eta[..., 0])
+    inv_eta2 = 1.0 / jnp.maximum(p.eta[..., 0] ** 2, 1e-9)
+    diff = p.reflectance / jnp.maximum(
+        1.0 - p.fdr_int[..., None] * p.reflectance, 1e-6)
+    # nonlinear=false default: 1 - rho*fdr uses albedo; Mitsuba default
+    # nonlinear=false divides by (1 - fdr) only:
+    diff = p.reflectance / jnp.maximum(1.0 - p.fdr_int, 1e-6)[..., None]
+    diffuse = (diff * INV_PI * (inv_eta2 * (1.0 - Fi) * (1.0 - Fo) *
+                                jnp.maximum(wo[..., 2], 0.0))[..., None])
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid[..., None], spec + diffuse, 0.0)
+
+
+def _roughconductor_spec_dielectric(p, wi, wo):
+    """Microfacet specular lobe with DIELECTRIC Fresnel (for roughplastic)."""
+    m = wi + wo
+    mlen = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m = m / jnp.maximum(mlen, 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    D = mf_D(m, p.alpha, p.dist)
+    G = mf_G(wi, wo, m, p.alpha, p.dist)
+    F, _ = fresnel_dielectric(jnp.sum(wi * m, axis=-1), p.eta[..., 0])
+    ci = wi[..., 2]
+    spec = (D * G * F / jnp.maximum(4.0 * ci, 1e-9))[..., None] * p.specular
+    valid = (ci > 0) & (wo[..., 2] > 0) & (mlen[..., 0] > 1e-12)
+    return jnp.where(valid[..., None], spec, 0.0)
+
+
+def _roughplastic_probs(p, wi):
+    Fi, _ = fresnel_dielectric(wi[..., 2], p.eta[..., 0])
+    sw = p.spec_weight
+    prob_spec = (Fi * sw) / jnp.maximum(Fi * sw + (1 - Fi) * (1 - sw), 1e-9)
+    return jnp.clip(prob_spec, 0.0, 1.0), Fi
+
+
+def _roughplastic_pdf(p, wi, wo):
+    prob_spec, _ = _roughplastic_probs(p, wi)
+    pdf_s = _roughconductor_pdf(p, wi, wo)
+    pdf_d = _diffuse_pdf(p, wi, wo)
+    return prob_spec * pdf_s + (1 - prob_spec) * pdf_d
+
+
+def _phong_eval(p: MatParams, wi, wo):
+    n = p.alpha  # exponent
+    wr = reflect_local(wi)
+    cos_r = jnp.maximum(jnp.sum(wr * wo, axis=-1), 0.0)
+    spec = p.specular * ((n + 2) * INV_PI * 0.5 *
+                         jnp.power(cos_r, n) *
+                         jnp.maximum(wo[..., 2], 0.0))[..., None]
+    diff = p.reflectance * INV_PI * jnp.maximum(wo[..., 2], 0.0)[..., None]
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid[..., None], spec + diff, 0.0)
+
+
+def _phong_pdf(p, wi, wo):
+    n = p.alpha
+    wr = reflect_local(wi)
+    cos_r = jnp.maximum(jnp.sum(wr * wo, axis=-1), 0.0)
+    pdf_s = (n + 1) * INV_PI * 0.5 * jnp.power(cos_r, n)
+    pdf_d = _diffuse_pdf(p, wi, wo)
+    sw = p.spec_weight
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid, sw * pdf_s + (1 - sw) * pdf_d, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Public dispatch API
+# ---------------------------------------------------------------------------
+
+def _flip_frame(p: MatParams, wi):
+    """Two-sided handling: flip z for intrinsically one-sided models when lit
+    from the back AND the material is two-sided (or is a dielectric, which
+    handles signed cosines itself)."""
+    handles_sign = ((p.kind == DIELECTRIC) | (p.kind == THIN_DIELECTRIC) |
+                    (p.kind == ROUGH_DIELECTRIC) | (p.kind == NULL_BSDF))
+    flip = p.twosided & (wi[..., 2] < 0) & ~handles_sign
+    sign = jnp.where(flip, -1.0, 1.0)
+    return sign, flip
+
+
+def eval(p: MatParams, wi, wo):
+    """f(wi,wo)*|cos_o| for the SMOOTH components; zero for delta lobes."""
+    sign, _ = _flip_frame(p, wi)
+    wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
+    wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
+    out = _diffuse_eval(p, wi, wo)
+    out = jnp.where((p.kind == ROUGH_DIFFUSE)[..., None],
+                    _roughdiffuse_eval(p, wi, wo), out)
+    out = jnp.where((p.kind == ROUGH_CONDUCTOR)[..., None],
+                    _roughconductor_eval(p, wi, wo), out)
+    out = jnp.where((p.kind == ROUGH_PLASTIC)[..., None],
+                    _roughplastic_eval(p, wi, wo), out)
+    out = jnp.where((p.kind == PHONG)[..., None],
+                    _phong_eval(p, wi, wo), out)
+    out = jnp.where((p.kind == PLASTIC)[..., None],
+                    _plastic_eval_diffuse(p, wi, wo), out)
+    delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
+                  (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
+    return jnp.where(delta_only[..., None], 0.0, out)
+
+
+def _plastic_eval_diffuse(p, wi, wo):
+    """Smooth plastic: delta specular + diffuse substrate; eval covers the
+    diffuse part only (plastic.cpp eval with ESolidAngle)."""
+    Fi, _ = fresnel_dielectric(wi[..., 2], p.eta[..., 0])
+    Fo, _ = fresnel_dielectric(wo[..., 2], p.eta[..., 0])
+    inv_eta2 = 1.0 / jnp.maximum(p.eta[..., 0] ** 2, 1e-9)
+    diff = p.reflectance / jnp.maximum(1.0 - p.fdr_int, 1e-6)[..., None]
+    f = diff * INV_PI * (inv_eta2 * (1 - Fi) * (1 - Fo) *
+                         jnp.maximum(wo[..., 2], 0.0))[..., None]
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def pdf(p: MatParams, wi, wo):
+    """Solid-angle pdf of sample() restricted to smooth components."""
+    sign, _ = _flip_frame(p, wi)
+    wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
+    wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
+    out = _diffuse_pdf(p, wi, wo)
+    out = jnp.where(p.kind == ROUGH_DIFFUSE, _diffuse_pdf(p, wi, wo), out)
+    out = jnp.where(p.kind == ROUGH_CONDUCTOR,
+                    _roughconductor_pdf(p, wi, wo), out)
+    out = jnp.where(p.kind == ROUGH_PLASTIC,
+                    _roughplastic_pdf(p, wi, wo), out)
+    out = jnp.where(p.kind == PHONG, _phong_pdf(p, wi, wo), out)
+    out = jnp.where(p.kind == PLASTIC, _plastic_pdf(p, wi, wo), out)
+    delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
+                  (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
+    return jnp.where(delta_only, 0.0, out)
+
+
+def _plastic_pdf(p, wi, wo):
+    Fi, _ = fresnel_dielectric(wi[..., 2], p.eta[..., 0])
+    sw = p.spec_weight
+    prob_spec = (Fi * sw) / jnp.maximum(Fi * sw + (1 - Fi) * (1 - sw), 1e-9)
+    return (1 - prob_spec) * _diffuse_pdf(p, wi, wo)
+
+
+class BSDFSample(NamedTuple):
+    wo: jnp.ndarray        # [N, 3] local
+    weight: jnp.ndarray    # [N, 3] f*cos/pdf (0 on failure)
+    pdf: jnp.ndarray       # [N] solid-angle pdf (delta: discrete prob)
+    is_delta: jnp.ndarray  # [N] bool
+    eta: jnp.ndarray       # [N] relative IOR of the transition
+    valid: jnp.ndarray     # [N] bool
+
+
+def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
+    """Sample an outgoing direction. u2: [N,2], u_comp: [N]."""
+    sign, _ = _flip_frame(p, wi)
+    sign3 = jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
+    wif = wi * sign3
+    N = wi.shape[:-1]
+    one = jnp.ones(N, wi.dtype)
+
+    # --- diffuse-family (diffuse / roughdiffuse) ---------------------------
+    wo_d = warp.square_to_cosine_hemisphere(u2)
+    pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d)
+    w_d_diffuse = jnp.where((wif[..., 2] > 0)[..., None], p.reflectance, 0.0)
+    # roughdiffuse weight: eval/pdf
+    on_eval = _roughdiffuse_eval(p, wif, wo_d)
+    w_d_on = on_eval / jnp.maximum(pdf_d, 1e-12)[..., None]
+
+    # --- smooth conductor ---------------------------------------------------
+    wo_c = reflect_local(wif)
+    F_c = fresnel_conductor(wif[..., 2], p.eta, p.k)
+    w_c = p.specular * F_c
+    valid_c = wif[..., 2] > 0
+
+    # --- smooth dielectric --------------------------------------------------
+    eta_s = p.eta[..., 0]
+    F_die, cos_t = fresnel_dielectric(wi[..., 2], eta_s)
+    choose_refl = u_comp <= F_die
+    wo_refl = reflect_local(wi)
+    rel_eta = jnp.where(wi[..., 2] >= 0, eta_s, 1.0 / jnp.maximum(eta_s, 1e-9))
+    wo_refr = jnp.stack(
+        [-wi[..., 0] / rel_eta, -wi[..., 1] / rel_eta, cos_t], axis=-1)
+    wo_die = jnp.where(choose_refl[..., None], wo_refl, wo_refr)
+    # radiance transport: transmitted weight carries 1/eta^2
+    w_die = jnp.where(
+        choose_refl[..., None], p.specular,
+        p.transmittance / jnp.maximum(rel_eta * rel_eta, 1e-9)[..., None])
+    pdf_die = jnp.where(choose_refl, F_die, 1.0 - F_die)
+    eta_die = jnp.where(choose_refl, 1.0, rel_eta)
+
+    # --- thin dielectric ----------------------------------------------------
+    # two-interface reflection: R' = R + TRT + ... = R*(1 + T^2/(1-R^2))
+    F_thin_raw, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), eta_s)
+    F_thin = jnp.where(
+        F_thin_raw < 1.0,
+        F_thin_raw + (1 - F_thin_raw) ** 2 * F_thin_raw /
+        jnp.maximum(1 - F_thin_raw ** 2, 1e-9),
+        1.0)
+    choose_refl_t = u_comp <= F_thin
+    wo_thin = jnp.where(choose_refl_t[..., None], reflect_local(wi), -wi)
+    w_thin = jnp.where(choose_refl_t[..., None], p.specular, p.transmittance)
+    pdf_thin = jnp.where(choose_refl_t, F_thin, 1.0 - F_thin)
+
+    # --- rough conductor ----------------------------------------------------
+    m = mf_sample(u2, p.alpha, p.dist)
+    wo_rc = 2.0 * jnp.sum(wif * m, axis=-1, keepdims=True) * m - wif
+    pdf_rc = _roughconductor_pdf(p, wif, wo_rc)
+    eval_rc = _roughconductor_eval(p, wif, wo_rc)
+    w_rc = eval_rc / jnp.maximum(pdf_rc, 1e-12)[..., None]
+    valid_rc = (wo_rc[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_rc > 0)
+
+    # --- rough plastic ------------------------------------------------------
+    prob_spec_rp, _ = _roughplastic_probs(p, wif)
+    pick_spec_rp = u_comp < prob_spec_rp
+    wo_rp = jnp.where(pick_spec_rp[..., None], wo_rc, wo_d)
+    pdf_rp = _roughplastic_pdf(p, wif, wo_rp)
+    eval_rp = _roughplastic_eval(p, wif, wo_rp)
+    w_rp = eval_rp / jnp.maximum(pdf_rp, 1e-12)[..., None]
+    valid_rp = (wo_rp[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_rp > 0)
+
+    # --- smooth plastic -----------------------------------------------------
+    Fi_p, _ = fresnel_dielectric(wif[..., 2], eta_s)
+    sw = p.spec_weight
+    prob_spec_p = jnp.clip(
+        (Fi_p * sw) / jnp.maximum(Fi_p * sw + (1 - Fi_p) * (1 - sw), 1e-9),
+        0.0, 1.0)
+    pick_spec_p = u_comp < prob_spec_p
+    wo_pl = jnp.where(pick_spec_p[..., None], reflect_local(wif), wo_d)
+    # specular: weight = F * spec / prob_spec ; diffuse: eval/((1-prob)*pdf_d)
+    w_pl_spec = p.specular * (Fi_p / jnp.maximum(prob_spec_p, 1e-9))[..., None]
+    ev_pl = _plastic_eval_diffuse(p, wif, wo_pl)
+    w_pl_diff = ev_pl / jnp.maximum(
+        ((1 - prob_spec_p) * pdf_d), 1e-12)[..., None]
+    w_pl = jnp.where(pick_spec_p[..., None], w_pl_spec, w_pl_diff)
+    pdf_pl = jnp.where(pick_spec_p, prob_spec_p, (1 - prob_spec_p) * pdf_d)
+    valid_pl = wif[..., 2] > 0
+
+    # --- phong ---------------------------------------------------------------
+    pick_spec_ph = u_comp < sw
+    n_ph = p.alpha
+    # sample around reflection direction: cos^n lobe
+    cos_a = jnp.power(jnp.maximum(u2[..., 0], 1e-12), 1.0 / (n_ph + 1))
+    sin_a = jnp.sqrt(jnp.maximum(1 - cos_a ** 2, 0.0))
+    phi = 2 * jnp.pi * u2[..., 1]
+    lobe = jnp.stack([sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], -1)
+    wr = reflect_local(wif)
+    from ..core.math import build_frame, to_world
+    s_ax, t_ax = build_frame(wr)
+    wo_ph_spec = to_world(lobe, s_ax, t_ax, wr)
+    wo_ph = jnp.where(pick_spec_ph[..., None], wo_ph_spec, wo_d)
+    pdf_ph = _phong_pdf(p, wif, wo_ph)
+    ev_ph = _phong_eval(p, wif, wo_ph)
+    w_ph = ev_ph / jnp.maximum(pdf_ph, 1e-12)[..., None]
+    valid_ph = (wo_ph[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_ph > 0)
+
+    # --- null ---------------------------------------------------------------
+    wo_null = -wi
+
+    # --- select by kind ------------------------------------------------------
+    k = p.kind
+
+    def sel(vals, default):
+        out = default
+        for kk, v in vals:
+            out = jnp.where((k == kk)[..., None] if out.ndim > k.ndim
+                            else (k == kk), v, out)
+        return out
+
+    wo = sel([(ROUGH_DIFFUSE, wo_d), (CONDUCTOR, wo_c),
+              (DIELECTRIC, wo_die), (THIN_DIELECTRIC, wo_thin),
+              (ROUGH_CONDUCTOR, wo_rc), (ROUGH_PLASTIC, wo_rp),
+              (PLASTIC, wo_pl), (PHONG, wo_ph), (NULL_BSDF, wo_null)],
+             wo_d)
+    weight = sel([(ROUGH_DIFFUSE, w_d_on), (CONDUCTOR, w_c),
+                  (DIELECTRIC, w_die), (THIN_DIELECTRIC, w_thin),
+                  (ROUGH_CONDUCTOR, w_rc), (ROUGH_PLASTIC, w_rp),
+                  (PLASTIC, w_pl), (PHONG, w_ph),
+                  (NULL_BSDF, jnp.ones_like(w_c))],
+                 w_d_diffuse)
+    pdf_out = sel([(ROUGH_DIFFUSE, pdf_d), (CONDUCTOR, one),
+                   (DIELECTRIC, pdf_die), (THIN_DIELECTRIC, pdf_thin),
+                   (ROUGH_CONDUCTOR, pdf_rc), (ROUGH_PLASTIC, pdf_rp),
+                   (PLASTIC, pdf_pl), (PHONG, pdf_ph), (NULL_BSDF, one)],
+                  pdf_d)
+    eta_out = sel([(DIELECTRIC, eta_die)], jnp.ones_like(one))
+    is_delta = ((k == CONDUCTOR) | (k == DIELECTRIC) |
+                (k == THIN_DIELECTRIC) | (k == NULL_BSDF) |
+                ((k == PLASTIC) & pick_spec_p))
+    valid = sel([(ROUGH_DIFFUSE, (wif[..., 2] > 0) & (wo_d[..., 2] > 0)),
+                 (CONDUCTOR, valid_c),
+                 (DIELECTRIC, pdf_die > 0),
+                 (THIN_DIELECTRIC, pdf_thin > 0),
+                 (ROUGH_CONDUCTOR, valid_rc), (ROUGH_PLASTIC, valid_rp),
+                 (PLASTIC, valid_pl), (PHONG, valid_ph),
+                 (NULL_BSDF, jnp.ones_like(valid_c))],
+                (wif[..., 2] > 0) & (wo_d[..., 2] > 0))
+
+    # un-flip wo back to the true frame (dielectrics were never flipped)
+    handles_sign = ((k == DIELECTRIC) | (k == THIN_DIELECTRIC) |
+                    (k == NULL_BSDF))
+    unflip = jnp.where(handles_sign, 1.0, sign)
+    wo = wo * jnp.stack([jnp.ones_like(unflip)] * 2 + [unflip], -1)
+
+    weight = jnp.where(valid[..., None], weight, 0.0)
+    return BSDFSample(wo=wo, weight=weight, pdf=jnp.where(valid, pdf_out, 0.0),
+                      is_delta=is_delta, eta=eta_out, valid=valid)
+
+
+def roughness(materials, mid):
+    """Scalar roughness used by G-PT vertex classification
+    (gpt.cpp getVertexType): 0 for smooth-delta, alpha for microfacet,
+    inf for pure diffuse."""
+    kind = materials.kind[mid]
+    alpha = materials.alpha[mid]
+    r = jnp.full(kind.shape, jnp.inf, jnp.float32)
+    r = jnp.where((kind == CONDUCTOR) | (kind == DIELECTRIC) |
+                  (kind == THIN_DIELECTRIC), 0.0, r)
+    r = jnp.where((kind == ROUGH_CONDUCTOR) | (kind == ROUGH_DIELECTRIC) |
+                  (kind == ROUGH_PLASTIC), alpha, r)
+    return r

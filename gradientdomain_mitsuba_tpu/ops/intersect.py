@@ -78,8 +78,10 @@ def intersect_brute(o, d, mint, maxt, tris: TriSoup, chunk: int = 2048) -> Hit:
     n_chunks = (T + pad) // chunk
 
     R = o.shape[0]
-    init = (jnp.full(R, F32_MAX), jnp.zeros(R), jnp.zeros(R),
-            jnp.full(R, -1, jnp.int32))
+    # derive the carry from the inputs so its sharding/varying axes match
+    # the body outputs under shard_map (and plain vmap/jit alike)
+    zf = o[..., 0] * 0.0
+    init = (zf + F32_MAX, zf, zf, zf.astype(jnp.int32) - 1)
 
     def body(carry, ck):
         bt, bu, bv, bp = carry
@@ -131,10 +133,11 @@ def make_bvh_intersector(stack_depth: int):
 
     def one_ray(o, d, mint, maxt, tris: TriSoup, bvh: BVHArrays):
         inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 1e30)
-        stack = jnp.zeros(stack_depth, jnp.int32)
+        zf = o[0] * 0.0
+        zi = zf.astype(jnp.int32)
+        stack = jnp.zeros(stack_depth, jnp.int32) + zi
         # state: (sp, stack, t, u, v, prim)
-        state = (jnp.int32(1), stack, maxt, jnp.float32(0), jnp.float32(0),
-                 jnp.int32(-1))
+        state = (zi + 1, stack, maxt, zf, zf, zi - 1)
 
         def leaf_prims(code, st):
             t_best, u_best, v_best, p_best = st
@@ -206,8 +209,10 @@ def make_bvh_occluder(stack_depth: int):
 
     def one_ray(o, d, mint, maxt, tris: TriSoup, bvh: BVHArrays):
         inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 1e30)
-        stack = jnp.zeros(stack_depth, jnp.int32)
-        state = (jnp.int32(1), stack, jnp.bool_(False))
+        zf = o[0] * 0.0
+        zi = zf.astype(jnp.int32)
+        stack = jnp.zeros(stack_depth, jnp.int32) + zi
+        state = (zi + 1, stack, zi > 0)
 
         def body(s):
             sp, stk, _ = s

@@ -1,0 +1,163 @@
+"""Multi-chip tile-parallel rendering: shard_map over a device mesh.
+
+TPU-native replacement for Mitsuba's scheduler + cluster rendering
+(src/libcore/sched.cpp, sched_remote.cpp, mtssrv): instead of streaming
+32x32 work units over TCP to worker nodes, the film is row-block sharded
+over a 1-D `jax.sharding.Mesh`; the scene pytree is replicated; every chip
+renders its own rows.  The gradient-domain coupling at tile boundaries
+(G-PT's dy pairs straddle the row split, and wide reconstruction filters
+splat across it) is handled with a B-row halo per shard that is exchanged
+over ICI with `ppermute` and accumulated — the renderer's analog of
+context-parallel halo exchange (SURVEY.md §6.7).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import film as film_ops
+
+AXIS = "tiles"
+
+
+def make_mesh(n_devices=None):
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def padded_rows(H, n_dev):
+    return -(-H // n_dev) * n_dev
+
+
+def _halo_exchange_add(fb, B, axis=AXIS):
+    """fb: [rows_local + 2B, W, ...] accumulated with halo borders.
+    Sends the top halo to the previous shard and the bottom halo to the
+    next shard (additive), returning the interior [rows_local, W, ...]."""
+    n = jax.lax.axis_size(axis)
+    if B == 0 or n == 1:
+        return fb[B:fb.shape[0] - B] if B else fb
+    top = fb[:B]
+    bot = fb[fb.shape[0] - B:]
+    # my top rows belong to neighbor idx-1's bottom interior;
+    # ppermute: send to idx-1 / idx+1 (no wraparound: edges drop)
+    up = [(i, i - 1) for i in range(1, n)]
+    down = [(i, i + 1) for i in range(n - 1)]
+    from_next = jax.lax.ppermute(top, axis, up)      # received bottom add
+    from_prev = jax.lax.ppermute(bot, axis, down)    # received top add
+    inner = fb[B:fb.shape[0] - B]
+    inner = inner.at[:B].add(from_prev)
+    inner = inner.at[inner.shape[0] - B:].add(from_next)
+    return inner
+
+
+def render_tiles_gpt(tracer, scene, mesh, seed, n_samples: int):
+    """Row-sharded G-PT render over the mesh.
+
+    Returns the GLOBAL (gathered) buffers dict, sample-normalized like
+    GPTracer.render.  The per-shard work is identical to the single-chip
+    path — tiles are pure functions of (scene, seed, pixel block), which is
+    what makes re-dispatch/elastic recovery trivial (SURVEY.md §6.3).
+    """
+    st = tracer.settings
+    H, W = st.height, st.width
+    n_dev = mesh.devices.size
+    Hp = padded_rows(H, n_dev)
+    rows = Hp // n_dev
+    B = max(int(np.ceil(2 * film_ops.RADII[tracer.filter_kind])), 1)
+
+    def shard_fn(scene_rep):
+        idx = jax.lax.axis_index(AXIS)
+        row0 = idx * rows
+        local_ids = (row0 * W +
+                     jnp.arange(rows * W, dtype=jnp.uint32))
+        Hl = rows + 2 * B
+        pv = lambda a: jax.lax.pvary(a, (AXIS,))
+        zero3 = pv(jnp.zeros((Hl, W, 3)))
+        bufs = dict(primal=zero3, dx=zero3, dy=zero3, very_direct=zero3,
+                    wsum=pv(jnp.zeros((Hl, W))))
+
+        def body(i, bufs):
+            pos, primal, very, grad = tracer.trace_pass(
+                scene_rep, seed, i, pixel_id=local_ids)
+            # mask rows beyond the true film height (padding shard)
+            valid = (local_ids // W) < H
+            primal = jnp.where(valid[:, None], primal, 0.0)
+            very = jnp.where(valid[:, None], very, 0.0)
+            grad = jnp.where(valid[None, :, None], grad, 0.0)
+            lpos = pos - jnp.asarray([0.0, row0 - B], pos.dtype)
+            fb, wb = film_ops.splat(bufs["primal"], bufs["wsum"], lpos,
+                                    primal, tracer.filter_kind)
+            vd, _ = film_ops.splat(bufs["very_direct"],
+                                   jnp.zeros_like(wb), lpos, very,
+                                   tracer.filter_kind)
+            from ..models.gpt import OFFSETS
+            dx = film_ops.splat_unfiltered(bufs["dx"], lpos, grad[0])
+            dx = film_ops.splat_unfiltered(
+                dx, lpos + jnp.asarray(OFFSETS[1]), -grad[1])
+            dy = film_ops.splat_unfiltered(bufs["dy"], lpos, grad[2])
+            dy = film_ops.splat_unfiltered(
+                dy, lpos + jnp.asarray(OFFSETS[3]), -grad[3])
+            return dict(primal=fb, dx=dx, dy=dy, very_direct=vd, wsum=wb)
+
+        bufs = jax.lax.fori_loop(0, n_samples, body, bufs)
+        # ICI halo exchange: border splats belong to neighboring shards
+        return {k: _halo_exchange_add(v, B) for k, v in bufs.items()}
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(),),      # scene replicated
+                   out_specs=P(AXIS),    # row-sharded buffers
+                   check_rep=False)
+    out = fn(scene)
+    out = {k: np.asarray(v)[:H] for k, v in out.items()}
+    w = np.maximum(out.pop("wsum"), 1e-12)[..., None]
+    return {
+        "primal": out["primal"] / w,
+        "very_direct": out["very_direct"] / w,
+        "dx": out["dx"] / n_samples,
+        "dy": out["dy"] / n_samples,
+    }
+
+
+def render_tiles_path(tracer, scene, mesh, seed, n_samples: int):
+    """Row-sharded plain PT (single-buffer) — multi-chip `path`."""
+    st = tracer.settings
+    H, W = st.height, st.width
+    n_dev = mesh.devices.size
+    Hp = padded_rows(H, n_dev)
+    rows = Hp // n_dev
+    B = max(int(np.ceil(2 * film_ops.RADII[tracer.filter_kind])), 1)
+
+    def shard_fn(scene_rep):
+        idx = jax.lax.axis_index(AXIS)
+        row0 = idx * rows
+        local_ids = (row0 * W + jnp.arange(rows * W, dtype=jnp.uint32))
+        Hl = rows + 2 * B
+        pv = lambda a: jax.lax.pvary(a, (AXIS,))
+        fb = pv(jnp.zeros((Hl, W, 3)))
+        wb = pv(jnp.zeros((Hl, W)))
+
+        def body(i, carry):
+            fb, wb = carry
+            pos, L = tracer.trace_pass(scene_rep, seed, i,
+                                       pixel_id=local_ids)
+            valid = (local_ids // W) < H
+            L = jnp.where(valid[:, None], L, 0.0)
+            lpos = pos - jnp.asarray([0.0, row0 - B], pos.dtype)
+            return film_ops.splat(fb, wb, lpos, L, tracer.filter_kind)
+
+        fb, wb = jax.lax.fori_loop(0, n_samples, body, (fb, wb))
+        return (_halo_exchange_add(fb, B), _halo_exchange_add(wb, B))
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
+                   out_specs=(P(AXIS), P(AXIS)), check_rep=False)
+    fb, wb = fn(scene)
+    fb = np.asarray(fb)[:H]
+    wb = np.asarray(wb)[:H]
+    return fb / np.maximum(wb, 1e-12)[..., None]

@@ -87,6 +87,7 @@ class RenderSettings:
     stack_depth: int = 64        # BVH traversal stack bound (static)
     num_emitters: int = 0
     has_env: bool = False
+    env_kind: int = 0
     fov_x_deg: float = 45.0
     banner: bool = False
     output: str = "output.exr"
@@ -116,7 +117,10 @@ def _shape_mesh(shape: Plugin, base_dir: str) -> mesh_mod.Mesh:
     if t == "sphere":
         center = shape.get("center", np.zeros(3, np.float32))
         radius = float(shape.get("radius", 1.0))
-        return mesh_mod.make_sphere(center, radius)
+        # nTheta/nPhi: extension props controlling tessellation density
+        return mesh_mod.make_sphere(
+            center, radius, n_theta=int(shape.get("nTheta", 64)),
+            n_phi=int(shape.get("nPhi", 128)))
     if t == "disk":
         return mesh_mod.make_disk()
     raise ValueError(f"unsupported shape type '{t}'")
@@ -225,7 +229,8 @@ def compile_scene(desc: SceneDesc,
     camera, settings = _build_sensor(desc)
     settings.stack_depth = 2 * tree.depth + 4
     settings.num_emitters = len(area_emitters)
-    settings.has_env = int(emitters.env_kind) != 0
+    settings.env_kind = int(emitters.env_kind)
+    settings.has_env = settings.env_kind != 0
 
     # --- integrator ---------------------------------------------------------
     integ = desc.integrator
