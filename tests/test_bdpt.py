@@ -1,0 +1,96 @@
+"""BDPT + G-BDPT validation: estimator parity with `path`, exact primal
+parity between gbdpt and bdpt, and E[dx]=dE[primal] for gbdpt."""
+import os
+
+import numpy as np
+import pytest
+
+from gradientdomain_mitsuba_tpu.models import bdpt as bdpt_mod
+from gradientdomain_mitsuba_tpu.models import gbdpt as gb_mod
+from gradientdomain_mitsuba_tpu.models import path as path_mod
+from gradientdomain_mitsuba_tpu.scene import scene as sc
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CBOX = os.path.join(ROOT, "data/scenes/cbox/cbox.xml")
+
+
+@pytest.fixture(scope="module")
+def cbox():
+    return sc.load_scene(
+        CBOX, {"width": "24", "height": "24", "spp": "8", "maxDepth": "3"})
+
+
+def test_bdpt_matches_path(cbox):
+    """BDPT and PT estimate the same integral; means must agree within MC
+    noise (this exercises every strategy + MIS weight at once: any
+    double-counting or weight error shifts the mean)."""
+    scene, st = cbox
+    b = bdpt_mod.BDPTracer(scene, st)
+    img = b.render(scene, seed=0, spp=32, chunk=8)
+    ref = path_mod.PathTracer(scene, st).render(scene, seed=9, spp=512)
+    assert not np.isnan(img).any()
+    ratio = img.mean() / ref.mean()
+    assert abs(ratio - 1) < 0.03, ratio
+    # regional agreement too (catches light-image mis-normalization)
+    for sl in [np.s_[0:8], np.s_[8:16], np.s_[16:24]]:
+        r = img[sl].mean() / max(ref[sl].mean(), 1e-9)
+        assert abs(r - 1) < 0.06, (sl, r)
+
+
+def test_bdpt_deterministic(cbox):
+    scene, st = cbox
+    b = bdpt_mod.BDPTracer(scene, st)
+    a = b.render(scene, seed=4, spp=2, chunk=2)
+    c = b.render(scene, seed=4, spp=2, chunk=2)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_gbdpt_primal_parity(cbox):
+    """gbdpt primal + very_direct == bdpt (lightImage=false) exactly —
+    G-BDPT round-1 disables light tracing (see gbdpt.py docstring)."""
+    scene, st = cbox
+    g = gb_mod.GBDPTracer(scene, st)
+    out = g.render(scene, seed=0, spp=4, chunk=2)
+    import copy
+    st2 = copy.deepcopy(st)
+    st2.integrator_props["lightImage"] = False
+    b = bdpt_mod.BDPTracer(scene, st2)
+    img = b.render(scene, seed=0, spp=4, chunk=2)
+    comb = out["primal"] + out["very_direct"]
+    np.testing.assert_allclose(comb, img, rtol=2e-4, atol=2e-5)
+
+
+def test_bdpt_no_lightimage_matches_path(cbox):
+    """With lightImage=false the remaining strategies re-weight to a
+    complete estimator (camera excluded from MIS denominators too)."""
+    scene, st = cbox
+    import copy
+    st2 = copy.deepcopy(st)
+    st2.integrator_props["lightImage"] = False
+    b = bdpt_mod.BDPTracer(scene, st2)
+    img = b.render(scene, seed=1, spp=32, chunk=8)
+    ref = path_mod.PathTracer(scene, st).render(scene, seed=9, spp=512)
+    ratio = img.mean() / ref.mean()
+    assert abs(ratio - 1) < 0.03, ratio
+
+
+def test_gbdpt_gradient_consistency():
+    """E[dx] must match the finite difference of E[primal] (gbdpt's own
+    primal, which excludes the light-image MIS share)."""
+    scene, st = sc.load_scene(
+        CBOX, {"width": "16", "height": "16", "spp": "8", "maxDepth": "2"})
+    # disable the light image (reference's lightImage knob) so very_direct
+    # contains only the emitter hits and the mask below stays tight
+    st.integrator_props["lightImage"] = False
+    g = gb_mod.GBDPTracer(scene, st)
+    out = g.render(scene, seed=0, spp=48, chunk=8)
+    ref = g.render(scene, seed=555, spp=256, chunk=8)
+    fd_x = ref["primal"][:, 1:] - ref["primal"][:, :-1]
+    dx = out["dx"][:, :-1]
+    vd = out["very_direct"].sum(-1)
+    mx = (vd[:, 1:] + vd[:, :-1]) == 0  # mask light-edge pixels
+    rms_fd = np.sqrt((fd_x[mx] ** 2).mean())
+    rms_err = np.sqrt(((dx[mx] - fd_x[mx]) ** 2).mean())
+    assert rms_err / rms_fd < 0.55, (rms_err, rms_fd)
+    corr = np.corrcoef(dx[mx].ravel(), fd_x[mx].ravel())[0, 1]
+    assert corr > 0.85, corr
