@@ -57,6 +57,7 @@ class SubPath(NamedTuple):
     ng: jnp.ndarray        # [N, D, 3]
     ns: jnp.ndarray        # [N, D, 3]
     wi: jnp.ndarray        # [N, D, 3] unit, toward the PREVIOUS vertex
+    uv: jnp.ndarray        # [N, D, 2] texture coordinates
     bsdf_id: jnp.ndarray   # [N, D] i32
     emitter_id: jnp.ndarray  # [N, D] i32
     beta: jnp.ndarray      # [N, D, 3] throughput up to (incl) vertex
@@ -113,6 +114,7 @@ class BDPTracer:
         self.TE = self.depth                 # eye surface vertices stored
         self.SM = self.depth                 # max s (y_0..y_{SM-1})
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
+        self.has_textures = settings.has_textures
         self.light_image = bool(
             settings.integrator_props.get("lightImage", True))
         # whether the camera counts as a connectable endpoint in MIS: when
@@ -159,6 +161,7 @@ class BDPTracer:
 
         sp = SubPath(
             p=empty((3,)), ng=empty((3,)), ns=empty((3,)), wi=empty((3,)),
+            uv=empty((2,)),
             bsdf_id=empty((), -1, jnp.int32),
             emitter_id=empty((), -1, jnp.int32),
             beta=empty((3,)), pdf_fwd=empty(()), pdf_rev=empty(()),
@@ -186,6 +189,7 @@ class BDPTracer:
             sp = sp._replace(
                 p=upd(sp.p, its.p), ng=upd(sp.ng, its.ng),
                 ns=upd(sp.ns, its.ns), wi=upd(sp.wi, -d),
+                uv=upd(sp.uv, its.uv),
                 bsdf_id=sp.bsdf_id.at[:, k].set(
                     jnp.where(alive, its.bsdf_id, -1)),
                 emitter_id=sp.emitter_id.at[:, k].set(
@@ -199,8 +203,8 @@ class BDPTracer:
             # sample continuation at vertex k
             ss, ts = m.build_frame(its.ns)
             wi = m.to_local(-d, ss, ts, its.ns)
-            par = bsdf_ops.gather_params(scene.materials,
-                                         jnp.maximum(its.bsdf_id, 0))
+            par = common.material_params(scene, self.has_textures,
+                                         its.bsdf_id, its.uv)
             u2 = uniform_2d(seed, pixel_id, sample_idx,
                             dim_base + DA.bounce_dim(k, DA.D_BSDF_UV))
             uc = uniform_float(
@@ -305,8 +309,8 @@ class BDPTracer:
         ss, ts = m.build_frame(sp.ns[:, k])
         wi = m.to_local(sp.wi[:, k], ss, ts, sp.ns[:, k])
         wo = m.to_local(wo_world, ss, ts, sp.ns[:, k])
-        par = bsdf_ops.gather_params(scene.materials,
-                                     jnp.maximum(sp.bsdf_id[:, k], 0))
+        par = common.material_params(scene, self.has_textures,
+                                     sp.bsdf_id[:, k], sp.uv[:, k])
         f = bsdf_ops.eval(par, wi, wo)
         pdf = bsdf_ops.pdf(par, wi, wo)
         return f, pdf
@@ -320,8 +324,8 @@ class BDPTracer:
         d2 = jnp.maximum(m.squared_length(to_prev), 1e-12)
         dirp = to_prev / jnp.sqrt(d2)[..., None]
         ssf, tsf = m.build_frame(sp.ns[:, k])
-        par = bsdf_ops.gather_params(scene.materials,
-                                     jnp.maximum(sp.bsdf_id[:, k], 0))
+        par = common.material_params(scene, self.has_textures,
+                                     sp.bsdf_id[:, k], sp.uv[:, k])
         pdf_sa = bsdf_ops.pdf(
             par, m.to_local(d_new_in, ssf, tsf, sp.ns[:, k]),
             m.to_local(dirp, ssf, tsf, sp.ns[:, k]))

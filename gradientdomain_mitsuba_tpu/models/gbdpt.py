@@ -122,8 +122,8 @@ class GBDPTracer(BDPTracer):
         ss1, ts1 = m.build_frame(its1.ns)
         wi1 = m.to_local(-d_cam, ss1, ts1, its1.ns)
         wo1 = m.to_local(dir_rc, ss1, ts1, its1.ns)
-        par1 = bsdf_ops.gather_params(scene.materials,
-                                      jnp.maximum(its1.bsdf_id, 0))
+        par1 = common.material_params(scene, self.has_textures,
+                                      its1.bsdf_id, its1.uv)
         f1 = bsdf_ops.eval(par1, wi1, wo1)
         pdf1_sa = bsdf_ops.pdf(par1, wi1, wo1)
         ok_conn = ok_conn & (jnp.max(f1, -1) > 0) & (pdf1_sa > 0)
@@ -135,8 +135,8 @@ class GBDPTracer(BDPTracer):
 
         # f ratio at z_2: incoming direction changes z_1->z'_1
         ss2, ts2 = m.build_frame(eye.ns[:, 1])
-        par2 = bsdf_ops.gather_params(scene.materials,
-                                      jnp.maximum(eye.bsdf_id[:, 1], 0))
+        par2 = common.material_params(scene, self.has_textures,
+                                      eye.bsdf_id[:, 1], eye.uv[:, 1])
         wi2_off = m.to_local(-dir_rc, ss2, ts2, eye.ns[:, 1])
         wi2_base = m.to_local(base_wi2, ss2, ts2, eye.ns[:, 1])
         # outgoing toward z_3 (if it exists)
@@ -183,6 +183,7 @@ class GBDPTracer(BDPTracer):
             p=eye.p.at[:, 0].set(its1.p),
             ng=eye.ng.at[:, 0].set(its1.ng),
             ns=eye.ns.at[:, 0].set(its1.ns),
+            uv=eye.uv.at[:, 0].set(its1.uv),
             wi=eye.wi.at[:, 0].set(-d_cam).at[:, 1].set(-dir_rc),
             bsdf_id=eye.bsdf_id.at[:, 0].set(its1.bsdf_id),
             emitter_id=eye.emitter_id.at[:, 0].set(its1.emitter_id),

@@ -82,6 +82,7 @@ class GPTracer:
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
         p = settings.integrator_props
         self.shift_threshold = float(p.get("shiftThreshold", 0.001))
+        self.has_textures = settings.has_textures
 
     # ------------------------------------------------------------------
     def _classify_diffuse(self, scene, bsdf_id, valid):
@@ -195,15 +196,15 @@ class GPTracer:
         # frames & params: main
         ss_m, ts_m = self._frame(its)
         wi_m = m.to_local(wi_w, ss_m, ts_m, its.ns)
-        par_m = bsdf_ops.gather_params(scene.materials,
-                                       jnp.maximum(its.bsdf_id, 0))
+        par_m = common.material_params(scene, self.has_textures,
+                                       its.bsdf_id, its.uv)
         c_main = self._classify_diffuse(scene, its.bsdf_id, its.valid)
 
         # frames & params: offsets (their own vertices; only used conn==0)
         ss_o, ts_o = m.build_frame(o_its.ns)
         wi_o_loc = m.to_local(o_wi, ss_o, ts_o, o_its.ns)
-        par_o = bsdf_ops.gather_params(scene.materials,
-                                       jnp.maximum(o_its.bsdf_id, 0))
+        par_o = common.material_params(scene, self.has_textures,
+                                       o_its.bsdf_id, o_its.uv)
         c_off = self._classify_diffuse(scene, o_its.bsdf_id, o_its.valid)
         # wi of offsets expressed in MAIN frame (for conn>=1 states)
         wi_o_main = m.to_local(o_wi, ss_m[None], ts_m[None], its.ns[None])

@@ -51,6 +51,7 @@ class PathTracer:
             settings, n_tris)
         self.n_bounces = (settings.max_depth if settings.max_depth > 0
                           else MAX_BOUNCES_UNLIMITED)
+        self.has_textures = settings.has_textures
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
 
     # -- one sample per pixel for the whole frame ---------------------------
@@ -130,8 +131,8 @@ class PathTracer:
             # the frame itself uses the (possibly backfacing) shading normal
             ss, ts = m.build_frame(its.ns)
             wi = m.to_local(wi_world, ss, ts, its.ns)
-            params = bsdf_ops.gather_params(
-                scene.materials, jnp.maximum(its.bsdf_id, 0))
+            params = common.material_params(
+                scene, self.has_textures, its.bsdf_id, its.uv)
 
             # ---- NEE --------------------------------------------------------
             u_sel = uniform_float(seed, pixel_id, sample_idx,

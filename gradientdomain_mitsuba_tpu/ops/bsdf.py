@@ -297,6 +297,97 @@ def _phong_pdf(p, wi, wo):
     return jnp.where(valid, sw * pdf_s + (1 - sw) * pdf_d, 0.0)
 
 
+def _roughdielectric_H(p, wi, wo):
+    """Half vector for reflection/refraction (Walter et al. 2007), oriented
+    to +z.  Returns (H, refract_mask, rel_eta)."""
+    refract = (wi[..., 2] * wo[..., 2]) < 0
+    rel = jnp.where(wi[..., 2] >= 0, p.eta[..., 0],
+                    1.0 / jnp.maximum(p.eta[..., 0], 1e-9))
+    h_refl = wi + wo
+    h_refr = -(wi + _b3ax(rel) * wo)
+    h = jnp.where(_b3ax(refract), h_refr, h_refl)
+    hlen = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = h / jnp.maximum(hlen, 1e-12)
+    h = h * jnp.sign(h[..., 2:3])
+    return h, refract, rel, hlen[..., 0] > 1e-12
+
+
+def _b3ax(x):
+    return x[..., None]
+
+
+def _roughdielectric_eval(p: MatParams, wi, wo):
+    """f*|cos_o| for rough dielectric (radiance transport: the eta^2
+    compression folded in, matching the smooth dielectric convention)."""
+    h, refract, rel, h_ok = _roughdielectric_H(p, wi, wo)
+    D = mf_D(h, p.alpha, p.dist)
+    G = mf_G(wi * jnp.sign(wi[..., 2:3]), wo * jnp.sign(wo[..., 2:3]),
+             h, p.alpha, p.dist)
+    widh = jnp.sum(wi * h, axis=-1)
+    wodh = jnp.sum(wo * h, axis=-1)
+    F, _ = fresnel_dielectric(widh, p.eta[..., 0])
+    ci = jnp.abs(wi[..., 2])
+
+    f_refl = p.specular * (F * D * G / jnp.maximum(4.0 * ci, 1e-9))[..., None]
+    denom = (widh + rel * wodh) ** 2
+    f_refr = p.transmittance * (
+        jnp.abs(widh) * jnp.abs(wodh) / jnp.maximum(ci, 1e-9) *
+        (1.0 - F) * D * G / jnp.maximum(denom, 1e-12))[..., None]
+    same = (wi[..., 2] * wo[..., 2]) > 0
+    # microfacet sidedness: reflection keeps wi/wo on the same side of H,
+    # refraction on opposite sides — without this the reconstructed H
+    # assigns density to geometrically impossible transmissions
+    side_ok = jnp.where(refract, widh * wodh < 0, widh * wodh > 0)
+    out = jnp.where(_b3ax(refract), f_refr, f_refl)
+    valid = h_ok & side_ok & jnp.where(refract, ~same, same)
+    return jnp.where(_b3ax(valid), out, 0.0)
+
+
+def _roughdielectric_pdf(p: MatParams, wi, wo):
+    h, refract, rel, h_ok = _roughdielectric_H(p, wi, wo)
+    widh = jnp.sum(wi * h, axis=-1)
+    wodh = jnp.sum(wo * h, axis=-1)
+    pm = mf_pdf(h, p.alpha, p.dist)   # D * |cos_h|
+    F, _ = fresnel_dielectric(widh, p.eta[..., 0])
+    jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(wodh), 1e-9)
+    denom = (widh + rel * wodh) ** 2
+    jac_refr = (rel * rel) * jnp.abs(wodh) / jnp.maximum(denom, 1e-12)
+    pdf = jnp.where(refract, pm * jac_refr * (1.0 - F),
+                    pm * jac_refl * F)
+    same = (wi[..., 2] * wo[..., 2]) > 0
+    side_ok = jnp.where(refract, widh * wodh < 0, widh * wodh > 0)
+    valid = h_ok & side_ok & jnp.where(refract, ~same, same)
+    return jnp.where(valid, pdf, 0.0)
+
+
+def _roughdielectric_sample(p: MatParams, wi, u2, uc):
+    """Returns (wo, weight, pdf, valid, eta_transition)."""
+    h = mf_sample(u2, p.alpha, p.dist)
+    widh = jnp.sum(wi * h, axis=-1)
+    F, cos_t = fresnel_dielectric(widh, p.eta[..., 0])
+    choose_refl = uc <= F
+    wo_refl = 2.0 * widh[..., None] * h - wi
+    rel = jnp.where(widh >= 0, p.eta[..., 0],
+                    1.0 / jnp.maximum(p.eta[..., 0], 1e-9))
+    c2 = 1.0 - (1.0 - widh * widh) / jnp.maximum(rel * rel, 1e-18)
+    cos_tp = jnp.sqrt(jnp.maximum(c2, 0.0))
+    sgn = jnp.sign(widh)
+    wo_refr = -wi / rel[..., None] + (
+        widh / rel - sgn * cos_tp)[..., None] * h
+    from ..core.math import normalize as _norm
+    wo_refr = _norm(wo_refr)
+    wo = jnp.where(choose_refl[..., None], wo_refl, wo_refr)
+    valid_mode = jnp.where(choose_refl,
+                           (wo[..., 2] * wi[..., 2]) > 0,
+                           (wo[..., 2] * wi[..., 2]) < 0)
+    f = _roughdielectric_eval(p, wi, wo)
+    pdf = _roughdielectric_pdf(p, wi, wo)
+    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    valid = valid_mode & (pdf > 0) & (jnp.max(f, -1) > 0)
+    eta_tr = jnp.where(choose_refl, 1.0, rel)
+    return wo, weight, pdf, valid, eta_tr
+
+
 # ---------------------------------------------------------------------------
 # Public dispatch API
 # ---------------------------------------------------------------------------
@@ -328,6 +419,8 @@ def eval(p: MatParams, wi, wo):
                     _phong_eval(p, wi, wo), out)
     out = jnp.where((p.kind == PLASTIC)[..., None],
                     _plastic_eval_diffuse(p, wi, wo), out)
+    out = jnp.where((p.kind == ROUGH_DIELECTRIC)[..., None],
+                    _roughdielectric_eval(p, wi, wo), out)
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
                   (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
     return jnp.where(delta_only[..., None], 0.0, out)
@@ -359,6 +452,8 @@ def pdf(p: MatParams, wi, wo):
                     _roughplastic_pdf(p, wi, wo), out)
     out = jnp.where(p.kind == PHONG, _phong_pdf(p, wi, wo), out)
     out = jnp.where(p.kind == PLASTIC, _plastic_pdf(p, wi, wo), out)
+    out = jnp.where(p.kind == ROUGH_DIELECTRIC,
+                    _roughdielectric_pdf(p, wi, wo), out)
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
                   (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
     return jnp.where(delta_only, 0.0, out)
@@ -483,6 +578,10 @@ def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
     w_ph = ev_ph / jnp.maximum(pdf_ph, 1e-12)[..., None]
     valid_ph = (wo_ph[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_ph > 0)
 
+    # --- rough dielectric ----------------------------------------------------
+    wo_rd, w_rd, pdf_rd, valid_rd, eta_rd = _roughdielectric_sample(
+        p, wi, u2, u_comp)
+
     # --- null ---------------------------------------------------------------
     wo_null = -wi
 
@@ -499,20 +598,24 @@ def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
     wo = sel([(ROUGH_DIFFUSE, wo_d), (CONDUCTOR, wo_c),
               (DIELECTRIC, wo_die), (THIN_DIELECTRIC, wo_thin),
               (ROUGH_CONDUCTOR, wo_rc), (ROUGH_PLASTIC, wo_rp),
-              (PLASTIC, wo_pl), (PHONG, wo_ph), (NULL_BSDF, wo_null)],
+              (PLASTIC, wo_pl), (PHONG, wo_ph), (NULL_BSDF, wo_null),
+              (ROUGH_DIELECTRIC, wo_rd)],
              wo_d)
     weight = sel([(ROUGH_DIFFUSE, w_d_on), (CONDUCTOR, w_c),
                   (DIELECTRIC, w_die), (THIN_DIELECTRIC, w_thin),
                   (ROUGH_CONDUCTOR, w_rc), (ROUGH_PLASTIC, w_rp),
                   (PLASTIC, w_pl), (PHONG, w_ph),
-                  (NULL_BSDF, jnp.ones_like(w_c))],
+                  (NULL_BSDF, jnp.ones_like(w_c)),
+                  (ROUGH_DIELECTRIC, w_rd)],
                  w_d_diffuse)
     pdf_out = sel([(ROUGH_DIFFUSE, pdf_d), (CONDUCTOR, one),
                    (DIELECTRIC, pdf_die), (THIN_DIELECTRIC, pdf_thin),
                    (ROUGH_CONDUCTOR, pdf_rc), (ROUGH_PLASTIC, pdf_rp),
-                   (PLASTIC, pdf_pl), (PHONG, pdf_ph), (NULL_BSDF, one)],
+                   (PLASTIC, pdf_pl), (PHONG, pdf_ph), (NULL_BSDF, one),
+                   (ROUGH_DIELECTRIC, pdf_rd)],
                   pdf_d)
-    eta_out = sel([(DIELECTRIC, eta_die)], jnp.ones_like(one))
+    eta_out = sel([(DIELECTRIC, eta_die), (ROUGH_DIELECTRIC, eta_rd)],
+                  jnp.ones_like(one))
     is_delta = ((k == CONDUCTOR) | (k == DIELECTRIC) |
                 (k == THIN_DIELECTRIC) | (k == NULL_BSDF) |
                 ((k == PLASTIC) & pick_spec_p))
@@ -522,12 +625,13 @@ def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
                  (THIN_DIELECTRIC, pdf_thin > 0),
                  (ROUGH_CONDUCTOR, valid_rc), (ROUGH_PLASTIC, valid_rp),
                  (PLASTIC, valid_pl), (PHONG, valid_ph),
-                 (NULL_BSDF, jnp.ones_like(valid_c))],
+                 (NULL_BSDF, jnp.ones_like(valid_c)),
+                 (ROUGH_DIELECTRIC, valid_rd)],
                 (wif[..., 2] > 0) & (wo_d[..., 2] > 0))
 
     # un-flip wo back to the true frame (dielectrics were never flipped)
     handles_sign = ((k == DIELECTRIC) | (k == THIN_DIELECTRIC) |
-                    (k == NULL_BSDF))
+                    (k == NULL_BSDF) | (k == ROUGH_DIELECTRIC))
     unflip = jnp.where(handles_sign, 1.0, sign)
     wo = wo * jnp.stack([jnp.ones_like(unflip)] * 2 + [unflip], -1)
 

@@ -75,6 +75,19 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     )
 
 
+def material_params(scene, has_textures: bool, bsdf_id, uv):
+    """Gather BSDF params, resolving reflectance textures when present
+    (has_textures is STATIC so untextured scenes skip the gathers)."""
+    from . import bsdf as bsdf_ops
+    mid = jnp.maximum(bsdf_id, 0)
+    if has_textures:
+        from .texture import resolve_albedo
+        return bsdf_ops.gather_params(scene.materials, mid,
+                                      albedo_override=resolve_albedo(
+                                          scene, mid, uv))
+    return bsdf_ops.gather_params(scene.materials, mid)
+
+
 def offset_ray_origin(p, ng, d, eps):
     """Spawn-point offset along the geometric normal, signed toward the ray
     direction (replaces Mitsuba's Epsilon-scaled mint handling)."""

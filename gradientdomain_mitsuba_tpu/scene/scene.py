@@ -19,6 +19,7 @@ from . import bvh as bvh_mod
 from . import meshes as mesh_mod
 from .ir import Plugin, SceneDesc, spectrum_value
 from .materials import MaterialBuilder, Materials
+from ..ops.texture import TextureTable, build_table
 
 
 class Geometry(NamedTuple):
@@ -69,6 +70,7 @@ class SceneData(NamedTuple):
     materials: Materials
     emitters: EmitterTable
     camera: Camera
+    textures: TextureTable
     ray_eps: np.ndarray  # scalar: min-t epsilon scaled to scene extent
 
 
@@ -88,6 +90,7 @@ class RenderSettings:
     num_emitters: int = 0
     has_env: bool = False
     env_kind: int = 0
+    has_textures: bool = False
     fov_x_deg: float = 45.0
     banner: bool = False
     output: str = "output.exr"
@@ -246,8 +249,11 @@ def compile_scene(desc: SceneDesc,
             setattr(settings, k, v)
 
     extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
+    textures = build_table(mb.texture_nodes, desc.base_dir)
+    settings.has_textures = len(mb.texture_nodes) > 0
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
+        textures=textures,
         ray_eps=np.float32(max(extent, 1e-3) * 1e-4))
     return scene, settings
 
