@@ -76,6 +76,43 @@ def uniform_2d(seed, pixel_id, sample_idx, dim):
     return jnp.stack([u0, u1], axis=-1)
 
 
+def lhs_float(seed, pixel_id, sample_idx, dim, spp):
+    """Latin-hypercube stratified sample: over spp samples each pixel
+    covers every 1/spp stratum of every dimension exactly once, with an
+    independent per-(pixel,dim) stratum permutation (Cranley-Patterson
+    rotation).  Replaces the reference's stratified/ldsampler/sobol
+    samplers' main variance win while staying a pure counter function —
+    shift replay and checkpoint/resume semantics are unchanged."""
+    h = random_bits(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x51A7E),
+                    pixel_id, 0, dim)
+    stratum = (jnp.asarray(sample_idx, jnp.uint32) + h) % jnp.uint32(spp)
+    u = uniform_float(seed, pixel_id, sample_idx, dim)
+    return (stratum.astype(jnp.float32) + u) / spp
+
+
+def lhs_2d(seed, pixel_id, sample_idx, dim, spp):
+    return jnp.stack([lhs_float(seed, pixel_id, sample_idx, dim, spp),
+                      lhs_float(seed, pixel_id, sample_idx, dim + 1, spp)],
+                     axis=-1)
+
+
+STRATIFIED_SAMPLERS = ("stratified", "ldsampler", "sobol", "halton",
+                       "hammersley")
+
+
+def make_sampler(sampler: str, spp: int):
+    """Returns (u1, u2) draw functions for the configured sampler type.
+    Unknown types fall back to independent."""
+    if sampler in STRATIFIED_SAMPLERS and spp > 1:
+        def u1(seed, pixel_id, sample_idx, dim):
+            return lhs_float(seed, pixel_id, sample_idx, dim, spp)
+
+        def u2(seed, pixel_id, sample_idx, dim):
+            return lhs_2d(seed, pixel_id, sample_idx, dim, spp)
+        return u1, u2
+    return uniform_float, uniform_2d
+
+
 class DimAllocator:
     """Static bookkeeping of the per-bounce random dimension layout.
 

@@ -40,7 +40,7 @@ import numpy as np
 from ..core import math as m
 from ..core import warp
 from ..core.rng import DimAllocator as DA
-from ..core.rng import uniform_2d, uniform_float
+from ..core.rng import make_sampler, uniform_2d, uniform_float
 from ..ops import bsdf as bsdf_ops
 from ..ops import common, film as film_ops
 from ..ops import sensor as sensor_ops
@@ -115,6 +115,7 @@ class BDPTracer:
         self.SM = self.depth                 # max s (y_0..y_{SM-1})
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
         self.has_textures = settings.has_textures
+        self._u1, self._u2 = make_sampler(settings.sampler, settings.spp)
         self.light_image = bool(
             settings.integrator_props.get("lightImage", True))
         # whether the camera counts as a connectable endpoint in MIS: when
@@ -205,9 +206,9 @@ class BDPTracer:
             wi = m.to_local(-d, ss, ts, its.ns)
             par = common.material_params(scene, self.has_textures,
                                          its.bsdf_id, its.uv)
-            u2 = uniform_2d(seed, pixel_id, sample_idx,
-                            dim_base + DA.bounce_dim(k, DA.D_BSDF_UV))
-            uc = uniform_float(
+            u2 = self._u2(seed, pixel_id, sample_idx,
+                          dim_base + DA.bounce_dim(k, DA.D_BSDF_UV))
+            uc = self._u1(
                 seed, pixel_id, sample_idx,
                 dim_base + DA.bounce_dim(k, DA.D_BSDF_COMPONENT))
             bs = bsdf_ops.sample(par, wi, u2, uc)
@@ -238,9 +239,9 @@ class BDPTracer:
         N = pixel_id.shape[0]
         px = (pixel_id % W).astype(jnp.float32)
         py = (pixel_id // W).astype(jnp.float32)
-        jitter = uniform_2d(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
+        jitter = self._u2(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
         pos_film = jnp.stack([px, py], -1) + jitter
-        u_ap = uniform_2d(seed, pixel_id, sample_idx, DA.APERTURE)
+        u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos_film, u_ap)
         cam_pos, fwd, a_img = self._camera_info(scene)
         cos_cam = jnp.maximum(m.dot(d, jnp.broadcast_to(fwd, d.shape)),
@@ -253,9 +254,9 @@ class BDPTracer:
     def _gen_light_path(self, scene, seed, sample_idx, pixel_id):
         N = pixel_id.shape[0]
         em = scene.emitters
-        u_sel = uniform_float(seed, pixel_id, sample_idx, LIGHT_DIM_BASE)
-        u_pos = uniform_2d(seed, pixel_id, sample_idx, LIGHT_DIM_BASE + 1)
-        u_dir = uniform_2d(seed, pixel_id, sample_idx, LIGHT_DIM_BASE + 3)
+        u_sel = self._u1(seed, pixel_id, sample_idx, LIGHT_DIM_BASE)
+        u_pos = self._u2(seed, pixel_id, sample_idx, LIGHT_DIM_BASE + 1)
+        u_dir = self._u2(seed, pixel_id, sample_idx, LIGHT_DIM_BASE + 3)
 
         n_area = max(self.n_area, 1)
         e = jnp.minimum((u_sel * n_area).astype(jnp.int32), n_area - 1)
@@ -600,17 +601,15 @@ class BDPTracer:
 
         return jax.lax.fori_loop(0, n_samples, body, (fb, wb, li))
 
-    def render(self, scene, seed=0, spp=None, chunk=4):
+    def finalize(self, state, spp):
+        img = state["0"] / np.maximum(state["1"], 1e-12)[..., None]
+        return img + state["2"] / spp
+
+    def render(self, scene, seed=0, spp=None, chunk=4,
+               checkpoint_path=None, resume=False):
+        from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
-        fb_t = wb_t = li_t = None
-        done = 0
-        while done < spp:
-            n = min(chunk, spp - done)
-            fb, wb, li = self.render_chunk(scene, seed, done, n)
-            fb_t = fb if fb_t is None else fb_t + fb
-            wb_t = wb if wb_t is None else wb_t + wb
-            li_t = li if li_t is None else li_t + li
-            done += n
-        img = np.asarray(film_ops.develop(fb_t, wb_t))
-        light_img = np.asarray(li_t) / spp
-        return img + light_img
+        state, spp = render_accumulate(
+            self, scene, seed, spp, chunk,
+            checkpoint_path=checkpoint_path, resume=resume)
+        return self.finalize(state, spp)

@@ -81,10 +81,10 @@ class GBDPTracer(BDPTracer):
         N = pixel_id.shape[0]
         px = (pixel_id % W).astype(jnp.float32)
         py = (pixel_id // W).astype(jnp.float32)
-        jitter = uniform_2d(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
+        jitter = self._u2(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
         pos = (jnp.stack([px, py], -1) + jitter +
                jnp.asarray(OFFSETS[o_i]))
-        u_ap = uniform_2d(seed, pixel_id, sample_idx, DA.APERTURE)
+        u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos, u_ap)
         hit = self.closest(o, d, jnp.zeros(N), jnp.full(N, 3e38),
                            scene.geom.tris, scene.geom.bvh)
@@ -310,24 +310,23 @@ class GBDPTracer(BDPTracer):
 
         return jax.lax.fori_loop(0, n_samples, body, bufs)
 
-    def render(self, scene, seed=0, spp=None, chunk=4):
+    def finalize(self, state, spp):
+        w = np.maximum(state["wsum"], 1e-12)[..., None]
+        return {
+            "primal": state["primal"] / w,
+            "very_direct": (state["very_direct"] / w +
+                            state["light_img"] / spp),
+            "dx": state["dx"] / spp,
+            "dy": state["dy"] / spp,
+        }
+
+    def render(self, scene, seed=0, spp=None, chunk=4,
+               checkpoint_path=None, resume=False):
         """Returns buffers dict; very_direct includes the light image
         (both are added back after reconstruction)."""
+        from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
-        total = None
-        done = 0
-        while done < spp:
-            n = min(chunk, spp - done)
-            bufs = self.render_chunk(scene, seed, done, n)
-            bufs = {k: np.asarray(v) for k, v in bufs.items()}
-            total = bufs if total is None else \
-                {k: total[k] + bufs[k] for k in bufs}
-            done += n
-        w = np.maximum(total["wsum"], 1e-12)[..., None]
-        return {
-            "primal": total["primal"] / w,
-            "very_direct": (total["very_direct"] / w +
-                            total["light_img"] / spp),
-            "dx": total["dx"] / spp,
-            "dy": total["dy"] / spp,
-        }
+        state, spp = render_accumulate(
+            self, scene, seed, spp, chunk,
+            checkpoint_path=checkpoint_path, resume=resume)
+        return self.finalize(state, spp)

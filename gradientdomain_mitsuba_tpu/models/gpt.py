@@ -46,7 +46,7 @@ import numpy as np
 
 from ..core import math as m
 from ..core.rng import DimAllocator as DA
-from ..core.rng import uniform_2d, uniform_float
+from ..core.rng import make_sampler, uniform_2d, uniform_float
 from ..ops import bsdf as bsdf_ops
 from ..ops import common, emitter as em_ops
 from ..ops import film as film_ops
@@ -83,6 +83,8 @@ class GPTracer:
         p = settings.integrator_props
         self.shift_threshold = float(p.get("shiftThreshold", 0.001))
         self.has_textures = settings.has_textures
+        self.n_delta = settings.n_delta
+        self._u1, self._u2 = make_sampler(settings.sampler, settings.spp)
 
     # ------------------------------------------------------------------
     def _classify_diffuse(self, scene, bsdf_id, valid):
@@ -108,9 +110,9 @@ class GPTracer:
         px = (pixel_id % W).astype(jnp.float32)
         py = (pixel_id // W).astype(jnp.float32)
 
-        jitter = uniform_2d(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
+        jitter = self._u2(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
         pos_film = jnp.stack([px, py], -1) + jitter
-        u_ap = uniform_2d(seed, pixel_id, sample_idx, DA.APERTURE)
+        u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
 
         # base + 4 offset camera rays (same jitter/aperture randoms)
         o_m, d_m = sensor_ops.sample_ray(scene.camera, W, H, pos_film, u_ap)
@@ -215,21 +217,24 @@ class GPTracer:
             ext_alive = alive & (depth < st.max_depth)
 
         # ================= NEE (light-sampling strategy) ==================
-        u_sel = uniform_float(seed, pixel_id, sample_idx,
+        u_sel = self._u1(seed, pixel_id, sample_idx,
                               DA.bounce_dim(b, DA.D_LIGHT_SELECT))
-        u_pos = uniform_2d(seed, pixel_id, sample_idx,
+        u_pos = self._u2(seed, pixel_id, sample_idx,
                            DA.bounce_dim(b, DA.D_LIGHT_UV))
         ds = em_ops.sample_direct(scene, self.n_area, self.env_kind,
-                                  its.p, u_sel, u_pos)
-        if self.n_area + (1 if self.has_env else 0) > 0:
-            # unified-measure quantities (area for surface, sa for env)
-            conv_m = jnp.where(ds.is_env, 1.0,
+                                  its.p, u_sel, u_pos,
+                                  n_delta=self.n_delta)
+        if self.n_area + self.n_delta + (1 if self.has_env else 0) > 0:
+            # unified-measure quantities (area for surface, sa for env,
+            # discrete for point/spot/directional)
+            conv_m = jnp.where(ds.is_env | ds.is_delta, 1.0,
                                jnp.maximum(-m.dot(ds.d, ds.n), 0.0) /
                                jnp.maximum(ds.dist ** 2, 1e-12))
             pe_u = jnp.where(ds.is_env, ds.pdf, ds.pdf_area)
             wo_l_m = m.to_local(ds.d, ss_m, ts_m, its.ns)
             f_m = bsdf_ops.eval(par_m, wi_m, wo_l_m)
-            pb_m_u = bsdf_ops.pdf(par_m, wi_m, wo_l_m) * conv_m
+            pb_m_u = jnp.where(ds.is_delta, 0.0,
+                               bsdf_ops.pdf(par_m, wi_m, wo_l_m) * conv_m)
             sh_o = common.offset_ray_origin(its.p, its.ng, ds.d, eps)
             occ_m = self.occluded(
                 sh_o, ds.d, jnp.zeros(N),
@@ -248,16 +253,24 @@ class GPTracer:
             # conn==0: evaluate from own vertex y_k toward the SAME light pt
             to_l = ds.p[None] - o_its.p
             dist_o = jnp.sqrt(jnp.maximum(m.squared_length(to_l), 1e-12))
-            d_o_l = jnp.where(_b3(ds.is_env[None]),
+            # directional delta lights keep the shared direction
+            is_dirlt = ds.is_delta & (ds.dist > 1e6)
+            d_o_l = jnp.where(_b3((ds.is_env | is_dirlt)[None]),
                               jnp.broadcast_to(ds.d[None], to_l.shape),
                               to_l / _b3(dist_o))
+            # delta point/spot: radiance carries 1/d^2 — rescale per side
             conv_o0 = jnp.where(
-                ds.is_env[None], 1.0,
-                jnp.maximum(-m.dot(d_o_l, ds.n[None]), 0.0) /
-                jnp.maximum(dist_o ** 2, 1e-12))
+                (ds.is_env | is_dirlt)[None], 1.0,
+                jnp.where(ds.is_delta[None],
+                          ds.dist[None] ** 2 /
+                          jnp.maximum(dist_o ** 2, 1e-12),
+                          jnp.maximum(-m.dot(d_o_l, ds.n[None]), 0.0) /
+                          jnp.maximum(dist_o ** 2, 1e-12)))
             wo_l_o0 = m.to_local(d_o_l, ss_o, ts_o, o_its.ns)
             f_o0 = bsdf_ops.eval(par_o, wi_o_loc, wo_l_o0)
-            pb_o0_u = bsdf_ops.pdf(par_o, wi_o_loc, wo_l_o0) * conv_o0
+            pb_o0_u = jnp.where(ds.is_delta[None], 0.0,
+                                bsdf_ops.pdf(par_o, wi_o_loc, wo_l_o0) *
+                                conv_o0)
             sh_oo = common.offset_ray_origin(o_its.p, o_its.ng, d_o_l, eps)
             occ_o0 = occl4(sh_oo, d_o_l,
                            jnp.where(ds.is_env[None],
@@ -268,8 +281,9 @@ class GPTracer:
             # conn==1: same vertex as main, different wi (material params
             # broadcast [N,...] against [4,N,...])
             f_o1 = bsdf_ops.eval(par_m, wi_o_main, wo_l_m[None])
-            pb_o1_u = bsdf_ops.pdf(par_m, wi_o_main,
-                                   wo_l_m[None]) * conv_m[None]
+            pb_o1_u = jnp.where(ds.is_delta[None], 0.0,
+                                bsdf_ops.pdf(par_m, wi_o_main,
+                                             wo_l_m[None]) * conv_m[None])
 
             is0 = (o_conn == CONN_NONE)
             is1 = (o_conn == CONN_RECENT)
@@ -293,9 +307,9 @@ class GPTracer:
             grad = grad + w_pair[..., None] * (contrib_o - contrib_m[None])
 
         # ================= BSDF-sampling strategy =========================
-        u2 = uniform_2d(seed, pixel_id, sample_idx,
+        u2 = self._u2(seed, pixel_id, sample_idx,
                         DA.bounce_dim(b, DA.D_BSDF_UV))
-        uc = uniform_float(seed, pixel_id, sample_idx,
+        uc = self._u1(seed, pixel_id, sample_idx,
                            DA.bounce_dim(b, DA.D_BSDF_COMPONENT))
         bs = bsdf_ops.sample(par_m, wi_m, u2, uc)
         main_cont = ext_alive & bs.valid
@@ -319,7 +333,7 @@ class GPTracer:
         cosf_n = m.dot(its_n.ns, -wo_w)
         hit_em = its_n.valid & (its_n.emitter_id >= 0) & (cosf_n > 0)
         rad_n = scene.emitters.radiance[jnp.maximum(its_n.emitter_id, 0)]
-        n_tot = self.n_area + (1 if self.has_env else 0)
+        n_tot = self.n_area + self.n_delta + (1 if self.has_env else 0)
         pe_area_n = jnp.where(
             hit_em,
             1.0 / (jnp.maximum(
@@ -331,7 +345,8 @@ class GPTracer:
         if self.has_env:
             env_rad = em_ops.eval_env(scene, self.env_kind, wo_w)
             pe_env = em_ops.pdf_env_direct(scene, self.n_area,
-                                           self.env_kind, wo_w)
+                                           self.env_kind, wo_w,
+                                           n_delta=self.n_delta)
         else:
             env_rad = jnp.zeros((N, 3))
             pe_env = jnp.zeros(N)
@@ -376,7 +391,7 @@ class GPTracer:
                                              contrib_m_b[None])
 
         # ----------------- russian roulette (shared decision) -------------
-        u_rr = uniform_float(seed, pixel_id, sample_idx,
+        u_rr = self._u1(seed, pixel_id, sample_idx,
                              DA.bounce_dim(b, DA.D_RR))
         eta_new = jnp.where(main_cont, s["eta"] * bs.eta, s["eta"])
         q = jnp.minimum(jnp.max(tp_new, -1) * eta_new * eta_new, 0.95)
@@ -517,11 +532,12 @@ class GPTracer:
         if self.has_env:
             env_rad_m = em_ops.eval_env(scene, self.env_kind, wo_w)
             pe_env_m = em_ops.pdf_env_direct(scene, self.n_area,
-                                             self.env_kind, wo_w)
+                                             self.env_kind, wo_w,
+                                             n_delta=self.n_delta)
         else:
             env_rad_m = jnp.zeros((N, 3))
             pe_env_m = jnp.zeros(N)
-        n_tot = self.n_area + (1 if self.has_env else 0)
+        n_tot = self.n_area + self.n_delta + (1 if self.has_env else 0)
         pe_area_n = jnp.where(
             its_n.valid & (its_n.emitter_id >= 0),
             1.0 / (jnp.maximum(
@@ -544,7 +560,8 @@ class GPTracer:
                 wo_hv_w.reshape(4 * N, 3)).reshape(4, N, 3)
             pe_env_hv = em_ops.pdf_env_direct(
                 scene, self.n_area, self.env_kind,
-                wo_hv_w.reshape(4 * N, 3)).reshape(4, N)
+                wo_hv_w.reshape(4 * N, 3),
+                n_delta=self.n_delta).reshape(4, N)
         else:
             env_rad_hv = jnp.zeros((4, N, 3))
             pe_env_hv = jnp.zeros((4, N))
@@ -718,26 +735,24 @@ class GPTracer:
 
         return jax.lax.fori_loop(0, n_samples, body, bufs)
 
-    def render(self, scene, seed=0, spp=None, chunk=8):
-        """Returns dict of numpy buffers: primal, dx, dy, very_direct
-        (all sample-normalized)."""
-        spp = spp or self.settings.spp
-        total = None
-        done = 0
-        while done < spp:
-            n = min(chunk, spp - done)
-            bufs = self.render_chunk(scene, seed, done, n)
-            bufs = {k: np.asarray(v) for k, v in bufs.items()}
-            total = bufs if total is None else \
-                {k: total[k] + bufs[k] for k in bufs}
-            done += n
-        w = np.maximum(total["wsum"], 1e-12)[..., None]
-        out = {
-            "primal": total["primal"] / w,
-            "very_direct": total["very_direct"] / w,
+    def finalize(self, state, spp):
+        w = np.maximum(state["wsum"], 1e-12)[..., None]
+        return {
+            "primal": state["primal"] / w,
+            "very_direct": state["very_direct"] / w,
             # gradients are per-sample averages on the pixel lattice;
             # each pixel receives `spp` base samples per involved pair
-            "dx": total["dx"] / spp,
-            "dy": total["dy"] / spp,
+            "dx": state["dx"] / spp,
+            "dy": state["dy"] / spp,
         }
-        return out
+
+    def render(self, scene, seed=0, spp=None, chunk=8,
+               checkpoint_path=None, resume=False):
+        """Returns dict of numpy buffers: primal, dx, dy, very_direct
+        (all sample-normalized)."""
+        from ..parallel.checkpoint import render_accumulate
+        spp = spp or self.settings.spp
+        state, spp = render_accumulate(
+            self, scene, seed, spp, chunk,
+            checkpoint_path=checkpoint_path, resume=resume)
+        return self.finalize(state, spp)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core import math as m
 from ..core.rng import DimAllocator as DA
-from ..core.rng import uniform_2d, uniform_float
+from ..core.rng import make_sampler, uniform_2d, uniform_float
 from ..ops import bsdf as bsdf_ops
 from ..ops import common, emitter as em_ops
 from ..ops import film as film_ops
@@ -52,6 +52,8 @@ class PathTracer:
         self.n_bounces = (settings.max_depth if settings.max_depth > 0
                           else MAX_BOUNCES_UNLIMITED)
         self.has_textures = settings.has_textures
+        self.n_delta = settings.n_delta
+        self._u1, self._u2 = make_sampler(settings.sampler, settings.spp)
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
 
     # -- one sample per pixel for the whole frame ---------------------------
@@ -63,9 +65,9 @@ class PathTracer:
         px = (pixel_id % W).astype(jnp.float32)
         py = (pixel_id // W).astype(jnp.float32)
 
-        jitter = uniform_2d(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
+        jitter = self._u2(seed, pixel_id, sample_idx, DA.PIXEL_JITTER)
         pos_film = jnp.stack([px, py], -1) + jitter
-        u_ap = uniform_2d(seed, pixel_id, sample_idx, DA.APERTURE)
+        u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos_film, u_ap)
 
         L = self.trace_rays(scene, seed, sample_idx, pixel_id, o, d)
@@ -106,7 +108,7 @@ class PathTracer:
             rad = scene.emitters.radiance[jnp.maximum(its.emitter_id, 0)]
             lum_pdf = em_ops.pdf_area_direct(
                 scene, self.n_area, self.has_env, its.emitter_id,
-                s["o"], its.p, its.ng)
+                s["o"], its.p, its.ng, n_delta=self.n_delta)
             w_hit = jnp.where(s["last_delta"], 1.0,
                               mis_weight(s["last_pdf"], lum_pdf))
             L = L + jnp.where((alive & is_emitter)[..., None],
@@ -115,7 +117,8 @@ class PathTracer:
             if self.has_env:
                 env_L = em_ops.eval_env(scene, self.env_kind, s["d"])
                 env_pdf = em_ops.pdf_env_direct(
-                    scene, self.n_area, self.env_kind, s["d"])
+                    scene, self.n_area, self.env_kind, s["d"],
+                    n_delta=self.n_delta)
                 w_env = jnp.where(s["last_delta"], 1.0,
                                   mis_weight(s["last_pdf"], env_pdf))
                 L = L + jnp.where((alive & ~its.valid)[..., None],
@@ -135,12 +138,13 @@ class PathTracer:
                 scene, self.has_textures, its.bsdf_id, its.uv)
 
             # ---- NEE --------------------------------------------------------
-            u_sel = uniform_float(seed, pixel_id, sample_idx,
+            u_sel = self._u1(seed, pixel_id, sample_idx,
                                   DA.bounce_dim(b, DA.D_LIGHT_SELECT))
-            u_pos = uniform_2d(seed, pixel_id, sample_idx,
+            u_pos = self._u2(seed, pixel_id, sample_idx,
                                DA.bounce_dim(b, DA.D_LIGHT_UV))
             ds = em_ops.sample_direct(scene, self.n_area, self.env_kind,
-                                      its.p, u_sel, u_pos)
+                                      its.p, u_sel, u_pos,
+                                      n_delta=self.n_delta)
             nee_possible = alive & ds.valid & (ds.pdf > 0)
             shadow_o = common.offset_ray_origin(its.p, its.ng, ds.d, eps)
             occl = self.occluded(
@@ -151,15 +155,15 @@ class PathTracer:
             wo_l = m.to_local(ds.d, ss, ts, its.ns)
             f_l = bsdf_ops.eval(params, wi, wo_l)
             pdf_b = bsdf_ops.pdf(params, wi, wo_l)
-            w_nee = mis_weight(ds.pdf, pdf_b)
+            w_nee = jnp.where(ds.is_delta, 1.0, mis_weight(ds.pdf, pdf_b))
             contrib = (tp * f_l * ds.radiance *
                        (w_nee / jnp.maximum(ds.pdf, 1e-30))[..., None])
             L = L + jnp.where((nee_possible & ~occl)[..., None], contrib, 0.0)
 
             # ---- BSDF sampling ----------------------------------------------
-            u2 = uniform_2d(seed, pixel_id, sample_idx,
+            u2 = self._u2(seed, pixel_id, sample_idx,
                             DA.bounce_dim(b, DA.D_BSDF_UV))
-            uc = uniform_float(seed, pixel_id, sample_idx,
+            uc = self._u1(seed, pixel_id, sample_idx,
                                DA.bounce_dim(b, DA.D_BSDF_COMPONENT))
             bs = bsdf_ops.sample(params, wi, u2, uc)
             alive = alive & bs.valid
@@ -169,7 +173,7 @@ class PathTracer:
             o_new = common.offset_ray_origin(its.p, its.ng, wo_world, eps)
 
             # ---- russian roulette -------------------------------------------
-            u_rr = uniform_float(seed, pixel_id, sample_idx,
+            u_rr = self._u1(seed, pixel_id, sample_idx,
                                  DA.bounce_dim(b, DA.D_RR))
             q = jnp.minimum(jnp.max(tp, -1) * eta * eta, 0.95)
             do_rr = depth >= st.rr_depth
@@ -199,7 +203,7 @@ class PathTracer:
         rad = scene.emitters.radiance[jnp.maximum(its.emitter_id, 0)]
         lum_pdf = em_ops.pdf_area_direct(
             scene, self.n_area, self.has_env, its.emitter_id,
-            state["o"], its.p, its.ng)
+            state["o"], its.p, its.ng, n_delta=self.n_delta)
         w_hit = jnp.where(state["last_delta"], 1.0,
                           mis_weight(state["last_pdf"], lum_pdf))
         L = state["L"] + jnp.where(
@@ -208,7 +212,8 @@ class PathTracer:
         if self.has_env:
             env_L = em_ops.eval_env(scene, self.env_kind, state["d"])
             env_pdf = em_ops.pdf_env_direct(
-                scene, self.n_area, self.env_kind, state["d"])
+                scene, self.n_area, self.env_kind, state["d"],
+                n_delta=self.n_delta)
             w_env = jnp.where(state["last_delta"], 1.0,
                               mis_weight(state["last_pdf"], env_pdf))
             L = L + jnp.where((state["alive"] & ~its.valid)[..., None],
@@ -230,18 +235,18 @@ class PathTracer:
 
         return jax.lax.fori_loop(0, n_samples, body, (fb, wb))
 
-    def render(self, scene, seed=0, spp=None, chunk=8):
+    def finalize(self, state, spp):
+        fb, wb = state["0"], state["1"]
+        return fb / np.maximum(wb, 1e-12)[..., None]
+
+    def render(self, scene, seed=0, spp=None, chunk=8,
+               checkpoint_path=None, resume=False):
+        from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
-        fb_total = None
-        wb_total = None
-        done = 0
-        while done < spp:
-            n = min(chunk, spp - done)
-            fb, wb = self.render_chunk(scene, seed, done, n)
-            fb_total = fb if fb_total is None else fb_total + fb
-            wb_total = wb if wb_total is None else wb_total + wb
-            done += n
-        return np.asarray(film_ops.develop(fb_total, wb_total))
+        state, spp = render_accumulate(
+            self, scene, seed, spp, chunk,
+            checkpoint_path=checkpoint_path, resume=resume)
+        return self.finalize(state, spp)
 
 
 def render(scene, settings, seed=0, spp=None):

@@ -31,6 +31,7 @@ class DirectSample(NamedTuple):
     p: jnp.ndarray          # [N, 3] sampled emitter position (0 for env)
     pdf_area: jnp.ndarray   # [N] area-measure pdf incl. pick prob (0 for env)
     is_env: jnp.ndarray     # [N] bool — sample is on the env emitter
+    is_delta: jnp.ndarray   # [N] bool — point/spot/directional sample
 
 
 def _searchsorted_segment(cdf, lo, hi, u, iters=24):
@@ -59,15 +60,17 @@ def num_lights(scene):
     return E + (1 if int(scene.emitters.env_kind) != 0 else 0)
 
 
-def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos):
+def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos,
+                  n_delta: int = 0):
     """NEE sample toward one uniformly-picked emitter.
 
-    n_area / env_kind are STATIC (from RenderSettings) so the env branch
-    compiles away when absent.  p_ref [N,3]; u_sel [N]; u_pos [N,2].
+    n_area / n_delta / env_kind are STATIC (from RenderSettings) so absent
+    branches compile away.  Pick order: areas, deltas, env.
+    p_ref [N,3]; u_sel [N]; u_pos [N,2].
     """
     has_env = env_kind != ENV_NONE
     em = scene.emitters
-    n_total = n_area + (1 if has_env else 0)
+    n_total = n_area + n_delta + (1 if has_env else 0)
     if n_total == 0:
         z = jnp.zeros_like(p_ref)
         zero = jnp.zeros(p_ref.shape[:-1])
@@ -78,8 +81,10 @@ def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos):
     # reuse u_sel within its stratum for the picked emitter's tri selection
     u_resc = jnp.clip(u_sel * n_total - idx.astype(u_sel.dtype), 0.0, 1.0)
 
-    is_env = has_env & (idx == n_area) if has_env else jnp.zeros(
-        idx.shape, bool)
+    is_env = ((idx == n_area + n_delta) if has_env
+              else jnp.zeros(idx.shape, bool))
+    is_delta = ((idx >= n_area) & (idx < n_area + n_delta)
+                if n_delta > 0 else jnp.zeros(idx.shape, bool))
     e = jnp.minimum(idx, max(n_area - 1, 0))
 
     # --- area emitter sample ------------------------------------------------
@@ -108,25 +113,67 @@ def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos):
     valid_area = cos_l > 1e-6
 
     pdf_area_full = pick_pdf * pdf_area
+    out = DirectSample(d=d, dist=dist, pdf=pdf_sa, radiance=rad, n=ng,
+                       valid=valid_area, p=pos, pdf_area=pdf_area_full,
+                       is_env=jnp.zeros(valid_area.shape, bool),
+                       is_delta=jnp.zeros(valid_area.shape, bool))
+
+    if n_delta > 0:
+        de = jnp.clip(idx - n_area, 0, max(n_delta - 1, 0))
+        kind = em.delta_kind[de]
+        dpos = em.delta_pos[de]
+        inten = em.delta_intensity[de]
+        to_l = dpos - p_ref
+        dist2d = jnp.maximum(m.squared_length(to_l), 1e-12)
+        distd = jnp.sqrt(dist2d)
+        dd = to_l / distd[..., None]
+        # directional: fixed direction, "infinite" distance
+        ddir = em.delta_dir[de]
+        dd = jnp.where((kind == 2)[..., None], -ddir, dd)
+        distd = jnp.where(kind == 2, 1e7, distd)
+        val = jnp.where((kind == 2)[..., None], inten,
+                        inten / dist2d[..., None])
+        # spot falloff (spot.cpp: smooth between beamWidth and cutoff)
+        cosd = m.dot(-dd, ddir)
+        ct = em.delta_cos_total[de]
+        cf = em.delta_cos_falloff[de]
+        fall = jnp.clip((cosd - ct) / jnp.maximum(cf - ct, 1e-6), 0.0, 1.0)
+        spot_f = jnp.where(kind == 1,
+                           jnp.where(cosd > ct, fall, 0.0), 1.0)
+        val = val * spot_f[..., None]
+        # discrete pick probability; pdf fields are 'unified discrete' = pick
+        out = DirectSample(
+            d=jnp.where(is_delta[..., None], dd, out.d),
+            dist=jnp.where(is_delta, distd, out.dist),
+            pdf=jnp.where(is_delta, pick_pdf, out.pdf),
+            radiance=jnp.where(is_delta[..., None], val / pick_pdf * 0 +
+                               val, out.radiance),
+            n=jnp.where(is_delta[..., None], -dd, out.n),
+            valid=jnp.where(is_delta,
+                            jnp.max(val, -1) > 0, out.valid),
+            p=jnp.where(is_delta[..., None], dpos, out.p),
+            pdf_area=jnp.where(is_delta, pick_pdf, out.pdf_area),
+            is_env=out.is_env,
+            is_delta=is_delta)
+
     if not has_env:
-        return DirectSample(d=d, dist=dist, pdf=pdf_sa, radiance=rad, n=ng,
-                            valid=valid_area, p=pos, pdf_area=pdf_area_full,
-                            is_env=jnp.zeros(valid_area.shape, bool))
+        return out
 
     # --- environment sample --------------------------------------------------
     d_env, pdf_env, rad_env = _sample_env(scene, env_kind, u_pos)
     pdf_env = pick_pdf * pdf_env
     big = 1e7 * jnp.ones_like(dist)
     return DirectSample(
-        d=jnp.where(is_env[..., None], d_env, d),
-        dist=jnp.where(is_env, big, dist),
-        pdf=jnp.where(is_env, pdf_env, pdf_sa),
-        radiance=jnp.where(is_env[..., None], rad_env, rad),
-        n=jnp.where(is_env[..., None], -d_env, ng),
-        valid=jnp.where(is_env, pdf_env > 0, valid_area),
-        p=jnp.where(is_env[..., None], 0.0, pos),
-        pdf_area=jnp.where(is_env, 0.0, pdf_area_full),
-        is_env=is_env)
+        d=jnp.where(is_env[..., None], d_env, out.d),
+        dist=jnp.where(is_env, big, out.dist),
+        pdf=jnp.where(is_env, pdf_env, out.pdf),
+        radiance=jnp.where(is_env[..., None], rad_env, out.radiance),
+        n=jnp.where(is_env[..., None], -d_env, out.n),
+        valid=jnp.where(is_env, pdf_env > 0, out.valid),
+        p=jnp.where(is_env[..., None], 0.0, out.p),
+        pdf_area=jnp.where(is_env, 0.0, out.pdf_area),
+        is_env=is_env,
+        is_delta=out.is_delta)
 
 
 def _sample_env(scene, env_kind, u2):
@@ -188,12 +235,12 @@ def eval_env(scene, env_kind, d):
     return c * scene.emitters.env_radiance
 
 
-def pdf_env_direct(scene, n_area: int, env_kind: int, d):
+def pdf_env_direct(scene, n_area: int, env_kind: int, d, n_delta: int = 0):
     """Solid-angle pdf that sample_direct would have produced direction d
     toward the environment (for MIS on escaped BSDF rays)."""
     if env_kind == ENV_NONE:
         return jnp.zeros(d.shape[:-1])
-    n_total = n_area + 1
+    n_total = n_area + n_delta + 1
     if env_kind == ENV_CONSTANT:
         return jnp.full(d.shape[:-1], warp.square_to_uniform_sphere_pdf()
                         / n_total)
@@ -207,11 +254,11 @@ def pdf_env_direct(scene, n_area: int, env_kind: int, d):
 
 
 def pdf_area_direct(scene, n_area: int, has_env: bool, emitter_id, p_ref,
-                    p_hit, ng_hit):
+                    p_hit, ng_hit, n_delta: int = 0):
     """Solid-angle pdf that NEE would have sampled the point p_hit on area
     emitter emitter_id from p_ref (MIS weight for BSDF-sampled emitter hits).
     """
-    n_total = n_area + (1 if has_env else 0)
+    n_total = n_area + n_delta + (1 if has_env else 0)
     if n_total == 0:
         return jnp.zeros(p_ref.shape[:-1])
     to_l = p_hit - p_ref

@@ -44,6 +44,13 @@ class EmitterTable(NamedTuple):
     tri_cdf: np.ndarray       # [sumT] normalized per-emitter cumulative area
     tri_index: np.ndarray     # [sumT] i32 original tri ids
     total_area: np.ndarray    # [E]
+    # delta emitters (point/spot/directional): kind 0/1/2
+    delta_kind: np.ndarray    # [D] i32
+    delta_pos: np.ndarray     # [D, 3]
+    delta_dir: np.ndarray     # [D, 3] (spot/directional)
+    delta_intensity: np.ndarray  # [D, 3] (directional: irradiance)
+    delta_cos_total: np.ndarray  # [D] spot total cutoff cosine
+    delta_cos_falloff: np.ndarray  # [D] spot falloff-begin cosine
     # environment: kind 0=none, 1=constant, 2=envmap
     env_kind: np.ndarray      # scalar i32
     env_radiance: np.ndarray  # [3] constant radiance / envmap scale
@@ -91,6 +98,7 @@ class RenderSettings:
     has_env: bool = False
     env_kind: int = 0
     has_textures: bool = False
+    n_delta: int = 0
     fov_x_deg: float = 45.0
     banner: bool = False
     output: str = "output.exr"
@@ -234,6 +242,8 @@ def compile_scene(desc: SceneDesc,
     settings.num_emitters = len(area_emitters)
     settings.env_kind = int(emitters.env_kind)
     settings.has_env = settings.env_kind != 0
+    settings.n_delta = int((np.asarray(emitters.delta_intensity).sum(-1)
+                            > 0).sum())
 
     # --- integrator ---------------------------------------------------------
     integ = desc.integrator
@@ -282,6 +292,44 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
         offs, cnts, totals = [0], [0], [1.0]
         cdfs, tidx = [np.ones(1, np.float32)], [np.zeros(1, np.int32)]
 
+    # scene-level delta emitters
+    dk, dp, dd, di, dct, dcf = [], [], [], [], [], []
+    for em in desc.emitters:
+        if em.type in ("point", "spot", "directional"):
+            to_world = np.asarray(em.get("toWorld", np.eye(4)), np.float64)
+            if em.type == "point":
+                dk.append(0)
+                pos = em.get("position")
+                pos = (np.asarray(pos, np.float64) if pos is not None
+                       else to_world[:3, 3])
+                dp.append(pos)
+                dd.append((0, 0, 1))
+                di.append(spectrum_value(em.get("intensity"), (1, 1, 1)))
+                dct.append(-1.0); dcf.append(-1.0)
+            elif em.type == "spot":
+                dk.append(1)
+                dp.append(to_world[:3, 3])
+                dd.append(to_world[:3, 2] / np.linalg.norm(to_world[:3, 2]))
+                di.append(spectrum_value(em.get("intensity"), (1, 1, 1)))
+                cut = float(em.get("cutoffAngle", 20.0))
+                beam = float(em.get("beamWidth", cut * 0.75))
+                dct.append(np.cos(np.deg2rad(cut)))
+                dcf.append(np.cos(np.deg2rad(beam)))
+            else:  # directional
+                dk.append(2)
+                dp.append((0, 0, 0))
+                dv = em.get("direction")
+                if dv is None:
+                    dv = to_world[:3, 2]
+                dv = np.asarray(dv, np.float64)
+                dd.append(dv / np.linalg.norm(dv))
+                di.append(spectrum_value(em.get("irradiance"), (1, 1, 1)))
+                dct.append(-1.0); dcf.append(-1.0)
+    n_delta = len(dk)
+    if n_delta == 0:
+        dk, dp, dd = [0], [(0, 0, 0)], [(0, 0, 1)]
+        di, dct, dcf = [(0, 0, 0)], [-1.0], [-1.0]
+
     # scene-level environment emitter
     env_kind = 0
     env_rad = np.zeros(3, np.float32)
@@ -305,8 +353,7 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
             env_rad = spectrum_value(em.get("scale", 1.0), (1, 1, 1))
             env_to_world = np.asarray(
                 em.get("toWorld", np.eye(4)), np.float32)
-        elif em.type in ("point", "spot", "directional", "sun", "sky",
-                         "sunsky", "collimated"):
+        elif em.type in ("sun", "sky", "sunsky", "collimated"):
             raise ValueError(f"emitter '{em.type}' not yet supported")
 
     He, We = env_map.shape[:2]
@@ -325,6 +372,12 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
     env_pdf = (w / w.sum() / np.maximum(texel_sa, 1e-12)).astype(np.float32)
 
     return EmitterTable(
+        delta_kind=np.asarray(dk, np.int32),
+        delta_pos=np.asarray(dp, np.float32),
+        delta_dir=np.asarray(dd, np.float32),
+        delta_intensity=np.asarray(di, np.float32),
+        delta_cos_total=np.asarray(dct, np.float32),
+        delta_cos_falloff=np.asarray(dcf, np.float32),
         radiance=radiance, shape=shape_ids,
         tri_offset=np.asarray(offs, np.int32),
         tri_count=np.asarray(cnts, np.int32),

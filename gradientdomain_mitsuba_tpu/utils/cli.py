@@ -37,6 +37,12 @@ def build_parser():
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--stats-json", default=None,
                    help="write render statistics JSON to this path")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="write a resumable checkpoint after every chunk")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print the statistics table after rendering")
     return p
 
 
@@ -78,7 +84,9 @@ def main(argv=None):
         else:
             from ..models.gbdpt import GBDPTracer
             tracer = GBDPTracer(scene, st)
-        bufs = tracer.render(scene, seed=args.seed, spp=st.spp)
+        bufs = tracer.render(scene, seed=args.seed, spp=st.spp,
+                             checkpoint_path=args.checkpoint,
+                             resume=args.resume)
         t_render = time.time()
         from ..models import poisson
         p = st.integrator_props
@@ -106,15 +114,39 @@ def main(argv=None):
         if st.integrator == "bdpt":
             from ..models.bdpt import BDPTracer
             tracer = BDPTracer(scene, st)
+        elif st.integrator == "direct":
+            from ..models.direct import DirectIntegrator
+            tracer = DirectIntegrator(scene, st)
+        elif st.integrator == "ao":
+            from ..models.direct import AOIntegrator
+            tracer = AOIntegrator(scene, st)
         else:
             from ..models.path import PathTracer
             tracer = PathTracer(scene, st)
-        img = tracer.render(scene, seed=args.seed, spp=st.spp)
+        img = tracer.render(scene, seed=args.seed, spp=st.spp,
+                            checkpoint_path=args.checkpoint,
+                            resume=args.resume)
         t_render = time.time()
         exr.write(out, img)
         log(f"[tpurender] render {t_render - t_load:.2f}s -> {out}")
         stats.update(render_s=t_render - t_load)
 
+    if args.verbose:
+        from .stats import RenderStats
+        rs = RenderStats()
+        rs.phases["scene load"] = stats["load_s"]
+        rs.phases["render"] = stats["render_s"]
+        if "reconstruct_s" in stats:
+            rs.phases["reconstruct"] = stats["reconstruct_s"]
+        rays_fn = {"gpt": RenderStats.rays_gpt, "gbdpt": RenderStats.rays_bdpt,
+                   "bdpt": RenderStats.rays_bdpt}.get(
+            st.integrator, RenderStats.rays_path)
+        depth = st.max_depth if st.max_depth > 0 else 8
+        rays = rays_fn(st.width, st.height, st.spp, depth)
+        rs.set("rays traced (approx)", rays)
+        rs.set("Mrays/sec", rays / max(stats["render_s"], 1e-9) / 1e6)
+        log(rs.table())
+        stats["rays"] = rays
     if args.stats_json:
         with open(args.stats_json, "w") as f:
             json.dump(stats, f)
