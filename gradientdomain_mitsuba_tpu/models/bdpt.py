@@ -176,7 +176,7 @@ class BDPTracer:
         for k in range(n_steps):
             hit = self.closest(o, d, jnp.zeros(N),
                                jnp.where(alive, 3e38, -1.0),
-                               scene.geom.tris, scene.geom.bvh)
+                               scene.geom)
             its = common.fill_intersection(scene, o, d, hit)
             alive = alive & its.valid
 
@@ -440,7 +440,7 @@ class BDPTracer:
         sh_o = common.offset_ray_origin(zp, eye.ng[:, k], d, eps)
         occ = self.occluded(sh_o, d, jnp.zeros(N),
                             dist - 2 * eps / jnp.maximum(cos_l, 1e-3),
-                            scene.geom.tris, scene.geom.bvh)
+                            scene.geom)
         ok = ok & ~occ
         contrib = eye.beta[:, k] * f_eye * y0.beta * _b3(cos_l / d2)
 
@@ -473,7 +473,7 @@ class BDPTracer:
         f_lt, pdf_lt_sa = self._eval_at(scene, light, kl, -d)
         sh_o = common.offset_ray_origin(zp, eye.ng[:, ke], d, eps)
         occ = self.occluded(sh_o, d, jnp.zeros(N), dist - 2 * eps,
-                            scene.geom.tris, scene.geom.bvh)
+                            scene.geom)
         ok = ok & ~occ
         contrib = eye.beta[:, ke] * f_eye * f_lt * light.beta[:, kl] / _b3(d2)
 
@@ -517,7 +517,7 @@ class BDPTracer:
         f_eval, pdf_lt_sa = self._eval_at(scene, light, kl, d)
         sh_o = common.offset_ray_origin(yp, yng, d, eps)
         occ = self.occluded(sh_o, d, jnp.zeros(N), dist - 2 * eps,
-                            scene.geom.tris, scene.geom.bvh)
+                            scene.geom)
         ok = ok & ~occ & in_frustum
         value = beta * f_eval * _b3(we * cos_cam / d2)
 

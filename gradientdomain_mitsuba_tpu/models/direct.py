@@ -61,7 +61,7 @@ class AOIntegrator:
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos_film, u_ap)
 
         hit = self.closest(o, d, jnp.zeros(N), jnp.full(N, 3e38),
-                           scene.geom.tris, scene.geom.bvh)
+                           scene.geom)
         its = common.fill_intersection(scene, o, d, hit)
 
         u2 = self._u2(seed, pixel_id, sample_idx,
@@ -77,8 +77,7 @@ class AOIntegrator:
             length = 1e4 * scene.ray_eps  # ~ scene-scale probe (traced)
         sh_o = common.offset_ray_origin(its.p, its.ng, probe, scene.ray_eps)
         occ = self.occluded(sh_o, probe, jnp.zeros(N),
-                            jnp.full(N, length), scene.geom.tris,
-                            scene.geom.bvh)
+                            jnp.full(N, length), scene.geom)
         vis = jnp.where(its.valid & ~occ, 1.0, 0.0)
         L = jnp.repeat(vis[:, None], 3, axis=-1)
         return pos_film, L

@@ -87,7 +87,7 @@ class GBDPTracer(BDPTracer):
         u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos, u_ap)
         hit = self.closest(o, d, jnp.zeros(N), jnp.full(N, 3e38),
-                           scene.geom.tris, scene.geom.bvh)
+                           scene.geom)
         its = common.fill_intersection(scene, o, d, hit)
         return its, d
 
@@ -115,7 +115,7 @@ class GBDPTracer(BDPTracer):
         occ = self.occluded(
             common.offset_ray_origin(its1.p, its1.ng, dir_rc, eps),
             dir_rc, jnp.zeros(N), dist2v - 2 * eps,
-            scene.geom.tris, scene.geom.bvh)
+            scene.geom)
         ok_conn = ok_conn & ~occ
 
         # f and pdf at z'_1 toward z_2

@@ -83,6 +83,15 @@ class GPTracer:
         p = settings.integrator_props
         self.shift_threshold = float(p.get("shiftThreshold", 0.001))
         self.has_textures = settings.has_textures
+        # STATIC: does any material classify as specular/glossy for
+        # shifting?  All-diffuse scenes skip the half-vector machinery and
+        # its per-bounce offset continuation rays entirely.
+        kinds = np.asarray(scene.materials.kind)
+        alphas = np.asarray(scene.materials.alpha)
+        rough = np.where(np.isin(kinds, (1, 2, 7)), 0.0,
+                         np.where(np.isin(kinds, (3, 5, 6)), alphas,
+                                  np.inf))
+        self.any_specular = bool((rough <= self.shift_threshold).any())
         self.n_delta = settings.n_delta
         self._u1, self._u2 = make_sampler(settings.sampler, settings.spp)
 
@@ -126,7 +135,7 @@ class GPTracer:
         def trace4(o, d, maxt):
             hit = self.closest(o.reshape(4 * N, 3), d.reshape(4 * N, 3),
                                jnp.zeros(4 * N), maxt.reshape(4 * N),
-                               scene.geom.tris, scene.geom.bvh)
+                               scene.geom)
             its = common.fill_intersection(
                 scene, o.reshape(4 * N, 3), d.reshape(4 * N, 3), hit)
             return jax.tree.map(
@@ -135,12 +144,11 @@ class GPTracer:
         def occl4(o, d, maxt):
             return self.occluded(
                 o.reshape(4 * N, 3), d.reshape(4 * N, 3), jnp.zeros(4 * N),
-                maxt.reshape(4 * N), scene.geom.tris,
-                scene.geom.bvh).reshape(4, N)
+                maxt.reshape(4 * N), scene.geom).reshape(4, N)
 
         inf = jnp.full(N, 3e38)
         hit_m = self.closest(o_m, d_m, jnp.zeros(N), inf,
-                             scene.geom.tris, scene.geom.bvh)
+                             scene.geom)
         its_m = common.fill_intersection(scene, o_m, d_m, hit_m)
         its_o = trace4(o_o, d_o, jnp.broadcast_to(inf, (4, N)))
 
@@ -240,7 +248,7 @@ class GPTracer:
                 sh_o, ds.d, jnp.zeros(N),
                 ds.dist - 2 * eps / jnp.maximum(
                     jnp.abs(m.dot(ds.d, ds.n)), 1e-3),
-                scene.geom.tris, scene.geom.bvh)
+                scene.geom)
             vis_m = ext_alive & ds.valid & (pe_u > 0) & ~occ_m
             c_m_val = (tp * f_m * ds.radiance *
                        _b3(conv_m / jnp.maximum(pe_u, 1e-30)))
@@ -320,7 +328,7 @@ class GPTracer:
 
         hit_n = self.closest(o_new, wo_w, jnp.zeros(N),
                              jnp.where(main_cont, 3e38, -1.0),
-                             scene.geom.tris, scene.geom.bvh)
+                             scene.geom)
         its_n = common.fill_intersection(scene, o_new, wo_w, hit_n)
 
         # geometry of the new segment (main)
@@ -473,15 +481,26 @@ class GPTracer:
         ok_env = recon_sel & esc[None] & ~occ_env & (jnp.max(f_env, -1) > 0)
 
         # --- half-vector copy --------------------------------------------
-        hv = self._half_vector_shift(scene, its, wi_m, par_m, bs, par_o,
-                                     wi_o_loc, o_its, uc)
-        wo_hv_w = m.to_world(hv["wo"], ss_o, ts_o, o_its.ns)
-        ok_hv = ~recon_sel & hv["valid"] & main_cont[None]
-
-        # trace the offset's own continuation ray for HV shifts
-        o_hv = common.offset_ray_origin(o_its.p, o_its.ng, wo_hv_w, eps)
-        its_hv = trace4(o_hv, wo_hv_w,
-                        jnp.where(ok_hv, 3e38, -1.0))
+        if self.any_specular:
+            hv = self._half_vector_shift(scene, its, wi_m, par_m, bs,
+                                         par_o, wi_o_loc, o_its, uc)
+            wo_hv_w = m.to_world(hv["wo"], ss_o, ts_o, o_its.ns)
+            ok_hv = ~recon_sel & hv["valid"] & main_cont[None]
+            # trace the offset's own continuation ray for HV shifts
+            o_hv = common.offset_ray_origin(o_its.p, o_its.ng, wo_hv_w,
+                                            eps)
+            its_hv = trace4(o_hv, wo_hv_w,
+                            jnp.where(ok_hv, 3e38, -1.0))
+        else:
+            # all-diffuse scene: a non-reconnectable configuration kills
+            # the shift (same unbiased failure semantics, zero extra rays)
+            hv = dict(wo=wi_o_loc, f=jnp.zeros_like(o_tp),
+                      pdf=jnp.zeros_like(o_r), jac=jnp.ones_like(o_r),
+                      valid=jnp.zeros_like(o_alive),
+                      is_delta=jnp.zeros_like(o_alive))
+            wo_hv_w = o_wi
+            ok_hv = jnp.zeros_like(o_alive)
+            its_hv = o_its
 
         # ---------------- merge the conn==0 strategies -------------------
         use_rc = is0 & recon_sel & ~esc[None]
@@ -708,32 +727,49 @@ class GPTracer:
                     is_delta=is_delta_o)
 
     # ------------------------------------------------------------------
+    def samples_per_batch(self, n_samples):
+        """~64k lanes per dispatch (each lane carries 5 lockstep paths);
+        measured fastest on v5e."""
+        N = self.settings.width * self.settings.height
+        spb = max(1, (1 << 16) // max(N, 1))
+        while n_samples % spb:
+            spb -= 1
+        return spb
+
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def render_chunk(self, scene, seed, sample_start, n_samples):
         st = self.settings
         H, W = st.height, st.width
+        N = W * H
+        spb = self.samples_per_batch(n_samples)
+        ids = jnp.tile(jnp.arange(N, dtype=jnp.uint32), spb)
         zero = lambda: jnp.zeros((H, W, 3))
         bufs = dict(primal=zero(), dx=zero(), dy=zero(),
                     very_direct=zero(), wsum=jnp.zeros((H, W)))
 
         def body(i, bufs):
+            sidx = (sample_start + i * spb +
+                    jnp.repeat(jnp.arange(spb, dtype=jnp.uint32), N))
             pos, primal, very, grad = self.trace_pass(
-                scene, seed, sample_start + i)
-            fb, wb = film_ops.splat(bufs["primal"], bufs["wsum"], pos,
-                                    primal, self.filter_kind)
-            vd, _ = film_ops.splat(bufs["very_direct"],
-                                   jnp.zeros_like(wb), pos, very,
-                                   self.filter_kind)
-            # gradients: box-filtered on the pixel lattice
-            dx = film_ops.splat_unfiltered(bufs["dx"], pos, grad[0])
-            dx = film_ops.splat_unfiltered(
-                dx, pos + jnp.asarray(OFFSETS[1]), -grad[1])
-            dy = film_ops.splat_unfiltered(bufs["dy"], pos, grad[2])
-            dy = film_ops.splat_unfiltered(
-                dy, pos + jnp.asarray(OFFSETS[3]), -grad[3])
+                scene, seed, sidx, pixel_id=ids)
+            # grid-aligned: dense filtered adds, no scatter
+            jit = (pos % 1.0).reshape(spb, N, 2)
+            fb, wb = film_ops.splat_grid(bufs["primal"], bufs["wsum"],
+                                         jit, primal.reshape(spb, N, 3),
+                                         self.filter_kind)
+            vd, _ = film_ops.splat_grid(bufs["very_direct"],
+                                        jnp.zeros_like(wb), jit,
+                                        very.reshape(spb, N, 3),
+                                        self.filter_kind)
+            # gradients: lattice adds at fixed integer offsets
+            g4 = grad.reshape(4, spb, N, 3)
+            dx = film_ops.add_grid_shifted(bufs["dx"], g4[0], 0, 0)
+            dx = film_ops.add_grid_shifted(dx, -g4[1], -1, 0)
+            dy = film_ops.add_grid_shifted(bufs["dy"], g4[2], 0, 0)
+            dy = film_ops.add_grid_shifted(dy, -g4[3], 0, -1)
             return dict(primal=fb, dx=dx, dy=dy, very_direct=vd, wsum=wb)
 
-        return jax.lax.fori_loop(0, n_samples, body, bufs)
+        return jax.lax.fori_loop(0, n_samples // spb, body, bufs)
 
     def finalize(self, state, spp):
         w = np.maximum(state["wsum"], 1e-12)[..., None]

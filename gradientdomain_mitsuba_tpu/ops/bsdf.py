@@ -51,22 +51,24 @@ class MatParams(NamedTuple):
 
 
 def gather_params(materials, mid, albedo_override=None) -> MatParams:
-    """Gather material rows for a batch of material ids [N]."""
-    g = lambda a: a[mid]
-    refl = g(materials.reflectance)
+    """Material parameters for a batch of ids [N] — ONE gather of the
+    packed [M, 24] row table (Materials.packed) instead of 11 separate
+    gathers; fields are static slices of the row."""
+    row = materials.packed[mid]
+    refl = row[..., 2:5]
     if albedo_override is not None:
         refl = albedo_override
-    spec = g(materials.specular)
+    spec = row[..., 5:8]
     # Mitsuba's specularSamplingWeight: sAvg / (sAvg + dAvg) by luminance
     s_lum = luminance(spec)
     d_lum = luminance(refl)
     return MatParams(
-        kind=g(materials.kind),
-        twosided=(g(materials.flags) & FLAG_TWOSIDED) != 0,
+        kind=row[..., 0].astype(jnp.int32),
+        twosided=(row[..., 1].astype(jnp.int32) & FLAG_TWOSIDED) != 0,
         reflectance=refl, specular=spec,
-        transmittance=g(materials.transmittance),
-        alpha=g(materials.alpha), eta=g(materials.eta), k=g(materials.k),
-        dist=g(materials.dist), fdr_int=g(materials.fdr_int),
+        transmittance=row[..., 8:11],
+        alpha=row[..., 11], eta=row[..., 12:15], k=row[..., 15:18],
+        dist=row[..., 18].astype(jnp.int32), fdr_int=row[..., 19],
         spec_weight=s_lum / jnp.maximum(s_lum + d_lum, 1e-9))
 
 

@@ -18,49 +18,63 @@ BRUTE_FORCE_MAX_TRIS = 2048
 
 
 def choose_intersector(settings, n_tris: int):
-    """Brute force beats the stack machine for small scenes (the whole tri
-    soup vectorizes on the VPU with zero divergence); BVH beyond that."""
+    """Returns (closest, occluded) with signature (o, d, mint, maxt, geom).
+
+    Brute force for small scenes (the whole tri soup vectorizes on the VPU
+    with zero divergence); two-level clustered traversal beyond that
+    (dense ray-vs-cluster tests + contiguous prim-window fetches)."""
     if n_tris <= BRUTE_FORCE_MAX_TRIS:
         chunk = min(1024, max(64, n_tris))
 
-        def closest(o, d, mint, maxt, tris, bvharr):
-            return isec.intersect_brute(o, d, mint, maxt, tris, chunk=chunk)
+        def closest(o, d, mint, maxt, geom):
+            return isec.intersect_brute(o, d, mint, maxt, geom.tris,
+                                        chunk=chunk)
 
-        def occl(o, d, mint, maxt, tris, bvharr):
-            return isec.occluded_brute(o, d, mint, maxt, tris, chunk=chunk)
+        def occl(o, d, mint, maxt, geom):
+            return isec.occluded_brute(o, d, mint, maxt, geom.tris,
+                                       chunk=chunk)
         return closest, occl
-    return (isec.make_bvh_intersector(settings.stack_depth),
-            isec.make_bvh_occluder(settings.stack_depth))
+
+    closest_c = isec.make_cluster_intersector(settings.cluster_window)
+    occl_c = isec.make_cluster_occluder(settings.cluster_window)
+
+    def closest(o, d, mint, maxt, geom):
+        return closest_c(o, d, mint, maxt, geom.tris, geom.clusters)
+
+    def occl(o, d, mint, maxt, geom):
+        return occl_c(o, d, mint, maxt, geom.tris, geom.clusters)
+    return closest, occl
 
 
 def fill_intersection(scene, o, d, hit) -> Intersection:
-    """Gather shading data for Hit records (invalid lanes get safe zeros)."""
+    """Shading data for Hit records via ONE packed-row gather.
+
+    hit.prim indexes the BVH-ordered tri_shade table (see scene.Geometry):
+    a single [N, 22] gather replaces the 13-gather dependent chain through
+    indices/positions/normals/uvs/per-shape tables — TPU gathers were the
+    wavefront's dominant cost (measured 2.9 ms of a 4.6 ms bounce)."""
     g = scene.geom
     prim = jnp.maximum(hit.prim, 0)
-    idx = g.indices[prim]
-    p0 = g.positions[idx[..., 0]]
-    p1 = g.positions[idx[..., 1]]
-    p2 = g.positions[idx[..., 2]]
-    n0 = g.normals[idx[..., 0]]
-    n1 = g.normals[idx[..., 1]]
-    n2 = g.normals[idx[..., 2]]
-    t0 = g.uvs[idx[..., 0]]
-    t1 = g.uvs[idx[..., 1]]
-    t2 = g.uvs[idx[..., 2]]
+    row = g.tri_shade[prim]                      # [N, 22]
 
     u = hit.u[..., None]
     v = hit.v[..., None]
-    p = p0 * (1 - u - v) + p1 * u + p2 * v
-    ng = m.normalize(jnp.cross(p1 - p0, p2 - p0))
-
-    shape = g.tri_shape[prim]
-    use_face_n = g.shape_use_face_normals[shape]
-    ns = m.normalize(n0 * (1 - u - v) + n1 * u + n2 * v)
-    # degenerate shading normals fall back to geometric
+    w = 1.0 - u - v
+    # missed lanes carry t = F32_MAX; an inf position would turn later
+    # masked arithmetic into 0*NaN — keep them finite instead
+    t_safe = jnp.where(hit.valid, hit.t, 1.0)
+    p = o + t_safe[..., None] * d
+    ng = row[..., 0:3]
+    ns = row[..., 3:6] * w + row[..., 6:9] * u + row[..., 9:12] * v
+    ns = m.normalize(ns)
     ns_ok = m.squared_length(ns) > 0.5
+    use_face_n = row[..., 21] > 0.5
     ns = jnp.where((use_face_n | ~ns_ok)[..., None], ng, ns)
-    uv = t0 * (1 - u - v) + t1 * u + t2 * v
+    uv = row[..., 12:14] * w + row[..., 14:16] * u + row[..., 16:18] * v
 
+    bsdf_id = row[..., 18].astype(jnp.int32)
+    emitter_id = row[..., 19].astype(jnp.int32)
+    shape_id = row[..., 20].astype(jnp.int32)
     return Intersection(
         valid=hit.valid,
         t=hit.t,
@@ -69,9 +83,9 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
         ns=ns,
         uv=uv,
         prim_id=jnp.where(hit.valid, hit.prim, -1),
-        shape_id=jnp.where(hit.valid, shape, -1),
-        bsdf_id=jnp.where(hit.valid, g.shape_bsdf[shape], -1),
-        emitter_id=jnp.where(hit.valid, g.shape_emitter[shape], -1),
+        shape_id=jnp.where(hit.valid, shape_id, -1),
+        bsdf_id=jnp.where(hit.valid, bsdf_id, -1),
+        emitter_id=jnp.where(hit.valid, emitter_id, -1),
     )
 
 

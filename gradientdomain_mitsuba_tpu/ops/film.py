@@ -9,6 +9,7 @@ gradients live on the pixel lattice — gpt_wr.cpp semantics).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,3 +92,99 @@ def splat_unfiltered(fb, pos, value):
 def develop(fb, wb):
     """Normalize by accumulated filter weights (Film::develop)."""
     return fb / jnp.maximum(wb, 1e-12)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Grid-aligned splatting: when every sample belongs to a known pixel (the
+# wavefront renders one sample per pixel in row-major order), filtering
+# becomes a small set of DENSE shifted adds — no scatter at all.  Scatter
+# into the film was the measured hot spot on TPU (colliding indices
+# serialize); these paths replace it for the primary film and the gradient
+# buffers.  pos-based scatter splatting above remains for the BDPT light
+# image, whose splat positions are arbitrary.
+# ---------------------------------------------------------------------------
+
+def _tap_radius(filter_kind: int) -> int:
+    import math
+    return int(math.ceil(RADII[filter_kind] - 0.5 + 1e-6))
+
+
+def splat_grid(fb, wb, jitter, value, filter_kind: int, row0: int = 0):
+    """Filtered accumulation of row-major grid samples.
+
+    fb: [H, W, C]; wb: [H, W]; value: [S, rows*W, C] (S sample-batches);
+    jitter: [S, rows*W, 2] in-pixel offsets in [0,1).  The sample grid
+    starts at film row `row0` (static).  Returns (fb, wb).
+    """
+    H, W = fb.shape[0], fb.shape[1]
+    S, NW, C = value.shape
+    rows = NW // W
+    img = value.reshape(S, rows, W, C)
+    jx = jitter[..., 0].reshape(S, rows, W)
+    jy = jitter[..., 1].reshape(S, rows, W)
+    K = _tap_radius(filter_kind)
+
+    if K == 0:  # box: the sample always lands in its own pixel
+        fb = jax.lax.dynamic_update_slice(
+            fb, jax.lax.dynamic_slice(fb, (row0, 0, 0), (rows, W, C)) +
+            img.sum(0), (row0, 0, 0))
+        wb = jax.lax.dynamic_update_slice(
+            wb, jax.lax.dynamic_slice(wb, (row0, 0), (rows, W)) +
+            jnp.full((rows, W), float(S)), (row0, 0))
+        return fb, wb
+
+    accv = jnp.zeros((rows + 2 * K, W + 2 * K, C), value.dtype)
+    accw = jnp.zeros((rows + 2 * K, W + 2 * K), value.dtype)
+    for oy in range(-K, K + 1):
+        wy = filter_weight(filter_kind, oy + 0.5 - jy)
+        for ox in range(-K, K + 1):
+            w = wy * filter_weight(filter_kind, ox + 0.5 - jx)
+            accv = jax.lax.dynamic_update_slice(
+                accv, jax.lax.dynamic_slice(
+                    accv, (oy + K, ox + K, 0), (rows, W, C)) +
+                (img * w[..., None]).sum(0), (oy + K, ox + K, 0))
+            accw = jax.lax.dynamic_update_slice(
+                accw, jax.lax.dynamic_slice(
+                    accw, (oy + K, ox + K), (rows, W)) + w.sum(0),
+                (oy + K, ox + K))
+    # fold the accumulator back into the film; taps falling outside the
+    # film (row/column halos) are dropped, matching the scatter splat's
+    # inside-film check
+    y0 = row0 - K
+    pad_top = max(0, -y0)
+    pad_bot = max(0, (row0 + rows + K) - H)
+    src_v = accv[pad_top:accv.shape[0] - pad_bot, K:accv.shape[1] - K]
+    src_w = accw[pad_top:accw.shape[0] - pad_bot, K:accw.shape[1] - K]
+    dst0 = max(y0, 0)
+    fb = fb.at[dst0:dst0 + src_v.shape[0], :].add(src_v)
+    wb = wb.at[dst0:dst0 + src_w.shape[0], :].add(src_w)
+    return fb, wb
+
+
+def add_grid_shifted(fb, value, dx: int, dy: int, row0: int = 0,
+                     mask=None):
+    """Unfiltered lattice add of row-major grid samples at an integer
+    pixel offset (dx, dy) — the gradient-buffer path (dense, no scatter).
+    value: [S, rows*W, C]."""
+    H, W = fb.shape[0], fb.shape[1]
+    S, NW, C = value.shape
+    rows = NW // W
+    img = value.reshape(S, rows, W, C).sum(0)
+    y0 = row0 + dy
+    # clip rows
+    src_top = max(0, -y0)
+    src_bot = max(0, y0 + rows - H)
+    if src_top + src_bot >= rows:
+        return fb
+    img_c = img[src_top:rows - src_bot]
+    dst_y = y0 + src_top
+    # clip columns via slicing
+    if dx > 0:
+        fb = fb.at[dst_y:dst_y + img_c.shape[0], dx:].add(
+            img_c[:, :W - dx])
+    elif dx < 0:
+        fb = fb.at[dst_y:dst_y + img_c.shape[0], :W + dx].add(
+            img_c[:, -dx:])
+    else:
+        fb = fb.at[dst_y:dst_y + img_c.shape[0], :].add(img_c)
+    return fb

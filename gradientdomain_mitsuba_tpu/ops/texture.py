@@ -141,8 +141,9 @@ def eval_texture(tex: TextureTable, tex_id, uv):
 
 def resolve_albedo(scene, mid, uv):
     """Material reflectance with texture override where bound."""
-    refl = scene.materials.reflectance[mid]
-    tex_id = scene.materials.tex_reflectance[mid]
+    row = scene.materials.packed[mid]
+    refl = row[..., 2:5]
+    tex_id = row[..., 20].astype(jnp.int32)
     has_tex = tex_id >= 0
     tex_val = eval_texture(scene.textures, tex_id, uv)
     return jnp.where(has_tex[..., None], tex_val, refl)

@@ -50,8 +50,58 @@ def encode_leaf(offset: int, count: int) -> int:
     return -int((offset << LEAF_BITS) | count) - 1
 
 
-def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
-    """Build from triangle vertices [T, 3] each."""
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+          use_native: bool = True) -> BVH:
+    """Build from triangle vertices [T, 3] each.  Uses the native C++
+    builder (native/bvh_builder.cpp) when available — identical layout and
+    cost model — and falls back to the numpy implementation."""
+    if use_native:
+        out = _build_native(v0, v1, v2)
+        if out is not None:
+            return out
+    return build_python(v0, v1, v2)
+
+
+def _build_native(v0, v1, v2):
+    from ..native import get_lib
+    import ctypes
+    lib = get_lib("bvh_builder")
+    if lib is None:
+        return None
+    T = len(v0)
+    cap = max(2 * T, 16)
+    c0min = np.empty((cap, 3), np.float32)
+    c0max = np.empty((cap, 3), np.float32)
+    c1min = np.empty((cap, 3), np.float32)
+    c1max = np.empty((cap, 3), np.float32)
+    c0 = np.empty(cap, np.int32)
+    c1 = np.empty(cap, np.int32)
+    order = np.arange(T, dtype=np.int32)
+    depth = np.zeros(1, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    a = lambda x: x.ctypes.data_as(fp)
+    ai = lambda x: x.ctypes.data_as(ip)
+    v0c = np.ascontiguousarray(v0, np.float32)
+    v1c = np.ascontiguousarray(v1, np.float32)
+    v2c = np.ascontiguousarray(v2, np.float32)
+    n = lib.bvh_build(a(v0c), a(v1c), a(v2c), ctypes.c_int(T),
+                      a(c0min), a(c0max), a(c1min), a(c1max),
+                      ai(c0), ai(c1), ai(order), ai(depth))
+    if n <= 0:
+        return None
+    lo = np.minimum(np.minimum(v0c, v1c), v2c)
+    hi = np.maximum(np.maximum(v0c, v1c), v2c)
+    return BVH(
+        child0_min=c0min[:n].copy(), child0_max=c0max[:n].copy(),
+        child1_min=c1min[:n].copy(), child1_max=c1max[:n].copy(),
+        child0=c0[:n].copy(), child1=c1[:n].copy(),
+        prim_order=order, scene_min=lo.min(0), scene_max=hi.max(0),
+        depth=int(depth[0]))
+
+
+def build_python(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
+    """Pure-numpy reference builder (same layout/cost model)."""
     T = len(v0)
     lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
@@ -196,3 +246,66 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
         child0=c0[:n_nodes].copy(), child1=c1[:n_nodes].copy(),
         prim_order=order, scene_min=smin, scene_max=smax,
         depth=max_depth[0])
+
+
+def extract_clusters(tree: BVH, target: int):
+    """Cut the BVH into clusters of <= target contiguous prims.
+
+    Returns (offsets [K], counts [K], bbox_min [K,3], bbox_max [K,3]) in
+    BVH prim order.  The clustered traversal (ops/intersect.py) tests rays
+    against cluster bounds densely (pure VPU work) and then fetches each
+    hit cluster's prim window as ONE contiguous block — the TPU-native
+    answer to per-lane pointer chasing."""
+    offsets, counts, bmins, bmaxs = [], [], [], []
+
+    def leaf_range(code):
+        raw = -code - 1
+        return raw >> LEAF_BITS, raw & ((1 << LEAF_BITS) - 1)
+
+    def subtree_range(code):
+        """(start, count) covered by a child code."""
+        if code < 0:
+            return leaf_range(code)
+        s0, c0 = subtree_range(tree.child0[code])
+        s1, c1 = subtree_range(tree.child1[code])
+        if c0 == 0:
+            return s1, c1
+        if c1 == 0:
+            return s0, c0
+        lo = min(s0, s1)
+        return lo, max(s0 + c0, s1 + c1) - lo
+
+    import sys
+    sys.setrecursionlimit(100000)
+
+    def emit(code, bmin, bmax):
+        start, cnt = subtree_range(code)
+        if cnt == 0:
+            return
+        offsets.append(start)
+        counts.append(cnt)
+        bmins.append(bmin)
+        bmaxs.append(bmax)
+
+    def walk(node, bmin, bmax):
+        start, cnt = subtree_range(node) if node >= 0 else leaf_range(node)
+        if cnt <= target or node < 0:
+            emit(node, bmin, bmax) if node < 0 else (
+                offsets.append(start), counts.append(cnt),
+                bmins.append(bmin), bmaxs.append(bmax))
+            return
+        for code, lo, hi in (
+                (tree.child0[node], tree.child0_min[node],
+                 tree.child0_max[node]),
+                (tree.child1[node], tree.child1_min[node],
+                 tree.child1_max[node])):
+            if code >= 0:
+                walk(code, lo, hi)
+            else:
+                emit(code, lo, hi)
+
+    root_lo = np.minimum(tree.child0_min[0], tree.child1_min[0])
+    root_hi = np.maximum(tree.child0_max[0], tree.child1_max[0])
+    walk(0, root_lo, root_hi)
+    return (np.asarray(offsets, np.int32), np.asarray(counts, np.int32),
+            np.asarray(bmins, np.float32), np.asarray(bmaxs, np.float32))

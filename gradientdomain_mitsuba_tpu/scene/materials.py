@@ -68,7 +68,15 @@ CONDUCTOR_PRESETS = {
 
 
 class Materials(NamedTuple):
-    """SoA table over M materials (device arrays after compile)."""
+    """SoA table over M materials (device arrays after compile).
+
+    `packed` mirrors the scalar/vector fields as one [M, 24] f32 row so the
+    per-interaction parameter fetch is a single gather (ops/bsdf.py):
+    [0] kind, [1] flags, [2:5] reflectance, [5:8] specular,
+    [8:11] transmittance, [11] alpha, [12:15] eta, [15:18] k, [18] dist,
+    [19] fdr_int, [20] tex_reflectance.
+    """
+    packed: np.ndarray        # [M, 24] f32
     kind: np.ndarray          # [M] i32
     flags: np.ndarray         # [M] i32 (FLAG_* bits)
     reflectance: np.ndarray   # [M, 3] diffuse albedo / specular tint
@@ -239,7 +247,21 @@ class MaterialBuilder:
         if not self.rows:
             self.default_id()
         g = lambda k: np.stack([np.asarray(r[k]) for r in self.rows])
+        M = len(self.rows)
+        packed = np.zeros((M, 24), np.float32)
+        packed[:, 0] = g("kind")
+        packed[:, 1] = g("flags")
+        packed[:, 2:5] = g("reflectance")
+        packed[:, 5:8] = g("specular")
+        packed[:, 8:11] = g("transmittance")
+        packed[:, 11] = g("alpha")
+        packed[:, 12:15] = g("eta")
+        packed[:, 15:18] = g("k")
+        packed[:, 18] = g("dist")
+        packed[:, 19] = g("fdr_int")
+        packed[:, 20] = g("tex_reflectance")
         return Materials(
+            packed=packed,
             kind=g("kind").astype(np.int32),
             flags=g("flags").astype(np.int32),
             reflectance=g("reflectance").astype(np.float32),

@@ -14,7 +14,7 @@ from typing import Any, Dict, NamedTuple, Optional
 import numpy as np
 
 from ..core import math as cm
-from ..ops.intersect import BVHArrays, TriSoup
+from ..ops.intersect import BVHArrays, ClusterArrays, TriSoup
 from . import bvh as bvh_mod
 from . import meshes as mesh_mod
 from .ir import Plugin, SceneDesc, spectrum_value
@@ -23,8 +23,17 @@ from ..ops.texture import TextureTable, build_table
 
 
 class Geometry(NamedTuple):
-    tris: TriSoup            # BVH leaf order
+    tris: TriSoup            # BVH leaf order (window-padded, degenerate tail)
     bvh: BVHArrays
+    clusters: ClusterArrays  # two-level traversal (ops/intersect.py)
+    tri9: np.ndarray         # [K, 9, window] cluster slabs (pallas_trace.py)
+    cbounds: np.ndarray      # [K, 6] packed cluster bounds (pallas_trace.py)
+    # packed per-triangle shading rows in BVH ORDER — ONE gather per hit
+    # instead of a 13-gather dependent chain (TPU gathers are the wavefront
+    # hot spot; see ops/common.fill_intersection):
+    # [0:3] ng, [3:12] n0 n1 n2, [12:18] uv0 uv1 uv2,
+    # [18] bsdf_id, [19] emitter_id, [20] shape_id, [21] use_face_normals
+    tri_shade: np.ndarray    # [T, 22] f32
     positions: np.ndarray    # [V, 3] (original order)
     normals: np.ndarray      # [V, 3] shading normals
     uvs: np.ndarray          # [V, 2]
@@ -99,6 +108,7 @@ class RenderSettings:
     env_kind: int = 0
     has_textures: bool = False
     n_delta: int = 0
+    cluster_window: int = 64
     fov_x_deg: float = 45.0
     banner: bool = False
     output: str = "output.exr"
@@ -218,16 +228,100 @@ def compile_scene(desc: SceneDesc,
     p2 = positions[indices[:, 2]]
     tree = bvh_mod.build(p0, p1, p2)
     order = tree.prim_order
+    T = len(order)
+    # cluster decomposition for the TPU traversal; window grows with the
+    # scene so K stays bounded (phase-1 cost is O(N*K))
+    target = int(np.clip(-(-T // 1024), 64, 4096)) if T > 64 else max(T, 1)
+    c_off, c_cnt, c_min, c_max = bvh_mod.extract_clusters(tree, target)
+    window = int(c_cnt.max()) if len(c_cnt) else 1
+    window = max(128, -(-window // 128) * 128)  # lane-aligned pallas DMA
+    K = len(c_off)
+
+    # CLUSTER-MAJOR padded layout: cluster k owns prim slots
+    # [k*window, k*window + count_k); the tail of each window is degenerate
+    # padding.  Every traversal path (brute scan, SoA BVH, clustered jnp,
+    # Pallas DMA) shares this one layout, and DMA offsets are lane-aligned
+    # by construction.
+    Tp = K * window
+    perm = np.full(Tp, -1, np.int64)          # padded slot -> bvh-order idx
+    new_of_bvh = np.empty(T, np.int64)        # bvh-order idx -> padded slot
+    for k in range(K):
+        sl = np.arange(c_cnt[k])
+        perm[k * window + sl] = c_off[k] + sl
+        new_of_bvh[c_off[k] + sl] = k * window + sl
+    valid_slot = perm >= 0
+    psel = np.maximum(perm, 0)
+
+    def lay(a, fill=0.0):
+        out = a[order][psel]
+        out[~valid_slot] = fill
+        return out
+
     tris = TriSoup(
-        v0=p0[order], e1=(p1 - p0)[order], e2=(p2 - p0)[order],
-        orig_id=order.astype(np.int32))
+        v0=lay(p0).astype(np.float32),
+        e1=lay(p1 - p0).astype(np.float32),
+        e2=lay(p2 - p0).astype(np.float32),
+        orig_id=np.where(valid_slot, order[psel], -1).astype(np.int32))
+    clusters = ClusterArrays(
+        bmin=c_min, bmax=c_max,
+        offset=(np.arange(K, dtype=np.int32) * window))
+    # remap BVH leaf codes into the padded layout (leaf ranges stay
+    # contiguous inside their cluster)
+    from .bvh import LEAF_BITS
+
+    def remap_codes(codes):
+        codes = codes.copy()
+        leaf = codes < 0
+        raw = -codes[leaf] - 1
+        offs = raw >> LEAF_BITS
+        cnts = raw & ((1 << LEAF_BITS) - 1)
+        new_offs = np.where(cnts > 0, new_of_bvh[np.minimum(offs, T - 1)],
+                            0).astype(np.int64)
+        codes[leaf] = (-((new_offs << LEAF_BITS) | cnts) - 1).astype(
+            np.int32)
+        return codes
+
+    tree.child0 = remap_codes(tree.child0)
+    tree.child1 = remap_codes(tree.child1)
+    # [K, 9, window] cluster-major slabs for the Pallas traversal DMA
+    # (leading-index slicing is the clean Mosaic DMA pattern)
+    tri9 = np.stack([tris.v0.T, tris.e1.T, tris.e2.T]
+                    ).reshape(9, K, window).transpose(1, 0, 2).copy()
+
+    # packed shading rows (BVH order)
+    ng_all = np.cross(p1 - p0, p2 - p0)
+    ng_all /= np.maximum(np.linalg.norm(ng_all, axis=-1, keepdims=True),
+                         1e-20)
+    shape_of_tri = tri_shape
+    tri_shade = np.zeros((len(indices), 22), np.float32)
+    tri_shade[:, 0:3] = ng_all
+    tri_shade[:, 3:6] = normals[indices[:, 0]]
+    tri_shade[:, 6:9] = normals[indices[:, 1]]
+    tri_shade[:, 9:12] = normals[indices[:, 2]]
+    tri_shade[:, 12:14] = uvs[indices[:, 0]]
+    tri_shade[:, 14:16] = uvs[indices[:, 1]]
+    tri_shade[:, 16:18] = uvs[indices[:, 2]]
+    sb = np.asarray(shape_bsdf, np.int32)
+    se = np.asarray(shape_emitter, np.int32)
+    sf = np.asarray(shape_face_n, bool)
+    tri_shade[:, 18] = sb[shape_of_tri]
+    tri_shade[:, 19] = se[shape_of_tri]
+    tri_shade[:, 20] = shape_of_tri
+    tri_shade[:, 21] = sf[shape_of_tri]
+    tri_shade = tri_shade[order][psel]
+    tri_shade[~valid_slot] = 0.0
+    tri_shade[~valid_slot, 18:20] = -1.0  # bsdf/emitter ids
     bvh_arrays = BVHArrays(
         child0_min=tree.child0_min, child0_max=tree.child0_max,
         child1_min=tree.child1_min, child1_max=tree.child1_max,
         child0=tree.child0, child1=tree.child1)
 
+    from ..ops.pallas_trace import pack_cluster_bounds
     geom = Geometry(
-        tris=tris, bvh=bvh_arrays, positions=positions, normals=normals,
+        tris=tris, bvh=bvh_arrays, clusters=clusters,
+        tri9=tri9, cbounds=pack_cluster_bounds(clusters),
+        tri_shade=tri_shade,
+        positions=positions, normals=normals,
         uvs=uvs, indices=indices, tri_shape=tri_shape,
         shape_bsdf=np.asarray(shape_bsdf, np.int32),
         shape_emitter=np.asarray(shape_emitter, np.int32),
@@ -239,6 +333,7 @@ def compile_scene(desc: SceneDesc,
     # --- camera + film ------------------------------------------------------
     camera, settings = _build_sensor(desc)
     settings.stack_depth = 2 * tree.depth + 4
+    settings.cluster_window = window
     settings.num_emitters = len(area_emitters)
     settings.env_kind = int(emitters.env_kind)
     settings.has_env = settings.env_kind != 0

@@ -85,3 +85,31 @@ def test_maxt_respected():
     hit = f(o, d, jnp.zeros(2), jnp.array([1.0, 5.0]), tris, arr)
     assert not bool(hit.valid[0])  # tri at t=2 beyond maxt=1
     assert bool(hit.valid[1]) and abs(float(hit.t[1]) - 2.0) < 1e-5
+
+
+def test_native_builder_matches_brute():
+    """The C++ binned-SAH builder (native/bvh_builder.cpp) must produce a
+    BVH whose traversal results equal brute force, like the numpy one."""
+    v0, v1, v2 = _random_soup(3000, seed=11)
+    tree = bvh_mod.build(v0, v1, v2, use_native=True)
+    o = tree.prim_order
+    tris = TriSoup(v0=jnp.asarray(v0[o]), e1=jnp.asarray((v1 - v0)[o]),
+                   e2=jnp.asarray((v2 - v0)[o]),
+                   orig_id=jnp.asarray(o, jnp.int32))
+    arr = BVHArrays(
+        child0_min=jnp.asarray(tree.child0_min),
+        child0_max=jnp.asarray(tree.child0_max),
+        child1_min=jnp.asarray(tree.child1_min),
+        child1_max=jnp.asarray(tree.child1_max),
+        child0=jnp.asarray(tree.child0), child1=jnp.asarray(tree.child1))
+    o_r, d_r = _random_rays(512, seed=12)
+    mint = jnp.zeros(512)
+    maxt = jnp.full(512, 1e30)
+    brute = isec.intersect_brute(o_r, d_r, mint, maxt, tris)
+    f = jax.jit(isec.make_bvh_intersector(2 * tree.depth + 4))
+    hit = f(o_r, d_r, mint, maxt, tris, arr)
+    np.testing.assert_array_equal(np.asarray(hit.valid),
+                                  np.asarray(brute.valid))
+    m = np.asarray(brute.valid)
+    np.testing.assert_allclose(np.asarray(hit.t)[m],
+                               np.asarray(brute.t)[m], rtol=1e-5)
