@@ -22,6 +22,29 @@ import sys
 import time
 
 
+def write_image(exr_mod, path, img):
+    """EXR by default; .png/.jpg get sRGB-tonemapped 8-bit output
+    (the ldrfilm analog)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".png", ".jpg", ".jpeg"):
+        import numpy as np
+        from PIL import Image
+        from ..core.spectrum import linear_to_srgb
+        ldr = np.clip(np.asarray(linear_to_srgb(np.clip(img, 0, 1))), 0, 1)
+        Image.fromarray((ldr * 255 + 0.5).astype("uint8")).save(path)
+    else:
+        exr_mod.write(path, img)
+
+
+def relmse(img, ref, eps_scale=1e-2):
+    """mean((I-R)^2 / (R^2 + eps)), eps = 1e-2 * mean(R)^2 per BASELINE.md."""
+    import numpy as np
+    img = np.asarray(img, np.float64)
+    ref = np.asarray(ref, np.float64)
+    eps = eps_scale * float(ref.mean()) ** 2 + 1e-12
+    return float(np.mean((img - ref) ** 2 / (ref ** 2 + eps)))
+
+
 def build_parser():
     p = argparse.ArgumentParser(
         prog="tpurender",
@@ -43,6 +66,9 @@ def build_parser():
                    help="resume from --checkpoint if it exists")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="print the statistics table after rendering")
+    p.add_argument("--relmse", default=None, metavar="REF.exr",
+                   help="compute relMSE of the final image against a "
+                        "reference EXR (BASELINE.md protocol)")
     return p
 
 
@@ -96,13 +122,14 @@ def main(argv=None):
         import numpy as np
         final = np.asarray(poisson.reconstruct(bufs, alpha=alpha, mode=mode))
         t_rec = time.time()
-        exr.write(base + "-primal" + ext,
+        aux_ext = ext if ext.lower() == ".exr" else ".exr"
+        exr.write(base + "-primal" + aux_ext,
                   bufs["primal"] + bufs["very_direct"])
-        exr.write(base + "-dx" + ext, bufs["dx"])
-        exr.write(base + "-dy" + ext, bufs["dy"])
-        exr.write(base + "-direct" + ext, bufs["very_direct"])
-        exr.write(base + "-final" + ext, final)
-        exr.write(out, final)
+        exr.write(base + "-dx" + aux_ext, bufs["dx"])
+        exr.write(base + "-dy" + aux_ext, bufs["dy"])
+        exr.write(base + "-direct" + aux_ext, bufs["very_direct"])
+        write_image(exr, base + "-final" + ext, final)
+        write_image(exr, out, final)
         log(f"[tpurender] render {t_render - t_load:.2f}s, "
             f"reconstruct({mode}) {t_rec - t_render:.2f}s -> {out}")
         stats.update(render_s=t_render - t_load,
@@ -126,11 +153,17 @@ def main(argv=None):
         img = tracer.render(scene, seed=args.seed, spp=st.spp,
                             checkpoint_path=args.checkpoint,
                             resume=args.resume)
+        final = img
         t_render = time.time()
-        exr.write(out, img)
+        write_image(exr, out, img)
         log(f"[tpurender] render {t_render - t_load:.2f}s -> {out}")
         stats.update(render_s=t_render - t_load)
 
+    if args.relmse:
+        ref = exr.read_rgb(args.relmse)
+        err = relmse(final, ref)
+        log(f"[tpurender] relMSE vs {args.relmse}: {err:.6g}")
+        stats["relmse"] = err
     if args.verbose:
         from .stats import RenderStats
         rs = RenderStats()
