@@ -148,8 +148,14 @@ class BDPTracer:
 
     # -- random walk ------------------------------------------------------
     def _random_walk(self, scene, seed, sample_idx, pixel_id, o0, d0,
-                     beta0, pdf_sa0, dim_base, n_steps):
+                     beta0, pdf_sa0, dim_base, n_steps, adjoint=False):
         """Fill a SubPath with up to n_steps vertices.
+
+        adjoint=True applies the shading-normal importance-transport
+        correction |cos_ns(wo) cos_ng(wi)| / |cos_ng(wo) cos_ns(wi)| to
+        beta at every bounce (Veach 5.3; pbrt CorrectShadingNormal) — the
+        light subpath otherwise carries a biased throughput wherever
+        shading normals differ from geometric ones.
 
         Returns (SubPath, rev0_sa) where rev0_sa is the reverse solid-angle
         pdf at the FIRST vertex toward the walk origin (needed for the
@@ -226,10 +232,19 @@ class BDPTracer:
                     jnp.where(alive, rev_area, 0.0)))
 
             wo_w = m.to_world(bs.wo, ss, ts, its.ns)
+            weight = bs.weight
+            if adjoint:
+                num = (jnp.abs(m.dot(wo_w, its.ns)) *
+                       jnp.abs(m.dot(d, its.ng)))
+                den = (jnp.abs(m.dot(wo_w, its.ng)) *
+                       jnp.abs(m.dot(d, its.ns)))
+                corr = jnp.where(den > 1e-9, num / jnp.maximum(den, 1e-9),
+                                 0.0)
+                weight = weight * corr[..., None]
             o = common.offset_ray_origin(its.p, its.ng, wo_w, eps)
             d = wo_w
             alive = alive & bs.valid
-            beta = jnp.where(alive[..., None], beta * bs.weight, 0.0)
+            beta = jnp.where(alive[..., None], beta * weight, 0.0)
             pdf_sa = jnp.where(bs.is_delta, 0.0, bs.pdf)
 
         return sp, rev0_sa
@@ -291,7 +306,7 @@ class BDPTracer:
         # when maxDepth==1 (no s>=2 strategy ever reads it then)
         sp, rev0_sa = self._random_walk(
             scene, seed, sample_idx, pixel_id, o0, d0, beta1, pdf_dir,
-            LIGHT_DIM_BASE + 8, max(self.SM - 1, 1))
+            LIGHT_DIM_BASE + 8, max(self.SM - 1, 1), adjoint=True)
 
         # pdf_rev of y_0: reverse pdf at y_1 toward y_0, area measure
         to0 = y0p - sp.p[:, 0]

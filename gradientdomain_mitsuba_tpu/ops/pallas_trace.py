@@ -4,18 +4,20 @@ TPU-native replacement for Mitsuba's kd-tree traversal + TriAccel
 (src/librender/skdtree.cpp, triaccel.h), built on the two-level cluster
 decomposition (scene/bvh.py extract_clusters):
 
-  - the film-coherent wavefront is cut into RAY TILES of 8x128 = 1024 rays
-    (one VPU tile; all per-ray state is [8, 128] vector registers);
-  - each tile walks the cluster list with SCALAR control: slab-test the
-    cluster AABB (bounds prefetched to SMEM), and `pl.when(any pending)`
-    gates ONE async DMA of the cluster's [9, WINDOW] triangle slab into
-    SMEM, followed by a per-triangle scalar-broadcast Moeller-Trumbore
-    sweep: each triangle's 9 scalars test all 1024 rays in ~25 VPU ops.
+  - the film-coherent wavefront is cut into RAY BLOCKS of 1024 rays per
+    grid step, laid out as [1024, 1] columns (rays on sublanes);
+  - each block walks the cluster list with SCALAR control: slab-test the
+    cluster AABB (bounds prefetched to SMEM as scalars), and
+    `pl.when(any ray pending)` gates ONE async DMA of the cluster's
+    [9, WINDOW] triangle slab HBM -> VMEM plus a pairwise
+    [1024 x 128] Moeller-Trumbore sweep per 128-triangle lane chunk
+    (rays broadcast over lanes, triangles over sublanes — full VPU
+    tiles, no gathers, no scalar inner loop).
 
 This sidesteps what XLA cannot do well here: per-lane gathers (replaced
-by blocked DMA), lane-divergent while loops (replaced by tile-level
-culling), and pairwise [rays x tris] memory blowup (replaced by scalar
-broadcast).  Correctness is validated against intersect_brute.
+by blocked DMA) and lane-divergent while loops (replaced by block-level
+culling).  Logic is validated against intersect_brute in interpret mode
+and on device.
 """
 from __future__ import annotations
 
@@ -28,15 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import ClusterArrays, Hit
 
 F32_MAX = np.float32(3.0e38)
-TILE_R, TILE_C = 8, 128
-RBLK = TILE_R * TILE_C  # 1024 rays per grid step
+RBLK = 1024   # rays per grid step
+TCHUNK = 128  # triangles per lane sweep
 
 
 def _traverse_kernel(window, n_clusters, any_hit):
+    n_chunks = window // TCHUNK
+
     def kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                mint_r, maxt_r, tri9_hbm,
-               t_ref, u_ref, v_ref, p_ref, tri_smem, sem):
-        ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
+               t_ref, u_ref, v_ref, p_ref, tri_vmem, sem):
+        ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]          # [RBLK, 1]
         dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
         mint = mint_r[:]
         inv = lambda c: jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, 1e30)
@@ -65,26 +69,26 @@ def _traverse_kernel(window, n_clusters, any_hit):
 
             @pl.when(jnp.any(pending))
             def _():
-                cp = pltpu.make_async_copy(tri9_hbm.at[k], tri_smem, sem)
+                cp = pltpu.make_async_copy(tri9_hbm.at[k], tri_vmem, sem)
                 cp.start()
                 cp.wait()
-
-                def tri_body(j, _):
-                    v0x = tri_smem[0, j]
-                    v0y = tri_smem[1, j]
-                    v0z = tri_smem[2, j]
-                    e1x = tri_smem[3, j]
-                    e1y = tri_smem[4, j]
-                    e1z = tri_smem[5, j]
-                    e2x = tri_smem[6, j]
-                    e2y = tri_smem[7, j]
-                    e2z = tri_smem[8, j]
-                    px = dy * e2z - dz * e2y
+                for jc in range(n_chunks):
+                    sl = slice(jc * TCHUNK, (jc + 1) * TCHUNK)
+                    v0x = tri_vmem[0:1, sl]              # [1, TCHUNK]
+                    v0y = tri_vmem[1:2, sl]
+                    v0z = tri_vmem[2:3, sl]
+                    e1x = tri_vmem[3:4, sl]
+                    e1y = tri_vmem[4:5, sl]
+                    e1z = tri_vmem[5:6, sl]
+                    e2x = tri_vmem[6:7, sl]
+                    e2y = tri_vmem[7:8, sl]
+                    e2z = tri_vmem[8:9, sl]
+                    px = dy * e2z - dz * e2y             # [RBLK, TCHUNK]
                     py = dz * e2x - dx * e2z
                     pz = dx * e2y - dy * e2x
                     det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det,
-                                        0.0)
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                                        1.0 / det, 0.0)
                     tx = ox - v0x
                     ty = oy - v0y
                     tz = oz - v0z
@@ -97,18 +101,27 @@ def _traverse_kernel(window, n_clusters, any_hit):
                     hit = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) &
                            (vv >= 0.0) & (uu + vv <= 1.0) &
                            (tt > mint) & (tt < t_ref[:]) & pending)
+                    tt = jnp.where(hit, tt, F32_MAX)
+                    tj = jnp.min(tt, axis=1, keepdims=True)
+                    better = tj < t_ref[:]
                     if any_hit:
-                        p_ref[:] = jnp.where(hit, k * window + j,
-                                             p_ref[:])
+                        p_ref[:] = jnp.where(better, 0, p_ref[:])
                     else:
-                        u_ref[:] = jnp.where(hit, uu, u_ref[:])
-                        v_ref[:] = jnp.where(hit, vv, v_ref[:])
-                        p_ref[:] = jnp.where(hit, k * window + j,
-                                             p_ref[:])
-                        t_ref[:] = jnp.where(hit, tt, t_ref[:])
-                    return 0
-
-                jax.lax.fori_loop(0, window, tri_body, 0)
+                        j = jnp.argmin(tt, axis=1,
+                                       keepdims=True).astype(jnp.int32)
+                        bi = jax.lax.broadcasted_iota(
+                            jnp.int32, tt.shape, 1)
+                        selm = bi == j
+                        uj = jnp.sum(jnp.where(selm, uu, 0.0), axis=1,
+                                     keepdims=True)
+                        vj = jnp.sum(jnp.where(selm, vv, 0.0), axis=1,
+                                     keepdims=True)
+                        u_ref[:] = jnp.where(better, uj, u_ref[:])
+                        v_ref[:] = jnp.where(better, vj, v_ref[:])
+                        p_ref[:] = jnp.where(
+                            better, k * window + jc * TCHUNK + j,
+                            p_ref[:])
+                        t_ref[:] = jnp.where(better, tj, t_ref[:])
 
             return 0
 
@@ -117,27 +130,26 @@ def _traverse_kernel(window, n_clusters, any_hit):
     return kernel
 
 
-def _run(kernel_fn, window, n_clusters, o, d, mint, maxt, tri9, cbounds):
+def _run(kernel_fn, window, o, d, mint, maxt, tri9, cbounds):
     N = o.shape[0]
     pad = (-N) % RBLK
     Np = N + pad
     G = Np // RBLK
 
     def prep(x, fill=0.0):
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
-            G * TILE_R, TILE_C)
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(Np, 1)
 
     args = [prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
             prep(d[:, 0], 1.0), prep(d[:, 1], 1.0), prep(d[:, 2], 1.0),
             prep(mint), prep(maxt, -1.0)]
 
-    spec = pl.BlockSpec((TILE_R, TILE_C), lambda i, *_: (i, 0),
+    spec = pl.BlockSpec((RBLK, 1), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((G * TILE_R, TILE_C), jnp.float32),
-        jax.ShapeDtypeStruct((G * TILE_R, TILE_C), jnp.float32),
-        jax.ShapeDtypeStruct((G * TILE_R, TILE_C), jnp.float32),
-        jax.ShapeDtypeStruct((G * TILE_R, TILE_C), jnp.int32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
     ]
     t, u, v, p = pl.pallas_call(
         kernel_fn,
@@ -147,7 +159,7 @@ def _run(kernel_fn, window, n_clusters, o, d, mint, maxt, tri9, cbounds):
             in_specs=[spec] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[spec] * 4,
             scratch_shapes=[
-                pltpu.SMEM((9, window), jnp.float32),
+                pltpu.VMEM((9, window), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]),
         out_shape=out_shape,
@@ -161,8 +173,7 @@ def make_pallas_intersector(window: int, n_clusters: int):
 
     @jax.jit
     def intersect(o, d, mint, maxt, tri9, cbounds):
-        t, u, v, p = _run(kernel, window, n_clusters, o, d, mint, maxt,
-                          tri9, cbounds)
+        t, u, v, p = _run(kernel, window, o, d, mint, maxt, tri9, cbounds)
         return Hit(t=jnp.where(p >= 0, t, F32_MAX), u=u, v=v, prim=p,
                    valid=p >= 0)
 
@@ -174,8 +185,7 @@ def make_pallas_occluder(window: int, n_clusters: int):
 
     @jax.jit
     def occluded(o, d, mint, maxt, tri9, cbounds):
-        _, _, _, p = _run(kernel, window, n_clusters, o, d, mint, maxt,
-                          tri9, cbounds)
+        t, _, _, p = _run(kernel, window, o, d, mint, maxt, tri9, cbounds)
         return p >= 0
 
     return occluded

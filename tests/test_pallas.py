@@ -1,0 +1,70 @@
+"""Pallas traversal kernel logic validation (interpret mode on CPU).
+
+The device path is exercised separately on TPU hardware; interpret mode
+pins down the kernel MATH against brute force regardless of backend."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from gradientdomain_mitsuba_tpu.ops import intersect as isec
+from gradientdomain_mitsuba_tpu.ops import pallas_trace as ptr
+from gradientdomain_mitsuba_tpu.scene import bvh as bvh_mod
+from gradientdomain_mitsuba_tpu.scene import scene as sc
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(ptr.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+def test_pallas_intersector_matches_brute(interpret_pallas):
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene, st = sc.load_scene(
+        os.path.join(root, "data/scenes/cbox-mats/cbox-mats.xml"),
+        {"width": "16", "height": "16", "spp": "1", "maxDepth": "2"})
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(0)
+    N = 2048
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.full(N, 3e38)
+    f = ptr.make_pallas_intersector(st.cluster_window, K)
+    h = f(o, d, mint, maxt, scene.geom.tri9, scene.geom.cbounds)
+    h2 = isec.intersect_brute(o, d, mint, maxt, scene.geom.tris,
+                              chunk=1024)
+    np.testing.assert_array_equal(np.asarray(h.valid),
+                                  np.asarray(h2.valid))
+    m = np.asarray(h2.valid)
+    np.testing.assert_allclose(np.asarray(h.t)[m], np.asarray(h2.t)[m],
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(h.prim)[m],
+                                  np.asarray(h2.prim)[m])
+
+
+def test_pallas_occluder_matches_brute(interpret_pallas):
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene, st = sc.load_scene(
+        os.path.join(root, "data/scenes/cbox-mats/cbox-mats.xml"),
+        {"width": "16", "height": "16", "spp": "1", "maxDepth": "2"})
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(3)
+    N = 1024
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.full(N, 300.0)
+    f = ptr.make_pallas_occluder(st.cluster_window, K)
+    occ = f(o, d, mint, maxt, scene.geom.tri9, scene.geom.cbounds)
+    ref = isec.occluded_brute(o, d, mint, maxt, scene.geom.tris,
+                              chunk=1024)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
