@@ -91,19 +91,23 @@ def render_tiles_gpt(tracer, scene, mesh, seed, n_samples: int):
             primal = jnp.where(valid[:, None], primal, 0.0)
             very = jnp.where(valid[:, None], very, 0.0)
             grad = jnp.where(valid[None, :, None], grad, 0.0)
-            lpos = pos - jnp.asarray([0.0, row0 - B], pos.dtype)
-            fb, wb = film_ops.splat(bufs["primal"], bufs["wsum"], lpos,
-                                    primal, tracer.filter_kind)
-            vd, _ = film_ops.splat(bufs["very_direct"],
-                                   jnp.zeros_like(wb), lpos, very,
-                                   tracer.filter_kind)
-            from ..models.gpt import OFFSETS
-            dx = film_ops.splat_unfiltered(bufs["dx"], lpos, grad[0])
-            dx = film_ops.splat_unfiltered(
-                dx, lpos + jnp.asarray(OFFSETS[1]), -grad[1])
-            dy = film_ops.splat_unfiltered(bufs["dy"], lpos, grad[2])
-            dy = film_ops.splat_unfiltered(
-                dy, lpos + jnp.asarray(OFFSETS[3]), -grad[3])
+            # grid-aligned: dense adds at local row offset B (no scatter)
+            jit = (pos % 1.0)[None]
+            fb, wb = film_ops.splat_grid(bufs["primal"], bufs["wsum"],
+                                         jit, primal[None],
+                                         tracer.filter_kind, row0=B)
+            vd, _ = film_ops.splat_grid(bufs["very_direct"],
+                                        jnp.zeros_like(wb), jit,
+                                        very[None], tracer.filter_kind,
+                                        row0=B)
+            dx = film_ops.add_grid_shifted(bufs["dx"], grad[0][None],
+                                           0, 0, row0=B)
+            dx = film_ops.add_grid_shifted(dx, -grad[1][None], -1, 0,
+                                           row0=B)
+            dy = film_ops.add_grid_shifted(bufs["dy"], grad[2][None],
+                                           0, 0, row0=B)
+            dy = film_ops.add_grid_shifted(dy, -grad[3][None], 0, -1,
+                                           row0=B)
             return dict(primal=fb, dx=dx, dy=dy, very_direct=vd, wsum=wb)
 
         bufs = jax.lax.fori_loop(0, n_samples, body, bufs)
@@ -149,8 +153,9 @@ def render_tiles_path(tracer, scene, mesh, seed, n_samples: int):
                                        pixel_id=local_ids)
             valid = (local_ids // W) < H
             L = jnp.where(valid[:, None], L, 0.0)
-            lpos = pos - jnp.asarray([0.0, row0 - B], pos.dtype)
-            return film_ops.splat(fb, wb, lpos, L, tracer.filter_kind)
+            jit = (pos % 1.0)[None]
+            return film_ops.splat_grid(fb, wb, jit, L[None],
+                                       tracer.filter_kind, row0=B)
 
         fb, wb = jax.lax.fori_loop(0, n_samples, body, (fb, wb))
         return (_halo_exchange_add(fb, B), _halo_exchange_add(wb, B))
