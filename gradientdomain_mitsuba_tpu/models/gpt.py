@@ -180,16 +180,31 @@ class GPTracer:
             grad=jnp.zeros((4, N, 3)),
         )
 
-        def bounce(b, s):
-            return self._bounce(scene, s, b, seed, sample_idx, pixel_id,
-                                N, eps, occl4, trace4)
+        if self.any_specular or self.n_bounces <= 1:
+            def bounce(b, s):
+                return self._bounce(scene, s, b, seed, sample_idx,
+                                    pixel_id, N, eps, occl4, trace4, True)
 
-        state = jax.lax.fori_loop(0, self.n_bounces, bounce, state)
+            state = jax.lax.fori_loop(0, self.n_bounces, bounce, state)
+        else:
+            # all-diffuse: after bounce 0 every live offset is CONNECTED
+            # (reconnection either succeeded or the shift died), so the
+            # not-connected machinery — 8N offset visibility/continuation
+            # rays per bounce — compiles away for the remaining bounces
+            state = self._bounce(scene, state, 0, seed, sample_idx,
+                                 pixel_id, N, eps, occl4, trace4, True)
+
+            def bounce(b, s):
+                return self._bounce(scene, s, b, seed, sample_idx,
+                                    pixel_id, N, eps, occl4, trace4,
+                                    False)
+
+            state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
         return pos_film, state["primal"], very, state["grad"]
 
     # ------------------------------------------------------------------
     def _bounce(self, scene, s, b, seed, sample_idx, pixel_id, N, eps,
-                occl4, trace4):
+                occl4, trace4, allow_conn0=True):
         st = self.settings
         depth = b + 1
         its = s["its"]
@@ -259,33 +274,45 @@ class GPTracer:
 
             # ---- offsets -------------------------------------------------
             # conn==0: evaluate from own vertex y_k toward the SAME light pt
-            to_l = ds.p[None] - o_its.p
-            dist_o = jnp.sqrt(jnp.maximum(m.squared_length(to_l), 1e-12))
-            # directional delta lights keep the shared direction
-            is_dirlt = ds.is_delta & (ds.dist > 1e6)
-            d_o_l = jnp.where(_b3((ds.is_env | is_dirlt)[None]),
-                              jnp.broadcast_to(ds.d[None], to_l.shape),
-                              to_l / _b3(dist_o))
-            # delta point/spot: radiance carries 1/d^2 — rescale per side
-            conv_o0 = jnp.where(
-                (ds.is_env | is_dirlt)[None], 1.0,
-                jnp.where(ds.is_delta[None],
-                          ds.dist[None] ** 2 /
-                          jnp.maximum(dist_o ** 2, 1e-12),
-                          jnp.maximum(-m.dot(d_o_l, ds.n[None]), 0.0) /
-                          jnp.maximum(dist_o ** 2, 1e-12)))
-            wo_l_o0 = m.to_local(d_o_l, ss_o, ts_o, o_its.ns)
-            f_o0 = bsdf_ops.eval(par_o, wi_o_loc, wo_l_o0)
-            pb_o0_u = jnp.where(ds.is_delta[None], 0.0,
-                                bsdf_ops.pdf(par_o, wi_o_loc, wo_l_o0) *
-                                conv_o0)
-            sh_oo = common.offset_ray_origin(o_its.p, o_its.ng, d_o_l, eps)
-            occ_o0 = occl4(sh_oo, d_o_l,
-                           jnp.where(ds.is_env[None],
-                                     jnp.broadcast_to(ds.dist[None],
-                                                      dist_o.shape),
-                                     dist_o) - 2 * eps / jnp.maximum(
-                               jnp.abs(m.dot(d_o_l, ds.n[None])), 1e-3))
+            if allow_conn0:
+                to_l = ds.p[None] - o_its.p
+                dist_o = jnp.sqrt(jnp.maximum(m.squared_length(to_l),
+                                              1e-12))
+                # directional delta lights keep the shared direction
+                is_dirlt = ds.is_delta & (ds.dist > 1e6)
+                d_o_l = jnp.where(_b3((ds.is_env | is_dirlt)[None]),
+                                  jnp.broadcast_to(ds.d[None],
+                                                   to_l.shape),
+                                  to_l / _b3(dist_o))
+                # delta point/spot: radiance carries 1/d^2 per side
+                conv_o0 = jnp.where(
+                    (ds.is_env | is_dirlt)[None], 1.0,
+                    jnp.where(ds.is_delta[None],
+                              ds.dist[None] ** 2 /
+                              jnp.maximum(dist_o ** 2, 1e-12),
+                              jnp.maximum(-m.dot(d_o_l, ds.n[None]),
+                                          0.0) /
+                              jnp.maximum(dist_o ** 2, 1e-12)))
+                wo_l_o0 = m.to_local(d_o_l, ss_o, ts_o, o_its.ns)
+                f_o0 = bsdf_ops.eval(par_o, wi_o_loc, wo_l_o0)
+                pb_o0_u = jnp.where(
+                    ds.is_delta[None], 0.0,
+                    bsdf_ops.pdf(par_o, wi_o_loc, wo_l_o0) * conv_o0)
+                sh_oo = common.offset_ray_origin(o_its.p, o_its.ng,
+                                                 d_o_l, eps)
+                occ_o0 = occl4(sh_oo, d_o_l,
+                               jnp.where(ds.is_env[None],
+                                         jnp.broadcast_to(
+                                             ds.dist[None],
+                                             dist_o.shape),
+                                         dist_o) - 2 * eps / jnp.maximum(
+                                   jnp.abs(m.dot(d_o_l, ds.n[None])),
+                                   1e-3))
+            else:
+                f_o0 = jnp.zeros_like(o_tp)
+                pb_o0_u = jnp.zeros_like(o_r)
+                conv_o0 = jnp.zeros_like(o_r)
+                occ_o0 = jnp.ones_like(o_alive)
             # conn==1: same vertex as main, different wi (material params
             # broadcast [N,...] against [4,N,...])
             f_o1 = bsdf_ops.eval(par_m, wi_o_main, wo_l_m[None])
@@ -376,7 +403,7 @@ class GPTracer:
             its, wi_m, par_m, ss_m, ts_m, c_main, bs, wo_w, its_n,
             conv_m_seg, pb_m_sa, o_its, o_wi, wi_o_loc, wi_o_main,
             par_o, ss_o, ts_o, c_off, o_tp, o_r, o_conn, o_alive,
-            main_cont, esc, uc)
+            main_cont, esc, uc, allow_conn0)
         (o_its2, o_wi2, o_tp2, o_r2, o_conn2, o_alive2,
          off_emit, off_pb_u, off_pe_u) = new
 
@@ -423,7 +450,8 @@ class GPTracer:
                        its, wi_m, par_m, ss_m, ts_m, c_main, bs, wo_w,
                        its_n, conv_m_seg, pb_m_sa, o_its, o_wi, wi_o_loc,
                        wi_o_main, par_o, ss_o, ts_o, c_off, o_tp, o_r,
-                       o_conn, o_alive, main_cont, esc, uc):
+                       o_conn, o_alive, main_cont, esc, uc,
+                       allow_conn0=True):
         """Advance the 4 offset paths across the base path's BSDF segment.
 
         Returns updated offset state + the per-offset emission/pdfs at the
@@ -453,35 +481,53 @@ class GPTracer:
         # ========== not connected: reconnection / env / half-vector ======
         recon_sel = c_main[None] & c_off & (c_next[None] | esc[None])
 
-        # --- reconnection to base's next vertex --------------------------
-        to_n = its_n.p[None] - o_its.p
-        dist_o2 = jnp.maximum(m.squared_length(to_n), 1e-12)
-        dist_o = jnp.sqrt(dist_o2)
-        dir_rc = to_n / _b3(dist_o)
-        cos_n_o = jnp.abs(m.dot(its_n.ng[None], dir_rc))
-        conv_o_seg = cos_n_o / dist_o2
-        jac_rc = conv_o_seg / jnp.maximum(conv_m_seg[None], 1e-30)
-        wo_rc = m.to_local(dir_rc, ss_o, ts_o, o_its.ns)
-        f_rc = bsdf_ops.eval(par_o, wi_o_loc, wo_rc)
-        pb_rc = bsdf_ops.pdf(par_o, wi_o_loc, wo_rc)
-        sh_o = common.offset_ray_origin(o_its.p, o_its.ng, dir_rc, eps)
-        occ_rc = occl4(sh_o, dir_rc,
-                       dist_o - 2 * eps / jnp.maximum(cos_n_o, 1e-3))
-        ok_rc = (recon_sel & its_n.valid[None] & ~occ_rc &
-                 (jnp.max(f_rc, -1) > 0))
+        if allow_conn0:
+            # --- reconnection to base's next vertex ----------------------
+            to_n = its_n.p[None] - o_its.p
+            dist_o2 = jnp.maximum(m.squared_length(to_n), 1e-12)
+            dist_o = jnp.sqrt(dist_o2)
+            dir_rc = to_n / _b3(dist_o)
+            cos_n_o = jnp.abs(m.dot(its_n.ng[None], dir_rc))
+            conv_o_seg = cos_n_o / dist_o2
+            jac_rc = conv_o_seg / jnp.maximum(conv_m_seg[None], 1e-30)
+            wo_rc = m.to_local(dir_rc, ss_o, ts_o, o_its.ns)
+            f_rc = bsdf_ops.eval(par_o, wi_o_loc, wo_rc)
+            pb_rc = bsdf_ops.pdf(par_o, wi_o_loc, wo_rc)
+            sh_o = common.offset_ray_origin(o_its.p, o_its.ng, dir_rc,
+                                            eps)
+            occ_rc = occl4(sh_o, dir_rc,
+                           dist_o - 2 * eps / jnp.maximum(cos_n_o, 1e-3))
+            ok_rc = (recon_sel & its_n.valid[None] & ~occ_rc &
+                     (jnp.max(f_rc, -1) > 0))
 
-        # --- environment shift (base escaped) ----------------------------
-        wo_env = m.to_local(jnp.broadcast_to(wo_w[None], o_wi.shape),
-                            ss_o, ts_o, o_its.ns)
-        f_env = bsdf_ops.eval(par_o, wi_o_loc, wo_env)
-        pb_env = bsdf_ops.pdf(par_o, wi_o_loc, wo_env)
-        sh_e = common.offset_ray_origin(o_its.p, o_its.ng, wo_w[None], eps)
-        occ_env = occl4(sh_e, jnp.broadcast_to(wo_w[None], o_wi.shape),
-                        jnp.full((4, N), 1e7))
-        ok_env = recon_sel & esc[None] & ~occ_env & (jnp.max(f_env, -1) > 0)
+            # --- environment shift (base escaped) ------------------------
+            wo_env = m.to_local(jnp.broadcast_to(wo_w[None], o_wi.shape),
+                                ss_o, ts_o, o_its.ns)
+            f_env = bsdf_ops.eval(par_o, wi_o_loc, wo_env)
+            pb_env = bsdf_ops.pdf(par_o, wi_o_loc, wo_env)
+            sh_e = common.offset_ray_origin(o_its.p, o_its.ng, wo_w[None],
+                                            eps)
+            occ_env = occl4(sh_e,
+                            jnp.broadcast_to(wo_w[None], o_wi.shape),
+                            jnp.full((4, N), 1e7))
+            ok_env = (recon_sel & esc[None] & ~occ_env &
+                      (jnp.max(f_env, -1) > 0))
+        else:
+            # no NOT-CONNECTED offsets can exist past bounce 0 in
+            # all-diffuse scenes: the whole branch compiles away
+            dir_rc = jnp.broadcast_to(wo_w[None], o_wi.shape)
+            conv_o_seg = jnp.broadcast_to(conv_m_seg[None],
+                                          o_r.shape)
+            jac_rc = jnp.ones_like(o_r)
+            f_rc = jnp.zeros_like(o_tp)
+            pb_rc = jnp.zeros_like(o_r)
+            ok_rc = jnp.zeros_like(o_alive)
+            f_env = jnp.zeros_like(o_tp)
+            pb_env = jnp.zeros_like(o_r)
+            ok_env = jnp.zeros_like(o_alive)
 
         # --- half-vector copy --------------------------------------------
-        if self.any_specular:
+        if self.any_specular and allow_conn0:
             hv = self._half_vector_shift(scene, its, wi_m, par_m, bs,
                                          par_o, wi_o_loc, o_its, uc)
             wo_hv_w = m.to_world(hv["wo"], ss_o, ts_o, o_its.ns)
