@@ -82,10 +82,20 @@ def lhs_float(seed, pixel_id, sample_idx, dim, spp):
     independent per-(pixel,dim) stratum permutation (Cranley-Patterson
     rotation).  Replaces the reference's stratified/ldsampler/sobol
     samplers' main variance win while staying a pure counter function —
-    shift replay and checkpoint/resume semantics are unchanged."""
+    shift replay and checkpoint/resume semantics are unchanged.
+
+    The stratum permutation must be INDEPENDENT per dim: a shared
+    `(i + h) % spp` rotation leaves consecutive dims on a correlated
+    diagonal, which measurably hurts (relMSE above independent sampling
+    on cbox).  For power-of-two spp an odd-multiplier LCG step gives a
+    cheap per-(pixel, dim) bijection; otherwise fall back to rotation."""
     h = random_bits(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x51A7E),
                     pixel_id, 0, dim)
-    stratum = (jnp.asarray(sample_idx, jnp.uint32) + h) % jnp.uint32(spp)
+    i = jnp.asarray(sample_idx, jnp.uint32)
+    if spp & (spp - 1) == 0:
+        stratum = (i * (h | jnp.uint32(1)) + (h >> 16)) % jnp.uint32(spp)
+    else:
+        stratum = (i + h) % jnp.uint32(spp)
     u = uniform_float(seed, pixel_id, sample_idx, dim)
     return (stratum.astype(jnp.float32) + u) / spp
 
@@ -96,13 +106,68 @@ def lhs_2d(seed, pixel_id, sample_idx, dim, spp):
                      axis=-1)
 
 
-STRATIFIED_SAMPLERS = ("stratified", "ldsampler", "sobol", "halton",
-                       "hammersley")
+# --- scrambled (0,2)-sequence (ldsampler / sobol parity) -------------------
+# Direction numbers of the 2nd Sobol dimension; dim 1 is van der Corput
+# (bit reversal).  XOR-scrambling per (pixel, dim) preserves the (0,2)
+# elementary-interval stratification (same construction as the reference's
+# ldsampler, src/samplers/ldsampler.cpp) while staying a pure counter
+# function of (seed, pixel, sample, dim).
+_SOBOL2_DIRS = np.zeros(32, np.uint32)
+_v = np.uint32(1 << 31)
+for _k in range(32):
+    _SOBOL2_DIRS[_k] = _v
+    _v = np.uint32(_v ^ (_v >> np.uint32(1)))
+del _v, _k
+
+
+def _reverse_bits32(x):
+    x = ((x & np.uint32(0x55555555)) << 1) | ((x & np.uint32(0xAAAAAAAA)) >> 1)
+    x = ((x & np.uint32(0x33333333)) << 2) | ((x & np.uint32(0xCCCCCCCC)) >> 2)
+    x = ((x & np.uint32(0x0F0F0F0F)) << 4) | ((x & np.uint32(0xF0F0F0F0)) >> 4)
+    x = ((x & np.uint32(0x00FF00FF)) << 8) | ((x & np.uint32(0xFF00FF00)) >> 8)
+    return (x << 16) | (x >> 16)
+
+
+def _sobol2_bits(n):
+    """2nd Sobol dimension of index n (uint32 bits)."""
+    n = jnp.asarray(n, jnp.uint32)
+    r = jnp.zeros_like(n)
+    for k in range(32):   # static unroll: 32 VPU int ops
+        r = r ^ jnp.where((n >> np.uint32(k)) & np.uint32(1),
+                          _SOBOL2_DIRS[k], np.uint32(0))
+    return r
+
+
+def sobol02_2d(seed, pixel_id, sample_idx, dim, spp):
+    """Scrambled (0,2)-sequence point pair: jointly 2D-stratified over every
+    base-2 elementary interval (vs LHS which stratifies marginals only).
+    With power-of-two spp each pixel's spp points hit every elementary
+    interval of area 1/spp exactly once."""
+    i = jnp.asarray(sample_idx, jnp.uint32)
+    b0 = _reverse_bits32(i)
+    b1 = _sobol2_bits(i)
+    s = jnp.asarray(seed, jnp.uint32) ^ np.uint32(0x50B01)
+    u0 = (b0 ^ random_bits(s, pixel_id, 0, dim)).astype(jnp.float32)
+    u1 = (b1 ^ random_bits(s, pixel_id, 0,
+                           jnp.asarray(dim) + 1)).astype(jnp.float32)
+    return jnp.stack([u0, u1], axis=-1) * _INV_2_32
+
+
+STRATIFIED_SAMPLERS = ()
+LDS_SAMPLERS = ("stratified", "ldsampler", "sobol", "halton",
+                "hammersley")
 
 
 def make_sampler(sampler: str, spp: int):
     """Returns (u1, u2) draw functions for the configured sampler type.
     Unknown types fall back to independent."""
+    if sampler in LDS_SAMPLERS and spp > 1:
+        def u1(seed, pixel_id, sample_idx, dim):
+            return lhs_float(seed, pixel_id, sample_idx, dim, spp)
+
+        def u2(seed, pixel_id, sample_idx, dim):
+            return sobol02_2d(seed, pixel_id, sample_idx, dim, spp)
+        return u1, u2
     if sampler in STRATIFIED_SAMPLERS and spp > 1:
         def u1(seed, pixel_id, sample_idx, dim):
             return lhs_float(seed, pixel_id, sample_idx, dim, spp)

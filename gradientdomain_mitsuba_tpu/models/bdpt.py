@@ -103,6 +103,10 @@ class BDPTracer:
     bdpt.cpp with lightImage=true, sampleDirect via s=1 strategies)."""
 
     def __init__(self, scene, settings):
+        self.kinds = bsdf_ops.scene_kinds(scene)
+        self._beval = functools.partial(bsdf_ops.eval, kinds=self.kinds)
+        self._bpdf = functools.partial(bsdf_ops.pdf, kinds=self.kinds)
+        self._bsample = functools.partial(bsdf_ops.sample, kinds=self.kinds)
         self.settings = settings
         self.n_area = int((np.asarray(scene.emitters.tri_count) > 0).sum())
         self.env_kind = settings.env_kind  # TODO: env-emitter strategies
@@ -217,9 +221,9 @@ class BDPTracer:
             uc = self._u1(
                 seed, pixel_id, sample_idx,
                 dim_base + DA.bounce_dim(k, DA.D_BSDF_COMPONENT))
-            bs = bsdf_ops.sample(par, wi, u2, uc)
+            bs = self._bsample(par, wi, u2, uc)
             # reverse pdf toward the previous vertex, given the sampled wo
-            pdf_rev_sa = bsdf_ops.pdf(par, bs.wo, wi)
+            pdf_rev_sa = self._bpdf(par, bs.wo, wi)
             if k == 0:
                 rev0_sa = jnp.where(alive, pdf_rev_sa, 0.0)
             else:
@@ -327,8 +331,8 @@ class BDPTracer:
         wo = m.to_local(wo_world, ss, ts, sp.ns[:, k])
         par = common.material_params(scene, self.has_textures,
                                      sp.bsdf_id[:, k], sp.uv[:, k])
-        f = bsdf_ops.eval(par, wi, wo)
-        pdf = bsdf_ops.pdf(par, wi, wo)
+        f = self._beval(par, wi, wo)
+        pdf = self._bpdf(par, wi, wo)
         return f, pdf
 
     def _pdf_toward_prev(self, scene, sp: SubPath, k, d_new_in, prev_p,
@@ -342,7 +346,7 @@ class BDPTracer:
         ssf, tsf = m.build_frame(sp.ns[:, k])
         par = common.material_params(scene, self.has_textures,
                                      sp.bsdf_id[:, k], sp.uv[:, k])
-        pdf_sa = bsdf_ops.pdf(
+        pdf_sa = self._bpdf(
             par, m.to_local(d_new_in, ssf, tsf, sp.ns[:, k]),
             m.to_local(dirp, ssf, tsf, sp.ns[:, k]))
         return _dir_to_area(pdf_sa, dirp, d2, prev_ng)

@@ -56,6 +56,10 @@ class GBDPTracer(BDPTracer):
     """G-BDPT: BDPT base + 4 shifted eye-subpath evaluations."""
 
     def __init__(self, scene, settings):
+        self.kinds = bsdf_ops.scene_kinds(scene)
+        self._beval = functools.partial(bsdf_ops.eval, kinds=self.kinds)
+        self._bpdf = functools.partial(bsdf_ops.pdf, kinds=self.kinds)
+        self._bsample = functools.partial(bsdf_ops.sample, kinds=self.kinds)
         super().__init__(scene, settings)
         p = settings.integrator_props
         self.shift_threshold = float(p.get("shiftThreshold", 0.001))
@@ -124,8 +128,8 @@ class GBDPTracer(BDPTracer):
         wo1 = m.to_local(dir_rc, ss1, ts1, its1.ns)
         par1 = common.material_params(scene, self.has_textures,
                                       its1.bsdf_id, its1.uv)
-        f1 = bsdf_ops.eval(par1, wi1, wo1)
-        pdf1_sa = bsdf_ops.pdf(par1, wi1, wo1)
+        f1 = self._beval(par1, wi1, wo1)
+        pdf1_sa = self._bpdf(par1, wi1, wo1)
         ok_conn = ok_conn & (jnp.max(f1, -1) > 0) & (pdf1_sa > 0)
 
         # base z_1 -> z_2 edge quantities
@@ -144,9 +148,9 @@ class GBDPTracer(BDPTracer):
         d3sq = jnp.maximum(m.squared_length(to3), 1e-12)
         dir23 = to3 / _b3(jnp.sqrt(d3sq))
         wo2 = m.to_local(dir23, ss2, ts2, eye.ns[:, 1])
-        f2_off = bsdf_ops.eval(par2, wi2_off, wo2)
-        f2_base = bsdf_ops.eval(par2, wi2_base, wo2)
-        pdf2_off_sa = bsdf_ops.pdf(par2, wi2_off, wo2)
+        f2_off = self._beval(par2, wi2_off, wo2)
+        f2_base = self._beval(par2, wi2_base, wo2)
+        pdf2_off_sa = self._bpdf(par2, wi2_off, wo2)
         pdf_fwd3_off = _dir_to_area(pdf2_off_sa, dir23, d3sq, eye.ng[:, 2])
         ratio_f2 = jnp.where(
             _b3(jnp.max(f2_base, -1) > 0),
@@ -154,7 +158,7 @@ class GBDPTracer(BDPTracer):
 
         # reverse pdfs near the junction
         # pdf_rev[0] of the view: z'_1 re-sampled from z_2 (incoming z_3)
-        pdf_rev1_sa = bsdf_ops.pdf(par2, wo2, wi2_off)
+        pdf_rev1_sa = self._bpdf(par2, wo2, wi2_off)
         pdf_rev1_off = _dir_to_area(pdf_rev1_sa, -dir_rc, d2sq, its1.ng)
 
         # beta entries

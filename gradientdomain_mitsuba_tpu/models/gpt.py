@@ -70,6 +70,10 @@ class GPTracer:
     """
 
     def __init__(self, scene, settings):
+        self.kinds = bsdf_ops.scene_kinds(scene)
+        self._beval = functools.partial(bsdf_ops.eval, kinds=self.kinds)
+        self._bpdf = functools.partial(bsdf_ops.pdf, kinds=self.kinds)
+        self._bsample = functools.partial(bsdf_ops.sample, kinds=self.kinds)
         self.settings = settings
         self.n_area = int((np.asarray(scene.emitters.tri_count) > 0).sum())
         self.env_kind = settings.env_kind
@@ -255,9 +259,9 @@ class GPTracer:
                                jnp.maximum(ds.dist ** 2, 1e-12))
             pe_u = jnp.where(ds.is_env, ds.pdf, ds.pdf_area)
             wo_l_m = m.to_local(ds.d, ss_m, ts_m, its.ns)
-            f_m = bsdf_ops.eval(par_m, wi_m, wo_l_m)
+            f_m = self._beval(par_m, wi_m, wo_l_m)
             pb_m_u = jnp.where(ds.is_delta, 0.0,
-                               bsdf_ops.pdf(par_m, wi_m, wo_l_m) * conv_m)
+                               self._bpdf(par_m, wi_m, wo_l_m) * conv_m)
             sh_o = common.offset_ray_origin(its.p, its.ng, ds.d, eps)
             occ_m = self.occluded(
                 sh_o, ds.d, jnp.zeros(N),
@@ -294,10 +298,10 @@ class GPTracer:
                                           0.0) /
                               jnp.maximum(dist_o ** 2, 1e-12)))
                 wo_l_o0 = m.to_local(d_o_l, ss_o, ts_o, o_its.ns)
-                f_o0 = bsdf_ops.eval(par_o, wi_o_loc, wo_l_o0)
+                f_o0 = self._beval(par_o, wi_o_loc, wo_l_o0)
                 pb_o0_u = jnp.where(
                     ds.is_delta[None], 0.0,
-                    bsdf_ops.pdf(par_o, wi_o_loc, wo_l_o0) * conv_o0)
+                    self._bpdf(par_o, wi_o_loc, wo_l_o0) * conv_o0)
                 sh_oo = common.offset_ray_origin(o_its.p, o_its.ng,
                                                  d_o_l, eps)
                 occ_o0 = occl4(sh_oo, d_o_l,
@@ -315,9 +319,9 @@ class GPTracer:
                 occ_o0 = jnp.ones_like(o_alive)
             # conn==1: same vertex as main, different wi (material params
             # broadcast [N,...] against [4,N,...])
-            f_o1 = bsdf_ops.eval(par_m, wi_o_main, wo_l_m[None])
+            f_o1 = self._beval(par_m, wi_o_main, wo_l_m[None])
             pb_o1_u = jnp.where(ds.is_delta[None], 0.0,
-                                bsdf_ops.pdf(par_m, wi_o_main,
+                                self._bpdf(par_m, wi_o_main,
                                              wo_l_m[None]) * conv_m[None])
 
             is0 = (o_conn == CONN_NONE)
@@ -346,7 +350,7 @@ class GPTracer:
                         DA.bounce_dim(b, DA.D_BSDF_UV))
         uc = self._u1(seed, pixel_id, sample_idx,
                            DA.bounce_dim(b, DA.D_BSDF_COMPONENT))
-        bs = bsdf_ops.sample(par_m, wi_m, u2, uc)
+        bs = self._bsample(par_m, wi_m, u2, uc)
         main_cont = ext_alive & bs.valid
         wo_w = m.to_world(bs.wo, ss_m, ts_m, its.ns)
         o_new = common.offset_ray_origin(its.p, its.ng, wo_w, eps)
@@ -471,8 +475,8 @@ class GPTracer:
         pb_conn = jnp.where(bs.is_delta, 1.0, pb_m_sa)[None]
 
         # ========== recently connected: same vertex, own wi ==============
-        f_o1 = bsdf_ops.eval(par_m, wi_o_main, bs.wo[None])
-        pb_o1 = bsdf_ops.pdf(par_m, wi_o_main, bs.wo[None])
+        f_o1 = self._beval(par_m, wi_o_main, bs.wo[None])
+        pb_o1 = self._bpdf(par_m, wi_o_main, bs.wo[None])
         # delta base sample from a RECENT state: the offset's incoming
         # direction differs, so a delta lobe cannot produce the same wo ->
         # shift dies (measure-zero event; matches halfVectorShift failure)
@@ -491,8 +495,8 @@ class GPTracer:
             conv_o_seg = cos_n_o / dist_o2
             jac_rc = conv_o_seg / jnp.maximum(conv_m_seg[None], 1e-30)
             wo_rc = m.to_local(dir_rc, ss_o, ts_o, o_its.ns)
-            f_rc = bsdf_ops.eval(par_o, wi_o_loc, wo_rc)
-            pb_rc = bsdf_ops.pdf(par_o, wi_o_loc, wo_rc)
+            f_rc = self._beval(par_o, wi_o_loc, wo_rc)
+            pb_rc = self._bpdf(par_o, wi_o_loc, wo_rc)
             sh_o = common.offset_ray_origin(o_its.p, o_its.ng, dir_rc,
                                             eps)
             occ_rc = occl4(sh_o, dir_rc,
@@ -503,8 +507,8 @@ class GPTracer:
             # --- environment shift (base escaped) ------------------------
             wo_env = m.to_local(jnp.broadcast_to(wo_w[None], o_wi.shape),
                                 ss_o, ts_o, o_its.ns)
-            f_env = bsdf_ops.eval(par_o, wi_o_loc, wo_env)
-            pb_env = bsdf_ops.pdf(par_o, wi_o_loc, wo_env)
+            f_env = self._beval(par_o, wi_o_loc, wo_env)
+            pb_env = self._bpdf(par_o, wi_o_loc, wo_env)
             sh_e = common.offset_ray_origin(o_its.p, o_its.ng, wo_w[None],
                                             eps)
             occ_env = occl4(sh_e,
@@ -731,8 +735,8 @@ class GPTracer:
                                same_hemi_refl)
 
         # f*cos and pdf at the offset vertex
-        f_smooth = bsdf_ops.eval(par_o, wi_o, wo_o)
-        pdf_smooth = bsdf_ops.pdf(par_o, wi_o, wo_o)
+        f_smooth = self._beval(par_o, wi_o, wo_o)
+        pdf_smooth = self._bpdf(par_o, wi_o, wo_o)
 
         # delta offsets: discrete weights
         F_c = bsdf_ops.fresnel_conductor(wi_o[..., 2], par_o.eta, par_o.k)

@@ -42,6 +42,10 @@ class PathTracer:
     """Holds static per-scene config and compiled render functions."""
 
     def __init__(self, scene, settings):
+        self.kinds = bsdf_ops.scene_kinds(scene)
+        self._beval = functools.partial(bsdf_ops.eval, kinds=self.kinds)
+        self._bpdf = functools.partial(bsdf_ops.pdf, kinds=self.kinds)
+        self._bsample = functools.partial(bsdf_ops.sample, kinds=self.kinds)
         self.settings = settings
         self.n_area = int((np.asarray(scene.emitters.tri_count) > 0).sum())
         self.has_env = settings.has_env
@@ -152,8 +156,8 @@ class PathTracer:
                     jnp.abs(m.dot(ds.d, ds.n)), 1e-3),
                 scene.geom)
             wo_l = m.to_local(ds.d, ss, ts, its.ns)
-            f_l = bsdf_ops.eval(params, wi, wo_l)
-            pdf_b = bsdf_ops.pdf(params, wi, wo_l)
+            f_l = self._beval(params, wi, wo_l)
+            pdf_b = self._bpdf(params, wi, wo_l)
             w_nee = jnp.where(ds.is_delta, 1.0, mis_weight(ds.pdf, pdf_b))
             contrib = (tp * f_l * ds.radiance *
                        (w_nee / jnp.maximum(ds.pdf, 1e-30))[..., None])
@@ -164,7 +168,7 @@ class PathTracer:
                             DA.bounce_dim(b, DA.D_BSDF_UV))
             uc = self._u1(seed, pixel_id, sample_idx,
                                DA.bounce_dim(b, DA.D_BSDF_COMPONENT))
-            bs = bsdf_ops.sample(params, wi, u2, uc)
+            bs = self._bsample(params, wi, u2, uc)
             alive = alive & bs.valid
             tp = jnp.where(alive[..., None], tp * bs.weight, tp)
             eta = jnp.where(alive, s["eta"] * bs.eta, s["eta"])

@@ -405,24 +405,39 @@ def _flip_frame(p: MatParams, wi):
     return sign, flip
 
 
-def eval(p: MatParams, wi, wo):
-    """f(wi,wo)*|cos_o| for the SMOOTH components; zero for delta lobes."""
+def _has(kinds, k):
+    """Static membership: kinds=None means 'all models compiled in'."""
+    return kinds is None or k in kinds
+
+
+def eval(p: MatParams, wi, wo, kinds=None):
+    """f(wi,wo)*|cos_o| for the SMOOTH components; zero for delta lobes.
+
+    `kinds` (an optional static frozenset of material enums present in
+    the scene) prunes absent models at trace time — a large compile-time
+    and VPU saving for typical scenes."""
     sign, _ = _flip_frame(p, wi)
     wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     out = _diffuse_eval(p, wi, wo)
-    out = jnp.where((p.kind == ROUGH_DIFFUSE)[..., None],
-                    _roughdiffuse_eval(p, wi, wo), out)
-    out = jnp.where((p.kind == ROUGH_CONDUCTOR)[..., None],
-                    _roughconductor_eval(p, wi, wo), out)
-    out = jnp.where((p.kind == ROUGH_PLASTIC)[..., None],
-                    _roughplastic_eval(p, wi, wo), out)
-    out = jnp.where((p.kind == PHONG)[..., None],
-                    _phong_eval(p, wi, wo), out)
-    out = jnp.where((p.kind == PLASTIC)[..., None],
-                    _plastic_eval_diffuse(p, wi, wo), out)
-    out = jnp.where((p.kind == ROUGH_DIELECTRIC)[..., None],
-                    _roughdielectric_eval(p, wi, wo), out)
+    if _has(kinds, ROUGH_DIFFUSE):
+        out = jnp.where((p.kind == ROUGH_DIFFUSE)[..., None],
+                        _roughdiffuse_eval(p, wi, wo), out)
+    if _has(kinds, ROUGH_CONDUCTOR):
+        out = jnp.where((p.kind == ROUGH_CONDUCTOR)[..., None],
+                        _roughconductor_eval(p, wi, wo), out)
+    if _has(kinds, ROUGH_PLASTIC):
+        out = jnp.where((p.kind == ROUGH_PLASTIC)[..., None],
+                        _roughplastic_eval(p, wi, wo), out)
+    if _has(kinds, PHONG):
+        out = jnp.where((p.kind == PHONG)[..., None],
+                        _phong_eval(p, wi, wo), out)
+    if _has(kinds, PLASTIC):
+        out = jnp.where((p.kind == PLASTIC)[..., None],
+                        _plastic_eval_diffuse(p, wi, wo), out)
+    if _has(kinds, ROUGH_DIELECTRIC):
+        out = jnp.where((p.kind == ROUGH_DIELECTRIC)[..., None],
+                        _roughdielectric_eval(p, wi, wo), out)
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
                   (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
     return jnp.where(delta_only[..., None], 0.0, out)
@@ -441,21 +456,25 @@ def _plastic_eval_diffuse(p, wi, wo):
     return jnp.where(valid[..., None], f, 0.0)
 
 
-def pdf(p: MatParams, wi, wo):
+def pdf(p: MatParams, wi, wo, kinds=None):
     """Solid-angle pdf of sample() restricted to smooth components."""
     sign, _ = _flip_frame(p, wi)
     wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     out = _diffuse_pdf(p, wi, wo)
-    out = jnp.where(p.kind == ROUGH_DIFFUSE, _diffuse_pdf(p, wi, wo), out)
-    out = jnp.where(p.kind == ROUGH_CONDUCTOR,
-                    _roughconductor_pdf(p, wi, wo), out)
-    out = jnp.where(p.kind == ROUGH_PLASTIC,
-                    _roughplastic_pdf(p, wi, wo), out)
-    out = jnp.where(p.kind == PHONG, _phong_pdf(p, wi, wo), out)
-    out = jnp.where(p.kind == PLASTIC, _plastic_pdf(p, wi, wo), out)
-    out = jnp.where(p.kind == ROUGH_DIELECTRIC,
-                    _roughdielectric_pdf(p, wi, wo), out)
+    if _has(kinds, ROUGH_CONDUCTOR):
+        out = jnp.where(p.kind == ROUGH_CONDUCTOR,
+                        _roughconductor_pdf(p, wi, wo), out)
+    if _has(kinds, ROUGH_PLASTIC):
+        out = jnp.where(p.kind == ROUGH_PLASTIC,
+                        _roughplastic_pdf(p, wi, wo), out)
+    if _has(kinds, PHONG):
+        out = jnp.where(p.kind == PHONG, _phong_pdf(p, wi, wo), out)
+    if _has(kinds, PLASTIC):
+        out = jnp.where(p.kind == PLASTIC, _plastic_pdf(p, wi, wo), out)
+    if _has(kinds, ROUGH_DIELECTRIC):
+        out = jnp.where(p.kind == ROUGH_DIELECTRIC,
+                        _roughdielectric_pdf(p, wi, wo), out)
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
                   (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
     return jnp.where(delta_only, 0.0, out)
@@ -477,118 +496,185 @@ class BSDFSample(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
 
-def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
-    """Sample an outgoing direction. u2: [N,2], u_comp: [N]."""
+def scene_kinds(scene) -> frozenset:
+    """Static set of material kinds present in a compiled scene — used to
+    prune absent BSDF models out of the traced program entirely."""
+    import numpy as _np
+    return frozenset(int(v) for v in
+                     _np.unique(_np.asarray(scene.materials.kind)))
+
+
+def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
+    """Sample an outgoing direction. u2: [N,2], u_comp: [N].
+
+    `kinds` statically prunes material models absent from the scene."""
     sign, _ = _flip_frame(p, wi)
     sign3 = jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wif = wi * sign3
     N = wi.shape[:-1]
     one = jnp.ones(N, wi.dtype)
+    k = p.kind
 
-    # --- diffuse-family (diffuse / roughdiffuse) ---------------------------
+    # --- diffuse-family (always compiled: the default branch) -------------
     wo_d = warp.square_to_cosine_hemisphere(u2)
     pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d)
     w_d_diffuse = jnp.where((wif[..., 2] > 0)[..., None], p.reflectance, 0.0)
-    # roughdiffuse weight: eval/pdf
-    on_eval = _roughdiffuse_eval(p, wif, wo_d)
-    w_d_on = on_eval / jnp.maximum(pdf_d, 1e-12)[..., None]
 
-    # --- smooth conductor ---------------------------------------------------
-    wo_c = reflect_local(wif)
-    F_c = fresnel_conductor(wif[..., 2], p.eta, p.k)
-    w_c = p.specular * F_c
-    valid_c = wif[..., 2] > 0
+    wo_sel = [];  w_sel = [];  pdf_sel = [];  eta_sel = [];  valid_sel = []
+    delta_mask = jnp.zeros(N, bool)
 
-    # --- smooth dielectric --------------------------------------------------
+    if _has(kinds, ROUGH_DIFFUSE):
+        on_eval = _roughdiffuse_eval(p, wif, wo_d)
+        w_d_on = on_eval / jnp.maximum(pdf_d, 1e-12)[..., None]
+        wo_sel.append((ROUGH_DIFFUSE, wo_d))
+        w_sel.append((ROUGH_DIFFUSE, w_d_on))
+        pdf_sel.append((ROUGH_DIFFUSE, pdf_d))
+        valid_sel.append((ROUGH_DIFFUSE,
+                          (wif[..., 2] > 0) & (wo_d[..., 2] > 0)))
+
+    if _has(kinds, CONDUCTOR):
+        wo_c = reflect_local(wif)
+        F_c = fresnel_conductor(wif[..., 2], p.eta, p.k)
+        wo_sel.append((CONDUCTOR, wo_c))
+        w_sel.append((CONDUCTOR, p.specular * F_c))
+        pdf_sel.append((CONDUCTOR, one))
+        valid_sel.append((CONDUCTOR, wif[..., 2] > 0))
+        delta_mask = delta_mask | (k == CONDUCTOR)
+
     eta_s = p.eta[..., 0]
-    F_die, cos_t = fresnel_dielectric(wi[..., 2], eta_s)
-    choose_refl = u_comp <= F_die
-    wo_refl = reflect_local(wi)
-    rel_eta = jnp.where(wi[..., 2] >= 0, eta_s, 1.0 / jnp.maximum(eta_s, 1e-9))
-    wo_refr = jnp.stack(
-        [-wi[..., 0] / rel_eta, -wi[..., 1] / rel_eta, cos_t], axis=-1)
-    wo_die = jnp.where(choose_refl[..., None], wo_refl, wo_refr)
-    # radiance transport: transmitted weight carries 1/eta^2
-    w_die = jnp.where(
-        choose_refl[..., None], p.specular,
-        p.transmittance / jnp.maximum(rel_eta * rel_eta, 1e-9)[..., None])
-    pdf_die = jnp.where(choose_refl, F_die, 1.0 - F_die)
-    eta_die = jnp.where(choose_refl, 1.0, rel_eta)
+    if _has(kinds, DIELECTRIC):
+        F_die, cos_t = fresnel_dielectric(wi[..., 2], eta_s)
+        choose_refl = u_comp <= F_die
+        wo_refl = reflect_local(wi)
+        rel_eta = jnp.where(wi[..., 2] >= 0, eta_s,
+                            1.0 / jnp.maximum(eta_s, 1e-9))
+        wo_refr = jnp.stack(
+            [-wi[..., 0] / rel_eta, -wi[..., 1] / rel_eta, cos_t], axis=-1)
+        wo_die = jnp.where(choose_refl[..., None], wo_refl, wo_refr)
+        # radiance transport: transmitted weight carries 1/eta^2
+        w_die = jnp.where(
+            choose_refl[..., None], p.specular,
+            p.transmittance / jnp.maximum(rel_eta * rel_eta,
+                                          1e-9)[..., None])
+        pdf_die = jnp.where(choose_refl, F_die, 1.0 - F_die)
+        eta_die = jnp.where(choose_refl, 1.0, rel_eta)
+        wo_sel.append((DIELECTRIC, wo_die))
+        w_sel.append((DIELECTRIC, w_die))
+        pdf_sel.append((DIELECTRIC, pdf_die))
+        eta_sel.append((DIELECTRIC, eta_die))
+        valid_sel.append((DIELECTRIC, pdf_die > 0))
+        delta_mask = delta_mask | (k == DIELECTRIC)
 
-    # --- thin dielectric ----------------------------------------------------
-    # two-interface reflection: R' = R + TRT + ... = R*(1 + T^2/(1-R^2))
-    F_thin_raw, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), eta_s)
-    F_thin = jnp.where(
-        F_thin_raw < 1.0,
-        F_thin_raw + (1 - F_thin_raw) ** 2 * F_thin_raw /
-        jnp.maximum(1 - F_thin_raw ** 2, 1e-9),
-        1.0)
-    choose_refl_t = u_comp <= F_thin
-    wo_thin = jnp.where(choose_refl_t[..., None], reflect_local(wi), -wi)
-    w_thin = jnp.where(choose_refl_t[..., None], p.specular, p.transmittance)
-    pdf_thin = jnp.where(choose_refl_t, F_thin, 1.0 - F_thin)
+    if _has(kinds, THIN_DIELECTRIC):
+        # two-interface reflection: R' = R + TRT + ...
+        F_thin_raw, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), eta_s)
+        F_thin = jnp.where(
+            F_thin_raw < 1.0,
+            F_thin_raw + (1 - F_thin_raw) ** 2 * F_thin_raw /
+            jnp.maximum(1 - F_thin_raw ** 2, 1e-9),
+            1.0)
+        choose_refl_t = u_comp <= F_thin
+        wo_thin = jnp.where(choose_refl_t[..., None], reflect_local(wi),
+                            -wi)
+        w_thin = jnp.where(choose_refl_t[..., None], p.specular,
+                           p.transmittance)
+        pdf_thin = jnp.where(choose_refl_t, F_thin, 1.0 - F_thin)
+        wo_sel.append((THIN_DIELECTRIC, wo_thin))
+        w_sel.append((THIN_DIELECTRIC, w_thin))
+        pdf_sel.append((THIN_DIELECTRIC, pdf_thin))
+        valid_sel.append((THIN_DIELECTRIC, pdf_thin > 0))
+        delta_mask = delta_mask | (k == THIN_DIELECTRIC)
 
-    # --- rough conductor ----------------------------------------------------
-    m = mf_sample(u2, p.alpha, p.dist)
-    wo_rc = 2.0 * jnp.sum(wif * m, axis=-1, keepdims=True) * m - wif
-    pdf_rc = _roughconductor_pdf(p, wif, wo_rc)
-    eval_rc = _roughconductor_eval(p, wif, wo_rc)
-    w_rc = eval_rc / jnp.maximum(pdf_rc, 1e-12)[..., None]
-    valid_rc = (wo_rc[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_rc > 0)
+    need_rc = _has(kinds, ROUGH_CONDUCTOR) or _has(kinds, ROUGH_PLASTIC)
+    if need_rc:
+        m_h = mf_sample(u2, p.alpha, p.dist)
+        wo_rc = 2.0 * jnp.sum(wif * m_h, axis=-1, keepdims=True) * m_h - wif
+    if _has(kinds, ROUGH_CONDUCTOR):
+        pdf_rc = _roughconductor_pdf(p, wif, wo_rc)
+        eval_rc = _roughconductor_eval(p, wif, wo_rc)
+        w_rc = eval_rc / jnp.maximum(pdf_rc, 1e-12)[..., None]
+        wo_sel.append((ROUGH_CONDUCTOR, wo_rc))
+        w_sel.append((ROUGH_CONDUCTOR, w_rc))
+        pdf_sel.append((ROUGH_CONDUCTOR, pdf_rc))
+        valid_sel.append((ROUGH_CONDUCTOR,
+                          (wo_rc[..., 2] > 0) & (wif[..., 2] > 0) &
+                          (pdf_rc > 0)))
 
-    # --- rough plastic ------------------------------------------------------
-    prob_spec_rp, _ = _roughplastic_probs(p, wif)
-    pick_spec_rp = u_comp < prob_spec_rp
-    wo_rp = jnp.where(pick_spec_rp[..., None], wo_rc, wo_d)
-    pdf_rp = _roughplastic_pdf(p, wif, wo_rp)
-    eval_rp = _roughplastic_eval(p, wif, wo_rp)
-    w_rp = eval_rp / jnp.maximum(pdf_rp, 1e-12)[..., None]
-    valid_rp = (wo_rp[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_rp > 0)
+    if _has(kinds, ROUGH_PLASTIC):
+        prob_spec_rp, _ = _roughplastic_probs(p, wif)
+        pick_spec_rp = u_comp < prob_spec_rp
+        wo_rp = jnp.where(pick_spec_rp[..., None], wo_rc, wo_d)
+        pdf_rp = _roughplastic_pdf(p, wif, wo_rp)
+        eval_rp = _roughplastic_eval(p, wif, wo_rp)
+        w_rp = eval_rp / jnp.maximum(pdf_rp, 1e-12)[..., None]
+        wo_sel.append((ROUGH_PLASTIC, wo_rp))
+        w_sel.append((ROUGH_PLASTIC, w_rp))
+        pdf_sel.append((ROUGH_PLASTIC, pdf_rp))
+        valid_sel.append((ROUGH_PLASTIC,
+                          (wo_rp[..., 2] > 0) & (wif[..., 2] > 0) &
+                          (pdf_rp > 0)))
 
-    # --- smooth plastic -----------------------------------------------------
-    Fi_p, _ = fresnel_dielectric(wif[..., 2], eta_s)
     sw = p.spec_weight
-    prob_spec_p = jnp.clip(
-        (Fi_p * sw) / jnp.maximum(Fi_p * sw + (1 - Fi_p) * (1 - sw), 1e-9),
-        0.0, 1.0)
-    pick_spec_p = u_comp < prob_spec_p
-    wo_pl = jnp.where(pick_spec_p[..., None], reflect_local(wif), wo_d)
-    # specular: weight = F * spec / prob_spec ; diffuse: eval/((1-prob)*pdf_d)
-    w_pl_spec = p.specular * (Fi_p / jnp.maximum(prob_spec_p, 1e-9))[..., None]
-    ev_pl = _plastic_eval_diffuse(p, wif, wo_pl)
-    w_pl_diff = ev_pl / jnp.maximum(
-        ((1 - prob_spec_p) * pdf_d), 1e-12)[..., None]
-    w_pl = jnp.where(pick_spec_p[..., None], w_pl_spec, w_pl_diff)
-    pdf_pl = jnp.where(pick_spec_p, prob_spec_p, (1 - prob_spec_p) * pdf_d)
-    valid_pl = wif[..., 2] > 0
+    pick_spec_p = jnp.zeros(N, bool)
+    if _has(kinds, PLASTIC):
+        Fi_p, _ = fresnel_dielectric(wif[..., 2], eta_s)
+        prob_spec_p = jnp.clip(
+            (Fi_p * sw) / jnp.maximum(Fi_p * sw + (1 - Fi_p) * (1 - sw),
+                                      1e-9), 0.0, 1.0)
+        pick_spec_p = u_comp < prob_spec_p
+        wo_pl = jnp.where(pick_spec_p[..., None], reflect_local(wif), wo_d)
+        w_pl_spec = p.specular * (Fi_p / jnp.maximum(prob_spec_p,
+                                                     1e-9))[..., None]
+        ev_pl = _plastic_eval_diffuse(p, wif, wo_pl)
+        w_pl_diff = ev_pl / jnp.maximum(
+            ((1 - prob_spec_p) * pdf_d), 1e-12)[..., None]
+        w_pl = jnp.where(pick_spec_p[..., None], w_pl_spec, w_pl_diff)
+        pdf_pl = jnp.where(pick_spec_p, prob_spec_p,
+                           (1 - prob_spec_p) * pdf_d)
+        wo_sel.append((PLASTIC, wo_pl))
+        w_sel.append((PLASTIC, w_pl))
+        pdf_sel.append((PLASTIC, pdf_pl))
+        valid_sel.append((PLASTIC, wif[..., 2] > 0))
+        delta_mask = delta_mask | ((k == PLASTIC) & pick_spec_p)
 
-    # --- phong ---------------------------------------------------------------
-    pick_spec_ph = u_comp < sw
-    n_ph = p.alpha
-    # sample around reflection direction: cos^n lobe
-    cos_a = jnp.power(jnp.maximum(u2[..., 0], 1e-12), 1.0 / (n_ph + 1))
-    sin_a = jnp.sqrt(jnp.maximum(1 - cos_a ** 2, 0.0))
-    phi = 2 * jnp.pi * u2[..., 1]
-    lobe = jnp.stack([sin_a * jnp.cos(phi), sin_a * jnp.sin(phi), cos_a], -1)
-    wr = reflect_local(wif)
-    from ..core.math import build_frame, to_world
-    s_ax, t_ax = build_frame(wr)
-    wo_ph_spec = to_world(lobe, s_ax, t_ax, wr)
-    wo_ph = jnp.where(pick_spec_ph[..., None], wo_ph_spec, wo_d)
-    pdf_ph = _phong_pdf(p, wif, wo_ph)
-    ev_ph = _phong_eval(p, wif, wo_ph)
-    w_ph = ev_ph / jnp.maximum(pdf_ph, 1e-12)[..., None]
-    valid_ph = (wo_ph[..., 2] > 0) & (wif[..., 2] > 0) & (pdf_ph > 0)
+    if _has(kinds, PHONG):
+        pick_spec_ph = u_comp < sw
+        n_ph = p.alpha
+        cos_a = jnp.power(jnp.maximum(u2[..., 0], 1e-12),
+                          1.0 / (n_ph + 1))
+        sin_a = jnp.sqrt(jnp.maximum(1 - cos_a ** 2, 0.0))
+        phi = 2 * jnp.pi * u2[..., 1]
+        lobe = jnp.stack([sin_a * jnp.cos(phi), sin_a * jnp.sin(phi),
+                          cos_a], -1)
+        wr = reflect_local(wif)
+        from ..core.math import build_frame, to_world
+        s_ax, t_ax = build_frame(wr)
+        wo_ph_spec = to_world(lobe, s_ax, t_ax, wr)
+        wo_ph = jnp.where(pick_spec_ph[..., None], wo_ph_spec, wo_d)
+        pdf_ph = _phong_pdf(p, wif, wo_ph)
+        ev_ph = _phong_eval(p, wif, wo_ph)
+        w_ph = ev_ph / jnp.maximum(pdf_ph, 1e-12)[..., None]
+        wo_sel.append((PHONG, wo_ph))
+        w_sel.append((PHONG, w_ph))
+        pdf_sel.append((PHONG, pdf_ph))
+        valid_sel.append((PHONG, (wo_ph[..., 2] > 0) & (wif[..., 2] > 0)
+                          & (pdf_ph > 0)))
 
-    # --- rough dielectric ----------------------------------------------------
-    wo_rd, w_rd, pdf_rd, valid_rd, eta_rd = _roughdielectric_sample(
-        p, wi, u2, u_comp)
+    if _has(kinds, ROUGH_DIELECTRIC):
+        wo_rd, w_rd, pdf_rd, valid_rd, eta_rd = _roughdielectric_sample(
+            p, wi, u2, u_comp)
+        wo_sel.append((ROUGH_DIELECTRIC, wo_rd))
+        w_sel.append((ROUGH_DIELECTRIC, w_rd))
+        pdf_sel.append((ROUGH_DIELECTRIC, pdf_rd))
+        eta_sel.append((ROUGH_DIELECTRIC, eta_rd))
+        valid_sel.append((ROUGH_DIELECTRIC, valid_rd))
 
-    # --- null ---------------------------------------------------------------
-    wo_null = -wi
-
-    # --- select by kind ------------------------------------------------------
-    k = p.kind
+    if _has(kinds, NULL_BSDF):
+        wo_sel.append((NULL_BSDF, -wi))
+        w_sel.append((NULL_BSDF, jnp.ones_like(p.reflectance)))
+        pdf_sel.append((NULL_BSDF, one))
+        valid_sel.append((NULL_BSDF, jnp.ones(N, bool)))
+        delta_mask = delta_mask | (k == NULL_BSDF)
 
     def sel(vals, default):
         out = default
@@ -597,39 +683,12 @@ def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
                             else (k == kk), v, out)
         return out
 
-    wo = sel([(ROUGH_DIFFUSE, wo_d), (CONDUCTOR, wo_c),
-              (DIELECTRIC, wo_die), (THIN_DIELECTRIC, wo_thin),
-              (ROUGH_CONDUCTOR, wo_rc), (ROUGH_PLASTIC, wo_rp),
-              (PLASTIC, wo_pl), (PHONG, wo_ph), (NULL_BSDF, wo_null),
-              (ROUGH_DIELECTRIC, wo_rd)],
-             wo_d)
-    weight = sel([(ROUGH_DIFFUSE, w_d_on), (CONDUCTOR, w_c),
-                  (DIELECTRIC, w_die), (THIN_DIELECTRIC, w_thin),
-                  (ROUGH_CONDUCTOR, w_rc), (ROUGH_PLASTIC, w_rp),
-                  (PLASTIC, w_pl), (PHONG, w_ph),
-                  (NULL_BSDF, jnp.ones_like(w_c)),
-                  (ROUGH_DIELECTRIC, w_rd)],
-                 w_d_diffuse)
-    pdf_out = sel([(ROUGH_DIFFUSE, pdf_d), (CONDUCTOR, one),
-                   (DIELECTRIC, pdf_die), (THIN_DIELECTRIC, pdf_thin),
-                   (ROUGH_CONDUCTOR, pdf_rc), (ROUGH_PLASTIC, pdf_rp),
-                   (PLASTIC, pdf_pl), (PHONG, pdf_ph), (NULL_BSDF, one),
-                   (ROUGH_DIELECTRIC, pdf_rd)],
-                  pdf_d)
-    eta_out = sel([(DIELECTRIC, eta_die), (ROUGH_DIELECTRIC, eta_rd)],
-                  jnp.ones_like(one))
-    is_delta = ((k == CONDUCTOR) | (k == DIELECTRIC) |
-                (k == THIN_DIELECTRIC) | (k == NULL_BSDF) |
-                ((k == PLASTIC) & pick_spec_p))
-    valid = sel([(ROUGH_DIFFUSE, (wif[..., 2] > 0) & (wo_d[..., 2] > 0)),
-                 (CONDUCTOR, valid_c),
-                 (DIELECTRIC, pdf_die > 0),
-                 (THIN_DIELECTRIC, pdf_thin > 0),
-                 (ROUGH_CONDUCTOR, valid_rc), (ROUGH_PLASTIC, valid_rp),
-                 (PLASTIC, valid_pl), (PHONG, valid_ph),
-                 (NULL_BSDF, jnp.ones_like(valid_c)),
-                 (ROUGH_DIELECTRIC, valid_rd)],
-                (wif[..., 2] > 0) & (wo_d[..., 2] > 0))
+    wo = sel(wo_sel, wo_d)
+    weight = sel(w_sel, w_d_diffuse)
+    pdf_out = sel(pdf_sel, pdf_d)
+    eta_out = sel(eta_sel, jnp.ones_like(one))
+    valid = sel(valid_sel, (wif[..., 2] > 0) & (wo_d[..., 2] > 0))
+    is_delta = delta_mask
 
     # un-flip wo back to the true frame (dielectrics were never flipped)
     handles_sign = ((k == DIELECTRIC) | (k == THIN_DIELECTRIC) |
@@ -638,7 +697,8 @@ def sample(p: MatParams, wi, u2, u_comp) -> BSDFSample:
     wo = wo * jnp.stack([jnp.ones_like(unflip)] * 2 + [unflip], -1)
 
     weight = jnp.where(valid[..., None], weight, 0.0)
-    return BSDFSample(wo=wo, weight=weight, pdf=jnp.where(valid, pdf_out, 0.0),
+    return BSDFSample(wo=wo, weight=weight,
+                      pdf=jnp.where(valid, pdf_out, 0.0),
                       is_delta=is_delta, eta=eta_out, valid=valid)
 
 

@@ -60,3 +60,42 @@ def test_2d_stratification_free():
     uv = np.asarray(rng.uniform_2d(0, jnp.arange(n), 1, 4))
     assert abs(uv.mean() - 0.5) < 0.01
     assert abs(uv.var() - 1.0 / 12.0) < 0.005
+
+
+def test_sobol02_elementary_intervals():
+    """(0,2)-sequence property: for spp=16, each pixel's 16 scrambled
+    points hit every base-2 elementary interval of area 1/16 exactly
+    once (XOR scrambling preserves this)."""
+    import numpy as np
+    from gradientdomain_mitsuba_tpu.core import rng
+    spp = 16
+    for pix in (0, 7, 12345):
+        pts = np.asarray(rng.sobol02_2d(3, pix, np.arange(spp), 40, spp))
+        for (nx, ny) in [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]:
+            cx = np.floor(pts[:, 0] * nx).astype(int)
+            cy = np.floor(pts[:, 1] * ny).astype(int)
+            cells = cx * ny + cy
+            assert sorted(cells) == list(range(spp)), (nx, ny, pix)
+
+
+def test_sobol02_decorrelated_across_pixels_and_dims():
+    import numpy as np
+    from gradientdomain_mitsuba_tpu.core import rng
+    a = np.asarray(rng.sobol02_2d(3, 0, np.arange(64), 8, 64))
+    b = np.asarray(rng.sobol02_2d(3, 1, np.arange(64), 8, 64))
+    c = np.asarray(rng.sobol02_2d(3, 0, np.arange(64), 10, 64))
+    assert not np.allclose(a, b) and not np.allclose(a, c)
+    # mean of a low-discrepancy set is very close to 1/2
+    assert abs(a.mean() - 0.5) < 0.02
+
+
+def test_make_sampler_ld_selects_sobol():
+    import numpy as np
+    from gradientdomain_mitsuba_tpu.core import rng
+    u1, u2 = rng.make_sampler("ldsampler", 16)
+    pts = np.asarray(u2(3, 5, np.arange(16), 40))
+    cx = np.floor(pts[:, 0] * 4).astype(int)
+    cy = np.floor(pts[:, 1] * 4).astype(int)
+    assert sorted(cx * 4 + cy) == list(range(16))
+    v = np.asarray(u1(3, 5, np.arange(16), 0))
+    assert sorted(np.floor(v * 16).astype(int)) == list(range(16))
