@@ -325,12 +325,13 @@ class GBDPTracer(BDPTracer):
         }
 
     def render(self, scene, seed=0, spp=None, chunk=4,
-               checkpoint_path=None, resume=False):
+               checkpoint_path=None, resume=False, progress=None):
         """Returns buffers dict; very_direct includes the light image
         (both are added back after reconstruction)."""
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
         state, spp = render_accumulate(
             self, scene, seed, spp, chunk,
-            checkpoint_path=checkpoint_path, resume=resume)
+            checkpoint_path=checkpoint_path, resume=resume,
+            progress=progress)
         return self.finalize(state, spp)

@@ -833,12 +833,13 @@ class GPTracer:
         }
 
     def render(self, scene, seed=0, spp=None, chunk=8,
-               checkpoint_path=None, resume=False):
+               checkpoint_path=None, resume=False, progress=None):
         """Returns dict of numpy buffers: primal, dx, dy, very_direct
         (all sample-normalized)."""
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
         state, spp = render_accumulate(
             self, scene, seed, spp, chunk,
-            checkpoint_path=checkpoint_path, resume=resume)
+            checkpoint_path=checkpoint_path, resume=resume,
+            progress=progress)
         return self.finalize(state, spp)

@@ -262,12 +262,13 @@ class PathTracer:
         return fb / np.maximum(wb, 1e-12)[..., None]
 
     def render(self, scene, seed=0, spp=None, chunk=8,
-               checkpoint_path=None, resume=False):
+               checkpoint_path=None, resume=False, progress=None):
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
         state, spp = render_accumulate(
             self, scene, seed, spp, chunk,
-            checkpoint_path=checkpoint_path, resume=resume)
+            checkpoint_path=checkpoint_path, resume=resume,
+            progress=progress)
         return self.finalize(state, spp)
 
 

@@ -41,7 +41,7 @@ def load(path: str):
 
 def render_accumulate(tracer, scene, seed: int, spp: int, chunk: int = 8,
                       checkpoint_path: Optional[str] = None,
-                      resume: bool = False, log=None):
+                      resume: bool = False, log=None, progress=None):
     """Drive tracer.render_chunk with optional checkpointing.
 
     The tracer must expose render_chunk(scene, seed, start, n) -> pytree of
@@ -71,6 +71,8 @@ def render_accumulate(tracer, scene, seed: int, spp: int, chunk: int = 8,
         state = out_np if state is None else \
             {k: state[k] + out_np[k] for k in out_np}
         done += n
+        if progress:
+            progress(state, done)
         if checkpoint_path:
             save(checkpoint_path, state, done, seed,
                  {"spp": spp, "time": time.time()})

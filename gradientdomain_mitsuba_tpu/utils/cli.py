@@ -1,17 +1,22 @@
 """tpurender — batch rendering CLI.
 
 TPU-native replacement for the `mitsuba` command-line front end
-(src/mitsuba/mitsuba.cpp): loads a Mitsuba XML scene, renders it with the
+(src/mitsuba/mitsuba.cpp): loads Mitsuba XML scenes, renders each with the
 scene's integrator (or an override), runs screened-Poisson reconstruction
 for the gradient-domain integrators, and writes EXR outputs
 (<out>-primal/-dx/-dy/-direct/-final.exr for gpt/gbdpt, <out>.exr others).
 
 Flags mirror the reference where meaningful on TPU:
-  -o <file>      output EXR path
+  -o <file>      output EXR path (single scene only)
   -D key=value   scene parameter ($key substitution)
   -s <spp>       override sample count
   -z <seed>      RNG seed (deterministic)
+  -r <sec>       flush a partial image every <sec> seconds
+  -L <level>     log level (trace/debug/info/warn/error)
   -q             quiet
+Accepted for command-line compatibility but inert on TPU (the device
+owns its own parallelism; there is no thread pool or block scheduler):
+  -p <threads>, -b <blockSize>, -j <scenes>, -c/-S <nodes>.
 """
 from __future__ import annotations
 
@@ -49,7 +54,8 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="tpurender",
         description="TPU-native gradient-domain renderer")
-    p.add_argument("scene", help="Mitsuba XML scene file")
+    p.add_argument("scenes", nargs="+", metavar="scene.xml",
+                   help="Mitsuba XML scene file(s)")
     p.add_argument("-o", "--output", default=None, help="output EXR path")
     p.add_argument("-D", action="append", default=[], metavar="key=value",
                    help="scene parameter override (repeatable)")
@@ -58,6 +64,11 @@ def build_parser():
     p.add_argument("--integrator", default=None,
                    help="override the scene's integrator type")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-r", "--refresh", type=float, default=0, metavar="SEC",
+                   help="write the partial image every SEC seconds")
+    p.add_argument("-L", "--log-level", default="info",
+                   choices=("trace", "debug", "info", "warn", "error"),
+                   help="log verbosity (warn/error imply -q)")
     p.add_argument("--stats-json", default=None,
                    help="write render statistics JSON to this path")
     p.add_argument("--checkpoint", default=None, metavar="FILE",
@@ -69,39 +80,52 @@ def build_parser():
     p.add_argument("--relmse", default=None, metavar="REF.exr",
                    help="compute relMSE of the final image against a "
                         "reference EXR (BASELINE.md protocol)")
+    # Reference-CLI compatibility; the device owns its parallelism.
+    p.add_argument("-p", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-b", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-j", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-c", default=None, help=argparse.SUPPRESS)
+    p.add_argument("-S", default=None, help=argparse.SUPPRESS)
     return p
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def _render_scene(args, scene_path, variables, log):
+    """Render one scene file; returns its stats dict."""
     t_start = time.time()
-
-    variables = {}
-    for d in args.D:
-        if "=" not in d:
-            print(f"error: bad -D argument '{d}'", file=sys.stderr)
-            return 1
-        k, v = d.split("=", 1)
-        variables[k] = v
-
     from ..scene import scene as sc
     from . import exr
 
-    scene, st = sc.load_scene(args.scene, variables)
+    scene, st = sc.load_scene(scene_path, variables)
     if args.integrator:
         st.integrator = args.integrator
     if args.spp:
         st.spp = args.spp
-    out = args.output or os.path.splitext(args.scene)[0] + ".exr"
+    out = args.output or os.path.splitext(scene_path)[0] + ".exr"
     base, ext = os.path.splitext(out)
-    log = (lambda *a: None) if args.quiet else print
 
-    log(f"[tpurender] {args.scene}: {st.width}x{st.height} @ {st.spp} spp, "
+    log(f"[tpurender] {scene_path}: {st.width}x{st.height} @ {st.spp} spp, "
         f"integrator={st.integrator}, maxDepth={st.max_depth}")
     t_load = time.time()
-    stats = {"scene": args.scene, "width": st.width, "height": st.height,
+    stats = {"scene": scene_path, "width": st.width, "height": st.height,
              "spp": st.spp, "integrator": st.integrator,
              "load_s": t_load - t_start}
+
+    def make_flusher(tracer, is_gd):
+        """-r SEC: periodic partial-image flush (mitsuba.cpp -r)."""
+        if args.refresh <= 0:
+            return None
+        last = [time.time()]
+
+        def flush(state, done):
+            now = time.time()
+            if now - last[0] < args.refresh:
+                return
+            last[0] = now
+            part = tracer.finalize(state, done)
+            img = (part["primal"] + part["very_direct"]) if is_gd else part
+            write_image(exr, out, img)
+            log(f"[tpurender] partial flush at {done}/{st.spp} spp -> {out}")
+        return flush
 
     if st.integrator in ("gpt", "gbdpt"):
         if st.integrator == "gpt":
@@ -112,7 +136,8 @@ def main(argv=None):
             tracer = GBDPTracer(scene, st)
         bufs = tracer.render(scene, seed=args.seed, spp=st.spp,
                              checkpoint_path=args.checkpoint,
-                             resume=args.resume)
+                             resume=args.resume,
+                             progress=make_flusher(tracer, True))
         t_render = time.time()
         from ..models import poisson
         p = st.integrator_props
@@ -152,7 +177,8 @@ def main(argv=None):
             tracer = PathTracer(scene, st)
         img = tracer.render(scene, seed=args.seed, spp=st.spp,
                             checkpoint_path=args.checkpoint,
-                            resume=args.resume)
+                            resume=args.resume,
+                            progress=make_flusher(tracer, False))
         final = img
         t_render = time.time()
         write_image(exr, out, img)
@@ -180,9 +206,38 @@ def main(argv=None):
         rs.set("Mrays/sec", rays / max(stats["render_s"], 1e-9) / 1e6)
         log(rs.table())
         stats["rays"] = rays
+    return stats
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    quiet = args.quiet or args.log_level in ("warn", "error")
+    log = (lambda *a: None) if quiet else print
+
+    variables = {}
+    for d in args.D:
+        if "=" not in d:
+            print(f"error: bad -D argument '{d}'", file=sys.stderr)
+            return 1
+        k, v = d.split("=", 1)
+        variables[k] = v
+
+    if args.output and len(args.scenes) > 1:
+        print("error: -o is only valid with a single scene",
+              file=sys.stderr)
+        return 1
+    if args.checkpoint and len(args.scenes) > 1:
+        print("error: --checkpoint is only valid with a single scene",
+              file=sys.stderr)
+        return 1
+
+    all_stats = []
+    for scene_path in args.scenes:
+        all_stats.append(_render_scene(args, scene_path, variables, log))
+
     if args.stats_json:
         with open(args.stats_json, "w") as f:
-            json.dump(stats, f)
+            json.dump(all_stats[0] if len(all_stats) == 1 else all_stats, f)
     return 0
 
 
