@@ -42,7 +42,7 @@ from ..core import warp
 from ..core.rng import DimAllocator as DA
 from ..core.rng import make_sampler, uniform_2d, uniform_float
 from ..ops import bsdf as bsdf_ops
-from ..ops import common, film as film_ops
+from ..ops import common, emitter as em_ops, film as film_ops
 from ..ops import sensor as sensor_ops
 from ..scene.materials import CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC
 
@@ -109,7 +109,18 @@ class BDPTracer:
         self._bsample = functools.partial(bsdf_ops.sample, kinds=self.kinds)
         self.settings = settings
         self.n_area = int((np.asarray(scene.emitters.tri_count) > 0).sum())
-        self.env_kind = settings.env_kind  # TODO: env-emitter strategies
+        # Environment + delta lights are integrated as an embedded NEE
+        # family on the EYE walk (see _random_walk collect_aux): an env
+        # path of any length is sampled by exactly two techniques — the
+        # eye walk escaping (s=0) and env-NEE at the last eye vertex
+        # (s=1) — MIS-combined with the power heuristic; delta lights
+        # (point/spot/directional) only by NEE (weight 1).  Both families
+        # are disjoint from the area-light subpath strategies, so no
+        # cross-family MIS terms arise (reference: bdpt.cpp handles
+        # infinite/degenerate emitters with the same two-technique set).
+        self.env_kind = settings.env_kind
+        self.n_delta = settings.n_delta
+        self.aux_nee = (settings.env_kind != 0) or (settings.n_delta > 0)
         n_tris = int(scene.geom.indices.shape[0])
         self.closest, self.occluded = common.choose_intersector(
             settings, n_tris)
@@ -152,7 +163,8 @@ class BDPTracer:
 
     # -- random walk ------------------------------------------------------
     def _random_walk(self, scene, seed, sample_idx, pixel_id, o0, d0,
-                     beta0, pdf_sa0, dim_base, n_steps, adjoint=False):
+                     beta0, pdf_sa0, dim_base, n_steps, adjoint=False,
+                     collect_aux=False):
         """Fill a SubPath with up to n_steps vertices.
 
         adjoint=True applies the shading-normal importance-transport
@@ -161,11 +173,22 @@ class BDPTracer:
         light subpath otherwise carries a biased throughput wherever
         shading normals differ from geometric ones.
 
-        Returns (SubPath, rev0_sa) where rev0_sa is the reverse solid-angle
-        pdf at the FIRST vertex toward the walk origin (needed for the
-        origin's pdf_rev)."""
+        collect_aux=True (eye walk only) additionally integrates the
+        environment / delta-light family in lockstep: escaped segments
+        pick up env radiance MIS-weighted against env-NEE, and every
+        non-delta vertex runs one NEE draw over {delta lights, env}
+        (dims D_LIGHT_SELECT / D_LIGHT_UV, unused by the walk itself).
+
+        Returns (SubPath, rev0_sa, aux_L) where rev0_sa is the reverse
+        solid-angle pdf at the FIRST vertex toward the walk origin (needed
+        for the origin's pdf_rev) and aux_L the env/delta radiance."""
         N = o0.shape[0]
         eps = scene.ray_eps
+        do_aux = collect_aux and self.aux_nee
+        aux_L = jnp.zeros((N, 3))
+        # can the PREVIOUS vertex's env-NEE have sampled the current
+        # segment's direction? (camera and delta-lobe bounces: no)
+        prev_can_nee = jnp.zeros(N, bool)
 
         def empty(shape, val=0.0, dtype=jnp.float32):
             return jnp.full((N, n_steps) + shape, val, dtype)
@@ -188,6 +211,19 @@ class BDPTracer:
                                jnp.where(alive, 3e38, -1.0),
                                scene.geom)
             its = common.fill_intersection(scene, o, d, hit)
+            if do_aux and self.env_kind != 0:
+                escaped = alive & ~its.valid
+                rad_esc = em_ops.eval_env(scene, self.env_kind, d)
+                pdf_nee = em_ops.pdf_env_direct(scene, 0, self.env_kind, d,
+                                                n_delta=self.n_delta)
+                pdf_nee = jnp.where(prev_can_nee, pdf_nee, 0.0)
+                w_esc = jnp.where(
+                    pdf_nee > 0,
+                    pdf_sa ** 2 / jnp.maximum(pdf_sa ** 2 + pdf_nee ** 2,
+                                              1e-24),
+                    1.0)
+                aux_L = aux_L + jnp.where(_b3(escaped),
+                                          beta * rad_esc * _b3(w_esc), 0.0)
             alive = alive & its.valid
 
             pdf_fwd = _dir_to_area(pdf_sa, d, its.t ** 2, its.ng)
@@ -235,6 +271,35 @@ class BDPTracer:
                 sp = sp._replace(pdf_rev=sp.pdf_rev.at[:, k - 1].set(
                     jnp.where(alive, rev_area, 0.0)))
 
+            # --- embedded env/delta NEE at vertex k (eye walk only) ----
+            if do_aux and k + 2 <= self.depth:
+                u_ds = self._u1(seed, pixel_id, sample_idx,
+                                dim_base + DA.bounce_dim(k, DA.D_LIGHT_SELECT))
+                u_dp = self._u2(seed, pixel_id, sample_idx,
+                                dim_base + DA.bounce_dim(k, DA.D_LIGHT_UV))
+                ds = em_ops.sample_direct(scene, 0, self.env_kind, its.p,
+                                          u_ds, u_dp,
+                                          n_delta=self.n_delta)
+                wo_l = m.to_local(ds.d, ss, ts, its.ns)
+                f_nee = self._beval(par, wi, wo_l)
+                pdf_b = self._bpdf(par, wi, wo_l)
+                want = (alive & ds.valid &
+                        (jnp.max(f_nee, axis=-1) > 0))
+                sh_o = common.offset_ray_origin(its.p, its.ng, ds.d, eps)
+                occ = self.occluded(
+                    sh_o, ds.d, jnp.zeros(N),
+                    jnp.where(want, ds.dist * (1.0 - 1e-4), -1.0),
+                    scene.geom)
+                want = want & ~occ
+                w_nee = jnp.where(
+                    ds.is_delta, 1.0,
+                    ds.pdf ** 2 / jnp.maximum(ds.pdf ** 2 + pdf_b ** 2,
+                                              1e-24))
+                aux_L = aux_L + jnp.where(
+                    _b3(want),
+                    beta * f_nee * ds.radiance *
+                    _b3(w_nee / jnp.maximum(ds.pdf, 1e-12)), 0.0)
+
             wo_w = m.to_world(bs.wo, ss, ts, its.ns)
             weight = bs.weight
             if adjoint:
@@ -250,8 +315,9 @@ class BDPTracer:
             alive = alive & bs.valid
             beta = jnp.where(alive[..., None], beta * weight, 0.0)
             pdf_sa = jnp.where(bs.is_delta, 0.0, bs.pdf)
+            prev_can_nee = alive & ~bs.is_delta & (k + 2 <= self.depth)
 
-        return sp, rev0_sa
+        return sp, rev0_sa, aux_L
 
     # -- subpath generation -------------------------------------------------
     def _gen_eye_path(self, scene, seed, sample_idx, pixel_id, W, H):
@@ -266,9 +332,10 @@ class BDPTracer:
         cos_cam = jnp.maximum(m.dot(d, jnp.broadcast_to(fwd, d.shape)),
                               1e-6)
         pdf_dir = 1.0 / (a_img * cos_cam ** 3)
-        sp, _ = self._random_walk(scene, seed, sample_idx, pixel_id, o, d,
-                                  jnp.ones((N, 3)), pdf_dir, 0, self.TE)
-        return pos_film, sp
+        sp, _, aux_L = self._random_walk(
+            scene, seed, sample_idx, pixel_id, o, d,
+            jnp.ones((N, 3)), pdf_dir, 0, self.TE, collect_aux=True)
+        return pos_film, sp, aux_L
 
     def _gen_light_path(self, scene, seed, sample_idx, pixel_id):
         N = pixel_id.shape[0]
@@ -308,7 +375,7 @@ class BDPTracer:
         o0 = common.offset_ray_origin(y0p, ng0, d0, scene.ray_eps)
         # at least one slot so downstream indexing stays well-formed even
         # when maxDepth==1 (no s>=2 strategy ever reads it then)
-        sp, rev0_sa = self._random_walk(
+        sp, rev0_sa, _ = self._random_walk(
             scene, seed, sample_idx, pixel_id, o0, d0, beta1, pdf_dir,
             LIGHT_DIM_BASE + 8, max(self.SM - 1, 1), adjoint=True)
 
@@ -563,11 +630,11 @@ class BDPTracer:
         N = pixel_id.shape[0]
         eps = scene.ray_eps
 
-        pos_film, eye = self._gen_eye_path(scene, seed, sample_idx,
-                                           pixel_id, W, H)
+        pos_film, eye, aux_L = self._gen_eye_path(scene, seed, sample_idx,
+                                                   pixel_id, W, H)
         y0, light = self._gen_light_path(scene, seed, sample_idx, pixel_id)
 
-        L = jnp.zeros((N, 3))
+        L = aux_L
         splat_pos, splat_val = [], []
         for t in range(1, self.TE + 2):
             for s in range(0, self.SM + 1):

@@ -216,8 +216,11 @@ class GBDPTracer(BDPTracer):
         N = pixel_id.shape[0]
         eps = scene.ray_eps
 
-        pos_film, eye = self._gen_eye_path(scene, seed, sample_idx,
-                                           pixel_id, W, H)
+        # env/delta-light family: routed to very_direct (not shifted /
+        # differentiated; re-added after reconstruction — unbiased, env
+        # gradients are future work like the light image)
+        pos_film, eye, aux_L = self._gen_eye_path(scene, seed, sample_idx,
+                                                  pixel_id, W, H)
         y0, light = self._gen_light_path(scene, seed, sample_idx, pixel_id)
 
         views = []
@@ -228,7 +231,7 @@ class GBDPTracer(BDPTracer):
                                                  N, eps))
 
         primal = jnp.zeros((N, 3))
-        very = jnp.zeros((N, 3))
+        very = aux_L
         grad = jnp.zeros((4, N, 3))
         splat_pos, splat_val = [], []
 
@@ -265,14 +268,23 @@ class GBDPTracer(BDPTracer):
                 for o_i, (view, ok_t2, ok_conn) in enumerate(views):
                     ok = ok_t2 if t == 2 else ok_conn
                     c_off, sri_off = run_strategy(view, s, t)
+                    # invalid offset views can carry inf/NaN technique
+                    # sums; r is masked to 0 below but 0*NaN != 0
+                    sri_off = jnp.where(ok, sri_off, 0.0)
                     r = jnp.ones(N)
                     for i in range(min(t - 1, 3)):
                         r = r * (_remap0(view.pdf_fwd[:, i]) /
                                  _remap0(eye.pdf_fwd[:, i]))
                     r = jnp.where(ok, r, 0.0)
                     c_off = jnp.where(_b3(ok), c_off, 0.0)
-                    w_pair = 1.0 / ((1.0 + sri_base) +
-                                    r * r * (1.0 + sri_off))
+                    # offset technique term: guard the 0*inf corners —
+                    # a degenerate offset view can have sri_off=inf while
+                    # r^2 underflows to 0 (NaN); r==0 means the offset
+                    # technique doesn't exist (weight falls back to base)
+                    t_off = r * r * (1.0 + sri_off)
+                    t_off = jnp.where(r > 0, t_off, 0.0)
+                    t_off = jnp.where(jnp.isnan(t_off), jnp.inf, t_off)
+                    w_pair = 1.0 / ((1.0 + sri_base) + t_off)
                     grad = grad.at[o_i].add(
                         _b3(w_pair) * (c_off - c_base))
 
