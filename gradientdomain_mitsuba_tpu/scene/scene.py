@@ -147,6 +147,38 @@ def _shape_mesh(shape: Plugin, base_dir: str) -> mesh_mod.Mesh:
     raise ValueError(f"unsupported shape type '{t}'")
 
 
+def _expand_instances(shapes):
+    """shapegroup/instance support (reference: src/shapes/shapegroup.cpp,
+    instance.cpp): instances are baked at compile time — each <instance>
+    emits transformed copies of its group's shapes into the global
+    triangle soup (our flattened SoA design has no two-level BVH; baking
+    keeps every traversal path unchanged and costs only memory)."""
+    out = []
+    for shape in shapes:
+        if shape.type == "shapegroup":
+            continue  # rendered only via <instance>
+        if shape.type != "instance":
+            out.append(shape)
+            continue
+        grp = None
+        for ch in shape.children:
+            if ch.kind == "shape" and ch.type == "shapegroup":
+                grp = ch
+                break
+        if grp is None:
+            raise ValueError("<instance> must reference a <shapegroup>")
+        iw = np.asarray(shape.get("toWorld", np.eye(4)), np.float64)
+        for sub in grp.children:
+            if sub.kind != "shape":
+                continue
+            sw = np.asarray(sub.get("toWorld", np.eye(4)), np.float64)
+            props = dict(sub.props)
+            props["toWorld"] = iw @ sw
+            out.append(Plugin(kind="shape", type=sub.type, props=props,
+                              children=sub.children, id=None))
+    return out
+
+
 def compile_scene(desc: SceneDesc,
                   overrides: Optional[Dict[str, Any]] = None):
     """SceneDesc -> (SceneData numpy pytree, RenderSettings).
@@ -161,7 +193,7 @@ def compile_scene(desc: SceneDesc,
     area_emitters = []  # (shape_id, radiance rgb)
     v_off = 0
 
-    for s_id, shape in enumerate(desc.shapes):
+    for s_id, shape in enumerate(_expand_instances(desc.shapes)):
         mesh = _shape_mesh(shape, desc.base_dir)
         to_world = shape.get("toWorld", np.eye(4))
         pos = cm.transform_point(
