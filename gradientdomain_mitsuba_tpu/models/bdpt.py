@@ -123,7 +123,8 @@ class BDPTracer:
         self.aux_nee = (settings.env_kind != 0) or (settings.n_delta > 0)
         n_tris = int(scene.geom.indices.shape[0])
         self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris)
+            settings, n_tris,
+            int(scene.geom.clusters.offset.shape[0]))
         md = settings.max_depth
         self.depth = md if md > 0 else MAX_BDPT_DEPTH  # max path edges
         self.TE = self.depth                 # eye surface vertices stored

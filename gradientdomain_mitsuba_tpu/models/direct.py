@@ -41,7 +41,8 @@ class AOIntegrator:
         self.settings = settings
         n_tris = int(scene.geom.indices.shape[0])
         self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris)
+            settings, n_tris,
+            int(scene.geom.clusters.offset.shape[0]))
         props = settings.integrator_props
         self.ray_length = float(props.get("rayLength", -1.0))
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)

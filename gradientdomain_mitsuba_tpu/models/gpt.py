@@ -80,7 +80,8 @@ class GPTracer:
         self.has_env = settings.env_kind != 0
         n_tris = int(scene.geom.indices.shape[0])
         self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris)
+            settings, n_tris,
+            int(scene.geom.clusters.offset.shape[0]))
         md = settings.max_depth
         self.n_bounces = (md - 1 if md > 0 else MAX_BOUNCES_UNLIMITED)
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)

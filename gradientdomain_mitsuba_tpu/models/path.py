@@ -52,7 +52,8 @@ class PathTracer:
         self.env_kind = settings.env_kind
         n_tris = int(scene.geom.indices.shape[0])
         self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris)
+            settings, n_tris,
+            int(scene.geom.clusters.offset.shape[0]))
         self.n_bounces = (settings.max_depth if settings.max_depth > 0
                           else MAX_BOUNCES_UNLIMITED)
         self.has_textures = settings.has_textures

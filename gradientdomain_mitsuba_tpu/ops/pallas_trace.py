@@ -5,19 +5,22 @@ TPU-native replacement for Mitsuba's kd-tree traversal + TriAccel
 decomposition (scene/bvh.py extract_clusters):
 
   - the film-coherent wavefront is cut into RAY BLOCKS of 1024 rays per
-    grid step, laid out as [1024, 1] columns (rays on sublanes);
+    grid step; all 8 per-ray streams (o.xyz d.xyz mint maxt) ride ONE
+    packed [N, 8] array (separate [N, 1] columns pad lanes 1 -> 128 and
+    blow the 16 MB scoped-VMEM budget 12x over);
   - each block walks the cluster list with SCALAR control: slab-test the
     cluster AABB (bounds prefetched to SMEM as scalars), and
     `pl.when(any ray pending)` gates ONE async DMA of the cluster's
-    [9, WINDOW] triangle slab HBM -> VMEM plus a pairwise
+    [16, WINDOW] triangle slab (rows 0-8 = v0/e1/e2 xyz, padded to the
+    8-sublane DMA granule) HBM -> VMEM plus a pairwise
     [1024 x 128] Moeller-Trumbore sweep per 128-triangle lane chunk
     (rays broadcast over lanes, triangles over sublanes — full VPU
     tiles, no gathers, no scalar inner loop).
 
 This sidesteps what XLA cannot do well here: per-lane gathers (replaced
 by blocked DMA) and lane-divergent while loops (replaced by block-level
-culling).  Logic is validated against intersect_brute in interpret mode
-and on device.
+culling).  Validated against intersect_brute in interpret mode and on
+device (v5e).
 """
 from __future__ import annotations
 
@@ -37,22 +40,26 @@ TCHUNK = 128  # triangles per lane sweep
 def _traverse_kernel(window, n_clusters, any_hit):
     n_chunks = window // TCHUNK
 
-    def kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-               mint_r, maxt_r, tri9_hbm,
-               t_ref, u_ref, v_ref, p_ref, tri_vmem, sem):
-        ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]          # [RBLK, 1]
-        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-        mint = mint_r[:]
+    def kernel(cb_ref, rays_ref, tri9_hbm, out_ref, prim_ref,
+               tri_vmem, sem):
+        ox = rays_ref[:, 0:1]                            # [RBLK, 1]
+        oy = rays_ref[:, 1:2]
+        oz = rays_ref[:, 2:3]
+        dx = rays_ref[:, 3:4]
+        dy = rays_ref[:, 4:5]
+        dz = rays_ref[:, 5:6]
+        mint = rays_ref[:, 6:7]
         inv = lambda c: jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, 1e30)
         ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-        t_ref[:] = maxt_r[:]
-        u_ref[:] = jnp.zeros_like(mint)
-        v_ref[:] = jnp.zeros_like(mint)
-        p_ref[:] = jnp.full(mint.shape, -1, jnp.int32)
+        out_ref[:, 0:1] = rays_ref[:, 7:8]               # t := maxt
+        out_ref[:, 1:2] = jnp.zeros_like(mint)
+        out_ref[:, 2:3] = jnp.zeros_like(mint)
+        out_ref[:, 3:4] = jnp.zeros_like(mint)
+        prim_ref[:] = jnp.full(mint.shape, -1, jnp.int32)
 
         def cluster_body(k, _):
-            t_b = t_ref[:]
+            t_b = out_ref[:, 0:1]
             tx0 = (cb_ref[k, 0] - ox) * ix
             tx1 = (cb_ref[k, 3] - ox) * ix
             ty0 = (cb_ref[k, 1] - oy) * iy
@@ -100,12 +107,12 @@ def _traverse_kernel(window, n_clusters, any_hit):
                     tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                     hit = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) &
                            (vv >= 0.0) & (uu + vv <= 1.0) &
-                           (tt > mint) & (tt < t_ref[:]) & pending)
+                           (tt > mint) & (tt < out_ref[:, 0:1]) & pending)
                     tt = jnp.where(hit, tt, F32_MAX)
                     tj = jnp.min(tt, axis=1, keepdims=True)
-                    better = tj < t_ref[:]
+                    better = tj < out_ref[:, 0:1]
                     if any_hit:
-                        p_ref[:] = jnp.where(better, 0, p_ref[:])
+                        prim_ref[:] = jnp.where(better, 0, prim_ref[:])
                     else:
                         j = jnp.argmin(tt, axis=1,
                                        keepdims=True).astype(jnp.int32)
@@ -116,12 +123,15 @@ def _traverse_kernel(window, n_clusters, any_hit):
                                      keepdims=True)
                         vj = jnp.sum(jnp.where(selm, vv, 0.0), axis=1,
                                      keepdims=True)
-                        u_ref[:] = jnp.where(better, uj, u_ref[:])
-                        v_ref[:] = jnp.where(better, vj, v_ref[:])
-                        p_ref[:] = jnp.where(
+                        out_ref[:, 1:2] = jnp.where(better, uj,
+                                                    out_ref[:, 1:2])
+                        out_ref[:, 2:3] = jnp.where(better, vj,
+                                                    out_ref[:, 2:3])
+                        prim_ref[:] = jnp.where(
                             better, k * window + jc * TCHUNK + j,
-                            p_ref[:])
-                        t_ref[:] = jnp.where(better, tj, t_ref[:])
+                            prim_ref[:])
+                        out_ref[:, 0:1] = jnp.where(better, tj,
+                                                    out_ref[:, 0:1])
 
             return 0
 
@@ -136,36 +146,36 @@ def _run(kernel_fn, window, o, d, mint, maxt, tri9, cbounds):
     Np = N + pad
     G = Np // RBLK
 
-    def prep(x, fill=0.0):
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(Np, 1)
+    rays = jnp.concatenate(
+        [o, d, mint[:, None], maxt[:, None]], axis=1).astype(jnp.float32)
+    if pad:
+        filler = jnp.concatenate(
+            [jnp.zeros((pad, 3)), jnp.ones((pad, 3)),
+             jnp.zeros((pad, 1)), jnp.full((pad, 1), -1.0)], axis=1)
+        rays = jnp.concatenate([rays, filler.astype(jnp.float32)], axis=0)
 
-    args = [prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
-            prep(d[:, 0], 1.0), prep(d[:, 1], 1.0), prep(d[:, 2], 1.0),
-            prep(mint), prep(maxt, -1.0)]
-
-    spec = pl.BlockSpec((RBLK, 1), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-    ]
-    t, u, v, p = pl.pallas_call(
+    ray_spec = pl.BlockSpec((RBLK, 8), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((RBLK, 4), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec((RBLK, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out, prim = pl.pallas_call(
         kernel_fn,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
-            in_specs=[spec] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=[spec] * 4,
+            in_specs=[ray_spec,
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[out_spec, prim_spec],
             scratch_shapes=[
-                pltpu.VMEM((9, window), jnp.float32),
+                pltpu.VMEM((16, window), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]),
-        out_shape=out_shape,
-    )(cbounds, *args, tri9)
-    flat = lambda a: a.reshape(-1)[:N]
-    return flat(t), flat(u), flat(v), flat(p)
+        out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+    )(cbounds, rays, tri9)
+    return (out[:N, 0], out[:N, 1], out[:N, 2], prim[:N, 0])
 
 
 def make_pallas_intersector(window: int, n_clusters: int):

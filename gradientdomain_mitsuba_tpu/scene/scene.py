@@ -315,10 +315,13 @@ def compile_scene(desc: SceneDesc,
 
     tree.child0 = remap_codes(tree.child0)
     tree.child1 = remap_codes(tree.child1)
-    # [K, 9, window] cluster-major slabs for the Pallas traversal DMA
-    # (leading-index slicing is the clean Mosaic DMA pattern)
-    tri9 = np.stack([tris.v0.T, tris.e1.T, tris.e2.T]
-                    ).reshape(9, K, window).transpose(1, 0, 2).copy()
+    # [K, 16, window] cluster-major slabs for the Pallas traversal DMA:
+    # rows 0-8 = v0/e1/e2 xyz, rows 9-15 zero padding (Mosaic requires
+    # DMA slice sublane counts to be multiples of 8; leading-index
+    # slicing is the clean DMA pattern)
+    tri9 = np.zeros((K, 16, window), np.float32)
+    tri9[:, :9] = (np.stack([tris.v0.T, tris.e1.T, tris.e2.T])
+                   .reshape(9, K, window).transpose(1, 0, 2))
 
     # packed shading rows (BVH order)
     ng_all = np.cross(p1 - p0, p2 - p0)
