@@ -8,8 +8,13 @@ decomposition (scene/bvh.py extract_clusters):
     grid step; all 8 per-ray streams (o.xyz d.xyz mint maxt) ride ONE
     packed [N, 8] array (separate [N, 1] columns pad lanes 1 -> 128 and
     blow the 16 MB scoped-VMEM budget 12x over);
-  - each block walks the cluster list with SCALAR control: slab-test the
-    cluster AABB (bounds prefetched to SMEM as scalars), and
+  - per-block cluster WORKLISTS are built OUTSIDE the kernel by XLA
+    (the all-pairs ray-vs-cluster AABB test is a dense fused
+    [G, RBLK, K] reduce on full VPU tiles; in-kernel it would run on
+    [RBLK, 1] columns at 1/128 lane utilization), sorted near-to-far
+    by block-min entry distance and DMA'd to SMEM per block;
+  - each block walks its worklist with SCALAR control: recheck the
+    cluster AABB against the shrinking per-ray t bound, and
     `pl.when(any ray pending)` gates ONE async DMA of the cluster's
     [16, WINDOW] triangle slab (rows 0-8 = v0/e1/e2 xyz, padded to the
     8-sublane DMA granule) HBM -> VMEM plus a pairwise
@@ -33,15 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import ClusterArrays, Hit
 
 F32_MAX = np.float32(3.0e38)
-RBLK = 1024   # rays per grid step
 TCHUNK = 128  # triangles per lane sweep
+
+
+def _rblk(window: int) -> int:
+    """Rays per grid step: lane-padded ray/out blocks cost RBLK*512 B
+    each; at window 256 the 16 MB scoped-VMEM budget is tight inside
+    large fused programs, so halve the block."""
+    return 1024 if window <= 128 else 512
 
 
 def _traverse_kernel(window, n_clusters, any_hit):
     n_chunks = window // TCHUNK
 
-    def kernel(cb_ref, rays_ref, tri9_hbm, out_ref, prim_ref,
-               tri_vmem, sem):
+    def kernel(cb_ref, rays_ref, tri9_hbm, work_hbm,
+               out_ref, prim_ref, tri_vmem, sem, work_smem, wsem):
         ox = rays_ref[:, 0:1]                            # [RBLK, 1]
         oy = rays_ref[:, 1:2]
         oz = rays_ref[:, 2:3]
@@ -57,8 +68,15 @@ def _traverse_kernel(window, n_clusters, any_hit):
         out_ref[:, 2:3] = jnp.zeros_like(mint)
         out_ref[:, 3:4] = jnp.zeros_like(mint)
         prim_ref[:] = jnp.full(mint.shape, -1, jnp.int32)
+        blk = pl.program_id(0)
+        # this block's worklist row: [count, k_0, k_1, ...] (near-to-far)
+        wcp = pltpu.make_async_copy(work_hbm.at[blk], work_smem, wsem)
+        wcp.start()
+        wcp.wait()
 
-        def cluster_body(k, _):
+        def cluster_body(s, _):
+            e = 1 + s
+            k = work_smem[e % 8, e // 8]
             t_b = out_ref[:, 0:1]
             tx0 = (cb_ref[k, 0] - ox) * ix
             tx1 = (cb_ref[k, 3] - ox) * ix
@@ -135,12 +153,13 @@ def _traverse_kernel(window, n_clusters, any_hit):
 
             return 0
 
-        jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+        jax.lax.fori_loop(0, work_smem[0, 0], cluster_body, 0)
 
     return kernel
 
 
 def _run(kernel_fn, window, o, d, mint, maxt, tri9, cbounds):
+    RBLK = _rblk(window)
     N = o.shape[0]
     pad = (-N) % RBLK
     Np = N + pad
@@ -154,6 +173,35 @@ def _run(kernel_fn, window, o, d, mint, maxt, tri9, cbounds):
              jnp.zeros((pad, 1)), jnp.full((pad, 1), -1.0)], axis=1)
         rays = jnp.concatenate([rays, filler.astype(jnp.float32)], axis=0)
 
+    # Per-block near-to-far cluster worklists, built by XLA where the
+    # all-pairs AABB test is a dense fused [G, RBLK, K] reduce (full VPU
+    # tiles) — inside the kernel the same test runs on [RBLK, 1] columns
+    # at 1/128 lane utilization and dominated the runtime.
+    K = cbounds.shape[0]
+    ob = rays[:, 0:3].reshape(G, RBLK, 1, 3)
+    db = rays[:, 3:6].reshape(G, RBLK, 1, 3)
+    mintb = rays[:, 6].reshape(G, RBLK, 1)
+    maxtb = rays[:, 7].reshape(G, RBLK, 1)
+    invd = jnp.where(jnp.abs(db) > 1e-12, 1.0 / db, 1e30)
+    t0b = (cbounds[None, None, :, 0:3] - ob) * invd     # [G, RBLK, K, 3]
+    t1b = (cbounds[None, None, :, 3:6] - ob) * invd
+    tn = jnp.max(jnp.minimum(t0b, t1b), axis=-1)        # [G, RBLK, K]
+    tf = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+    pend = (tn <= tf) & (tf >= mintb) & (tn <= maxtb)
+    tn_blk = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), F32_MAX),
+                     axis=1)                            # [G, K]
+    pend_blk = jnp.any(pend, axis=1)                    # [G, K]
+    order = jnp.argsort(tn_blk, axis=1).astype(jnp.int32)   # [G, K]
+    count = jnp.sum(pend_blk, axis=1, dtype=jnp.int32)[:, None]
+    # one DMA-able slab per block: flat [count, k_0, k_1, ...] stored as
+    # [G, 8, W8] with element e at [e % 8, e // 8] (DMA slices must span
+    # whole 8-sublane granules; see the tri9 padding note)
+    Kp = 1 + K + ((-(1 + K)) % 1024)   # 8 sublanes x 128-lane granules
+    W8 = Kp // 8
+    flat = jnp.concatenate(
+        [count, order, jnp.zeros((G, Kp - 1 - K), jnp.int32)], axis=1)
+    work = flat.reshape(G, W8, 8).transpose(0, 2, 1)
+
     ray_spec = pl.BlockSpec((RBLK, 8), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((RBLK, 4), lambda i, *_: (i, 0),
@@ -166,15 +214,18 @@ def _run(kernel_fn, window, o, d, mint, maxt, tri9, cbounds):
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[ray_spec,
+                      pl.BlockSpec(memory_space=pltpu.ANY),
                       pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[out_spec, prim_spec],
             scratch_shapes=[
                 pltpu.VMEM((16, window), jnp.float32),
                 pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((8, W8), jnp.int32),
+                pltpu.SemaphoreType.DMA,
             ]),
         out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
-    )(cbounds, rays, tri9)
+    )(cbounds, rays, tri9, work)
     return (out[:N, 0], out[:N, 1], out[:N, 2], prim[:N, 0])
 
 

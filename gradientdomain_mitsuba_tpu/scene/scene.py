@@ -26,7 +26,7 @@ class Geometry(NamedTuple):
     tris: TriSoup            # BVH leaf order (window-padded, degenerate tail)
     bvh: BVHArrays
     clusters: ClusterArrays  # two-level traversal (ops/intersect.py)
-    tri9: np.ndarray         # [K, 9, window] cluster slabs (pallas_trace.py)
+    tri9: np.ndarray         # [K, 16, window] cluster slabs (pallas_trace.py)
     cbounds: np.ndarray      # [K, 6] packed cluster bounds (pallas_trace.py)
     # packed per-triangle shading rows in BVH ORDER — ONE gather per hit
     # instead of a 13-gather dependent chain (TPU gathers are the wavefront
