@@ -20,11 +20,14 @@ BRUTE_FORCE_MAX_TRIS = 2048
 def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
     """Returns (closest, occluded) with signature (o, d, mint, maxt, geom).
 
-    Brute force for small scenes (the whole tri soup vectorizes on the VPU
-    with zero divergence).  Beyond that: the Pallas cluster-DMA traversal
-    kernel on TPU (ops/pallas_trace.py — measured 9-16x over the jnp
-    clustered path on v5e at 8k tris), or the two-level clustered jnp
-    traversal on CPU backends (Mosaic kernels only run on real TPUs)."""
+    Brute force for small scenes on every backend (standalone microbench
+    says the Pallas kernel wins even at 36 tris, but END-TO-END the
+    custom-call boundary blocks XLA from fusing/overlapping inside the
+    per-sample fori loop and the bench regresses 16.4 -> 13.1 Mrays/s —
+    measured, not assumed).  Above the threshold: the Pallas cluster-DMA
+    traversal kernel on TPU (9-16x over the jnp clustered path at 8k
+    tris); the two-level clustered jnp traversal on CPU backends (Mosaic
+    kernels only run on real TPUs)."""
     if n_tris <= BRUTE_FORCE_MAX_TRIS:
         chunk = min(1024, max(64, n_tris))
 
