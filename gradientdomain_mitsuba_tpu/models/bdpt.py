@@ -584,7 +584,9 @@ class BDPTracer:
         return jnp.where(_b3(ok), contrib, 0.0), sum_ri
 
     def _strategy_t1(self, scene, eye, light, y0, s, N, eps, W, H):
-        """Light tracing (s>=2): connect y_{s-1} to the camera, splat."""
+        """Light tracing (s>=2): connect y_{s-1} to the camera.  Returns
+        (film_pos, value UNWEIGHTED, technique sum) — the caller folds the
+        MIS weight (G-BDPT needs the raw sum for its pair weights)."""
         cam_pos, cam_fwd, a_img = self._camera_info(scene)
         kl = s - 2
         yp = light.p[:, kl]
@@ -618,9 +620,8 @@ class BDPTracer:
                 scene, light, kl, d, y0.p, y0.ng)
         sum_ri = self._mis_sum(eye, light, y0, s, 1, jnp.zeros(N),
                                jnp.zeros(N), pdf_rev_qs, pdf_rev_qs_minus)
-        w = 1.0 / (1.0 + sum_ri)
-        value = jnp.where(_b3(ok), value * _b3(w), 0.0)
-        return film, value
+        value = jnp.where(_b3(ok), value, 0.0)
+        return film, value, sum_ri
 
     # -- per-sample evaluation ---------------------------------------------
     def trace_pass(self, scene, seed, sample_idx, pixel_id=None):
@@ -645,10 +646,10 @@ class BDPTracer:
                 if t == 1:
                     if s < 2 or not self.light_image:
                         continue  # (1,1) covered by (0,2)
-                    pos, val = self._strategy_t1(scene, eye, light, y0, s,
-                                                 N, eps, W, H)
+                    pos, val, sri = self._strategy_t1(scene, eye, light, y0,
+                                                      s, N, eps, W, H)
                     splat_pos.append(pos)
-                    splat_val.append(val)
+                    splat_val.append(val * _b3(1.0 / (1.0 + sri)))
                 elif s == 0:
                     c, sri = self._strategy_s0(scene, eye, light, y0, t, N)
                     L = L + c * _b3(1.0 / (1.0 + sri))

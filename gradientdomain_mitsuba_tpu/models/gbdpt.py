@@ -6,32 +6,36 @@ TPU-native replacement for the fork's gbdpt integrator
 augmented with FOUR shifted evaluations whose EYE subpath is offset to the
 neighboring pixel; the light subpath is shared (SURVEY.md §9.5).
 
-Round-1 shift scope (documented limitations, see SURVEY.md §0):
-  - The offset eye subpath reconnects at the FIRST vertex: offset camera
-    ray -> z'_1, then reconnect z'_1 -> z_2 (requires z_1, z'_1, z_2 all
-    classified diffuse by shiftThreshold).  Specular/glossy prefix replay
-    (multi-step half-vector chains) is not yet implemented — offsets die
-    on delta first vertices and the MIS weights degrade unbiasedly to the
-    valid side, exactly like a failed shift in the reference.
-  - light tracing (t=1) is disabled entirely (sampling AND MIS
-    denominators): its image-space gradient shift is future work, and a
-    technique present in the denominators but absent from the gradient
-    sampling biases E[dx] low.  The t>=2 strategies alone reach every
-    light path, so the estimator stays complete and unbiased — light
-    tracing returns in a later round as an efficiency upgrade.
+Shift map (ONE piecewise map per neighbor, shared by every technique —
+required for the MIS weights to partition unity, since every (s,t) with
+the same total length samples the same physical paths):
+  - reconnection at the FIRST vertex: offset camera ray -> z'_1, then
+    reconnect z'_1 to the path's second surface vertex (z_2 for t>=3, the
+    light endpoint y_{s-1} for t=2, y_{s-2} for t=1); requires z_1, z'_1,
+    and that second vertex all classified diffuse by shiftThreshold;
+  - light-tracing paths (t=1) are shifted in IMAGE space: the splat
+    position moves one pixel, the camera ray through the shifted position
+    is retraced to find z'_1, and z'_1 reconnects to y_{s-2}.  The image-
+    plane Jacobian p_camArea(y_{s-1}) / p_camArea(z'_1) carries the
+    vertex-area change (SURVEY.md §9.5 [G/?]);
+  - otherwise (specular/glossy first vertex) the shift FAILS: r = 0,
+    contribution 0, and the MIS weight degrades unbiasedly to the valid
+    side.  Specular-prefix half-vector replay is a planned extension; it
+    must upgrade the map for ALL t (including t=1) at once to stay
+    consistent.
 
 Estimator: for strategy (s,t) with base technique sum A_b (bdpt._mis_sum)
 and offset sum A_o computed on the SHIFTED eye-subpath view, the gradient
 pair weight is
 
     w = 1 / ( (1 + A_b) + r^2 (1 + A_o) ),
-    r = prod_i pdf_fwd_offset(z_i) / pdf_fwd_base(z_i),  i <= t-1,
+    r = |J| * prod_i pdf_fwd_offset(z_i) / pdf_fwd_base(z_i),
 
-which equals p_base^2 / (sum over {base,offset} x strategies of technique
-densities^2) — the extended power heuristic of the paper.  The camera-edge
-Jacobian of the shift is folded into the offset view's first pdf_fwd slot
-(set to the base camera pdf), making every offset technique density carry
-p_offset * |J| exactly.
+the extended power heuristic of the paper.  The offset views store TRUE
+per-slot densities (so A_o is correct even for the t'=1 technique, whose
+density does not contain the camera edge); the camera-edge image-plane
+shift is measure-preserving, so |J_cam| * pdf ratio of slot 0 == 1 and
+the slot-0 factor is simply skipped.
 """
 from __future__ import annotations
 
@@ -63,16 +67,12 @@ class GBDPTracer(BDPTracer):
         super().__init__(scene, settings)
         p = settings.integrator_props
         self.shift_threshold = float(p.get("shiftThreshold", 0.001))
-        # ROUND-1 LIMITATION: light tracing (t=1) is disabled for G-BDPT —
-        # its image-space gradient shift is not implemented yet, and
-        # keeping the technique in the MIS denominators while not sampling
-        # its shifts biases E[dx] low (measured slope ~0.5 on cbox).  The
-        # t>=2 strategy set still reaches every light path (eye walks pass
-        # through delta chains), so the estimator remains complete and
-        # unbiased; light tracing returns as an efficiency upgrade with
-        # image-space shifts (SURVEY.md §9.5 [G/?]).
-        self.light_image = False
-        self.camera_connectable = False
+        # light tracing (t=1) participates fully: sampled into the light
+        # image, shifted in image space for the gradients, and present in
+        # every MIS denominator (camera connectable).  lightImage=false
+        # removes the whole family consistently (reference knob).
+        self.light_image = bool(p.get("lightImage", True))
+        self.camera_connectable = self.light_image
 
     def _classify_diffuse(self, scene, bsdf_id, valid):
         rough = bsdf_ops.roughness(scene.materials, jnp.maximum(bsdf_id, 0))
@@ -107,8 +107,12 @@ class GBDPTracer(BDPTracer):
         c_off1 = self._classify_diffuse(scene, its1.bsdf_id, its1.valid)
         c_base2 = self._classify_diffuse(scene, eye.bsdf_id[:, 1],
                                          eye.valid[:, 1])
-        ok_t2 = its1.valid & eye.valid[:, 0]
-        ok_conn = ok_t2 & c_base1 & c_off1 & c_base2
+        # map consistency: the SAME piecewise shift map must apply to every
+        # technique sampling this path, so t=2 strategies also require the
+        # first-vertex classifications (their "z_2" is the light endpoint,
+        # classified per strategy in trace_pass)
+        ok_t2 = its1.valid & eye.valid[:, 0] & c_base1 & c_off1
+        ok_conn = ok_t2 & c_base2
 
         # reconnection geometry z'_1 -> z_2
         z2 = eye.p[:, 1]
@@ -183,6 +187,13 @@ class GBDPTracer(BDPTracer):
         # base pdf reconstruction above is meaningless -> offset dies
         ok_conn = ok_conn & ~eye.delta[:, 0] & ~eye.delta[:, 1]
 
+        # TRUE camera-technique density of z'_1 (area measure).  The
+        # image-plane shift is measure-preserving, so the slot-0 MIS
+        # ratio times the camera Jacobian is identically 1 and r simply
+        # skips slot 0 — but A_o needs the true value for the t'=1
+        # technique (whose density has no camera edge).
+        pdf_fwd0_off = self._camera_pdf_area(scene, its1.p, its1.ng)
+
         view = eye._replace(
             p=eye.p.at[:, 0].set(its1.p),
             ng=eye.ng.at[:, 0].set(its1.ng),
@@ -191,8 +202,9 @@ class GBDPTracer(BDPTracer):
             wi=eye.wi.at[:, 0].set(-d_cam).at[:, 1].set(-dir_rc),
             bsdf_id=eye.bsdf_id.at[:, 0].set(its1.bsdf_id),
             emitter_id=eye.emitter_id.at[:, 0].set(its1.emitter_id),
-            # camera-edge J folded: offset slot0 pdf := base slot0 pdf
             pdf_fwd=eye.pdf_fwd
+                .at[:, 0].set(jnp.where(ok_t2, pdf_fwd0_off,
+                                        eye.pdf_fwd[:, 0]))
                 .at[:, 1].set(jnp.where(ok_conn, pdf_fwd2_off, 0.0))
                 .at[:, 2].set(jnp.where(ok_conn, pdf_fwd3_off,
                                         eye.pdf_fwd[:, 2])),
@@ -206,6 +218,119 @@ class GBDPTracer(BDPTracer):
             valid=(eye.valid & ok_conn[:, None])
                 .at[:, 0].set(ok_t2))
         return view, ok_t2, ok_conn
+
+    # ------------------------------------------------------------------
+    def _t1_offset(self, scene, light, y0, s, film_base, N, eps, W, H,
+                   c_light_end):
+        """Image-space shift of a light-tracing path (t=1, reference
+        gbdpt_proc.cpp light-image handling): retrace the camera ray
+        through film_base + offset -> z'_1, reconnect z'_1 -> y_{s-2},
+        evaluate the shifted t=1 contribution + its technique sum on a
+        light-subpath VIEW with slot s-2 replaced.
+
+        Returns per offset direction lists of (value*J, sri_off, r).  The
+        shift fails (r=0) unless y_{s-1}, z'_1 and y_{s-2} are all
+        classified diffuse — the same piecewise map as the eye-subpath
+        shifts, evaluated from the path geometry."""
+        kl = s - 2
+        if s >= 3:
+            prev_p = light.p[:, kl - 1]
+            prev_ng = light.ng[:, kl - 1]
+            prev_ok = light.valid[:, kl - 1]
+            c_prev = self._classify_diffuse(scene, light.bsdf_id[:, kl - 1],
+                                            prev_ok)
+        else:  # s == 2: previous vertex is the emitter point y_0
+            prev_p, prev_ng = y0.p, y0.ng
+            prev_ok = y0.ok
+            c_prev = prev_ok  # emitter surface: always connectable
+
+        pf_base = _remap0(light.pdf_fwd[:, kl])
+        jbase = self._camera_pdf_area(scene, light.p[:, kl],
+                                      light.ng[:, kl])
+        u_half = jnp.full((N, 2), 0.5)
+
+        out = []
+        for o_i in range(4):
+            film_o = film_base + jnp.asarray(OFFSETS[o_i])
+            o_c, d_c = sensor_ops.sample_ray(scene.camera, W, H, film_o,
+                                             u_half)
+            hit = self.closest(o_c, d_c, jnp.zeros(N), jnp.full(N, 3e38),
+                               scene.geom)
+            its1 = common.fill_intersection(scene, o_c, d_c, hit)
+            c_off = self._classify_diffuse(scene, its1.bsdf_id, its1.valid)
+
+            to1 = its1.p - prev_p
+            d2 = jnp.maximum(m.squared_length(to1), 1e-12)
+            dist = jnp.sqrt(d2)
+            dirp = to1 / _b3(dist)
+            conv_rc = jnp.abs(m.dot(dirp, its1.ng)) / d2
+
+            occ = self.occluded(
+                common.offset_ray_origin(prev_p, prev_ng, dirp, eps),
+                dirp, jnp.zeros(N), dist - 2 * eps, scene.geom)
+            ok = (its1.valid & prev_ok & light.valid[:, kl] & c_light_end &
+                  c_off & c_prev & ~occ)
+
+            # BSDF / emission factor at y_{s-2} toward z'_1 (adjoint side)
+            if s >= 3:
+                f_prev, pdf_prev_sa = self._eval_at(scene, light, kl - 1,
+                                                    dirp)
+                wi_w = light.wi[:, kl - 1]
+                ns_p, ng_p = light.ns[:, kl - 1], light.ng[:, kl - 1]
+                corr = ((jnp.abs(m.dot(dirp, ns_p)) *
+                         jnp.abs(m.dot(wi_w, ng_p))) /
+                        jnp.maximum(jnp.abs(m.dot(dirp, ng_p)) *
+                                    jnp.abs(m.dot(wi_w, ns_p)), 1e-9))
+                f_prev = f_prev * _b3(corr)
+            else:
+                cos0 = jnp.maximum(m.dot(dirp, y0.ng), 0.0)
+                f_prev = jnp.broadcast_to(_b3(cos0), (N, 3))
+                pdf_prev_sa = cos0 / jnp.pi
+            ok = ok & (jnp.max(f_prev, -1) > 0) & (pdf_prev_sa > 0)
+
+            # image-plane Jacobian: dA(z'_1)/dA(y_{s-1}) in image coords
+            joff = self._camera_pdf_area(scene, its1.p, its1.ng)
+            jimg = jbase / jnp.maximum(joff, 1e-30)
+
+            beta_prev = y0.beta if s == 2 else light.beta[:, kl - 1]
+            beta_off = beta_prev * f_prev * _b3(conv_rc / pf_base)
+            pf_off = pdf_prev_sa * conv_rc
+
+            # reverse-pdf fixups behind the junction
+            pdf_rev_fix = light.pdf_rev
+            y0_view = y0
+            if s >= 4:
+                pdf_rev_fix = pdf_rev_fix.at[:, kl - 2].set(
+                    self._pdf_toward_prev(scene, light, kl - 1, dirp,
+                                          light.p[:, kl - 2],
+                                          light.ng[:, kl - 2]))
+            elif s == 3:
+                y0_view = y0._replace(pdf_rev=self._pdf_toward_prev(
+                    scene, light, kl - 1, dirp, y0.p, y0.ng))
+
+            view = light._replace(
+                p=light.p.at[:, kl].set(its1.p),
+                ng=light.ng.at[:, kl].set(its1.ng),
+                ns=light.ns.at[:, kl].set(its1.ns),
+                uv=light.uv.at[:, kl].set(its1.uv),
+                wi=light.wi.at[:, kl].set(-dirp),
+                bsdf_id=light.bsdf_id.at[:, kl].set(its1.bsdf_id),
+                beta=light.beta.at[:, kl].set(beta_off),
+                pdf_fwd=light.pdf_fwd.at[:, kl].set(pf_off),
+                pdf_rev=pdf_rev_fix,
+                delta=light.delta.at[:, kl].set(
+                    _is_delta_kind(scene.materials, its1.bsdf_id)),
+                valid=light.valid.at[:, kl].set(ok))
+
+            # eye is only shape-inspected by _mis_sum for t=1 (its loop
+            # over eye-side techniques is empty); pass the light view
+            _, val, sri = self._strategy_t1(scene, view, view, y0_view, s,
+                                            N, eps, W, H)
+            r = jnp.where(ok, (pf_off / pf_base) * jimg, 0.0)
+            val = jnp.where(_b3(ok), val * _b3(jimg), 0.0)
+            sri = jnp.where(ok, sri, 0.0)
+            out.append((val, sri, r))
+        return out
 
     # ------------------------------------------------------------------
     def trace_pass(self, scene, seed, sample_idx, pixel_id=None):
@@ -234,6 +359,19 @@ class GBDPTracer(BDPTracer):
         very = aux_L
         grad = jnp.zeros((4, N, 3))
         splat_pos, splat_val = [], []
+        t1_pos, t1_grad = [], []
+
+        def pair_weight(sri_base, sri_off, r, ok):
+            # invalid offset views can carry inf/NaN technique sums; r is
+            # masked to 0 but 0*NaN != 0, and a degenerate offset view can
+            # have sri_off=inf while r^2 underflows to 0 (NaN); r==0 means
+            # the offset technique doesn't exist (weight -> base side)
+            sri_off = jnp.where(ok, sri_off, 0.0)
+            r = jnp.where(ok, r, 0.0)
+            t_off = r * r * (1.0 + sri_off)
+            t_off = jnp.where(r > 0, t_off, 0.0)
+            t_off = jnp.where(jnp.isnan(t_off), jnp.inf, t_off)
+            return 1.0 / ((1.0 + sri_base) + t_off)
 
         def run_strategy(view, s, t):
             if s == 0:
@@ -243,6 +381,14 @@ class GBDPTracer(BDPTracer):
             return self._strategy_connect(scene, view, light, y0, s, t, N,
                                           eps)
 
+        def classify_light_end(s):
+            """Shift-map classification of the reconnection target when it
+            is a light vertex (t=2 endpoint / t=1 second vertex)."""
+            if s <= 1:
+                return jnp.ones(N, bool)  # y_0: emitter surface
+            return self._classify_diffuse(scene, light.bsdf_id[:, s - 2],
+                                          light.valid[:, s - 2])
+
         for t in range(1, self.TE + 2):
             for s in range(0, self.SM + 1):
                 k_edges = s + t - 1
@@ -251,10 +397,18 @@ class GBDPTracer(BDPTracer):
                 if t == 1:
                     if s < 2 or not self.light_image:
                         continue
-                    pos, val = self._strategy_t1(scene, eye, light, y0, s,
-                                                 N, eps, W, H)
+                    pos, val, sri_base = self._strategy_t1(
+                        scene, eye, light, y0, s, N, eps, W, H)
                     splat_pos.append(pos)
-                    splat_val.append(val)
+                    splat_val.append(val * _b3(1.0 / (1.0 + sri_base)))
+                    offs = self._t1_offset(scene, light, y0, s, pos, N,
+                                           eps, W, H, classify_light_end(s))
+                    g = [None] * 4
+                    for o_i, (v_off, sri_off, r) in enumerate(offs):
+                        w_pair = pair_weight(sri_base, sri_off, r, r > 0)
+                        g[o_i] = _b3(w_pair) * (v_off - val)
+                    t1_pos.append(pos)
+                    t1_grad.append(jnp.stack(g))
                     continue
 
                 c_base, sri_base = run_strategy(eye, s, t)
@@ -264,37 +418,37 @@ class GBDPTracer(BDPTracer):
                     continue  # very direct: excluded from gradients
                 primal = primal + c_base * _b3(w_base)
 
-                # ratio r = prod pdf_fwd_off / pdf_fwd_base over eye slots
                 for o_i, (view, ok_t2, ok_conn) in enumerate(views):
-                    ok = ok_t2 if t == 2 else ok_conn
+                    if t == 2:
+                        ok = ok_t2 & classify_light_end(s)
+                    else:
+                        ok = ok_conn
                     c_off, sri_off = run_strategy(view, s, t)
-                    # invalid offset views can carry inf/NaN technique
-                    # sums; r is masked to 0 below but 0*NaN != 0
-                    sri_off = jnp.where(ok, sri_off, 0.0)
+                    # r = |J| * prod of TRUE pdf ratios over the eye slots
+                    # this technique samples; slot 0 contributes exactly 1
+                    # (measure-preserving image-plane shift) and slots
+                    # >= 3 are shared with the base (ratio 1)
                     r = jnp.ones(N)
-                    for i in range(min(t - 1, 3)):
+                    for i in range(1, min(t - 1, 3)):
                         r = r * (_remap0(view.pdf_fwd[:, i]) /
                                  _remap0(eye.pdf_fwd[:, i]))
-                    r = jnp.where(ok, r, 0.0)
                     c_off = jnp.where(_b3(ok), c_off, 0.0)
-                    # offset technique term: guard the 0*inf corners —
-                    # a degenerate offset view can have sri_off=inf while
-                    # r^2 underflows to 0 (NaN); r==0 means the offset
-                    # technique doesn't exist (weight falls back to base)
-                    t_off = r * r * (1.0 + sri_off)
-                    t_off = jnp.where(r > 0, t_off, 0.0)
-                    t_off = jnp.where(jnp.isnan(t_off), jnp.inf, t_off)
-                    w_pair = 1.0 / ((1.0 + sri_base) + t_off)
+                    w_pair = pair_weight(sri_base, sri_off, r, ok)
                     grad = grad.at[o_i].add(
                         _b3(w_pair) * (c_off - c_base))
 
-        if splat_pos:
-            splat_pos = jnp.concatenate(splat_pos, axis=0)
-            splat_val = jnp.concatenate(splat_val, axis=0)
-        else:
-            splat_pos = jnp.zeros((0, 2))
-            splat_val = jnp.zeros((0, 3))
-        return pos_film, primal, very, grad, splat_pos, splat_val
+        def cat(parts, shape):
+            if parts:
+                return jnp.concatenate(parts, axis=-2 if len(shape) == 3
+                                       else 0)
+            return jnp.zeros(shape)
+
+        splat_pos = cat(splat_pos, (0, 2))
+        splat_val = cat(splat_val, (0, 3))
+        t1_pos = cat(t1_pos, (0, 2))
+        t1_grad = cat(t1_grad, (4, 0, 3))
+        return (pos_film, primal, very, grad, splat_pos, splat_val,
+                t1_pos, t1_grad)
 
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 4))
@@ -307,8 +461,8 @@ class GBDPTracer(BDPTracer):
                     wsum=jnp.zeros((H, W)))
 
         def body(i, bufs):
-            pos, primal, very, grad, spos, sval = self.trace_pass(
-                scene, seed, sample_start + i)
+            (pos, primal, very, grad, spos, sval, t1p, t1g) = \
+                self.trace_pass(scene, seed, sample_start + i)
             fb, wb = film_ops.splat(bufs["primal"], bufs["wsum"], pos,
                                     primal, self.filter_kind)
             vd, _ = film_ops.splat(bufs["very_direct"],
@@ -321,6 +475,14 @@ class GBDPTracer(BDPTracer):
             dy = film_ops.splat_unfiltered(bufs["dy"], pos, grad[2])
             dy = film_ops.splat_unfiltered(
                 dy, pos + jnp.asarray(OFFSETS[3]), -grad[3])
+            # light-image (t=1) gradient pairs splat at the base splat
+            # position, same forward/backward lattice convention
+            dx = film_ops.splat_unfiltered(dx, t1p, t1g[0])
+            dx = film_ops.splat_unfiltered(
+                dx, t1p + jnp.asarray(OFFSETS[1]), -t1g[1])
+            dy = film_ops.splat_unfiltered(dy, t1p, t1g[2])
+            dy = film_ops.splat_unfiltered(
+                dy, t1p + jnp.asarray(OFFSETS[3]), -t1g[3])
             return dict(primal=fb, dx=dx, dy=dy, very_direct=vd,
                         light_img=li, wsum=wb)
 
@@ -329,17 +491,20 @@ class GBDPTracer(BDPTracer):
     def finalize(self, state, spp):
         w = np.maximum(state["wsum"], 1e-12)[..., None]
         return {
-            "primal": state["primal"] / w,
-            "very_direct": (state["very_direct"] / w +
-                            state["light_img"] / spp),
+            # the light image is part of the PRIMAL the Poisson solve
+            # sees — its gradients are estimated (t=1 image-space shifts),
+            # so it must not bypass reconstruction (gbdpt_wr merge [G])
+            "primal": state["primal"] / w + state["light_img"] / spp,
+            "very_direct": state["very_direct"] / w,
             "dx": state["dx"] / spp,
             "dy": state["dy"] / spp,
         }
 
     def render(self, scene, seed=0, spp=None, chunk=4,
                checkpoint_path=None, resume=False, progress=None):
-        """Returns buffers dict; very_direct includes the light image
-        (both are added back after reconstruction)."""
+        """Returns buffers dict; the light image is merged into primal
+        (it participates in reconstruction via the t=1 gradient shifts);
+        very_direct is re-added after reconstruction."""
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp
         state, spp = render_accumulate(

@@ -46,14 +46,26 @@ def test_bdpt_deterministic(cbox):
 
 
 def test_gbdpt_primal_parity(cbox):
-    """gbdpt primal + very_direct == bdpt (lightImage=false) exactly —
-    G-BDPT round-1 disables light tracing (see gbdpt.py docstring)."""
+    """gbdpt primal (incl. light image) + very_direct == bdpt exactly —
+    the gradient machinery must not perturb the primal estimator."""
     scene, st = cbox
     g = gb_mod.GBDPTracer(scene, st)
     out = g.render(scene, seed=0, spp=4, chunk=2)
+    b = bdpt_mod.BDPTracer(scene, st)
+    img = b.render(scene, seed=0, spp=4, chunk=2)
+    comb = out["primal"] + out["very_direct"]
+    np.testing.assert_allclose(comb, img, rtol=2e-4, atol=2e-5)
+
+
+def test_gbdpt_primal_parity_no_lightimage(cbox):
+    """Same parity with the lightImage knob off (t=1 family removed from
+    sampling AND MIS denominators on both sides)."""
+    scene, st = cbox
     import copy
     st2 = copy.deepcopy(st)
     st2.integrator_props["lightImage"] = False
+    g = gb_mod.GBDPTracer(scene, st2)
+    out = g.render(scene, seed=0, spp=4, chunk=2)
     b = bdpt_mod.BDPTracer(scene, st2)
     img = b.render(scene, seed=0, spp=4, chunk=2)
     comb = out["primal"] + out["very_direct"]
@@ -75,13 +87,12 @@ def test_bdpt_no_lightimage_matches_path(cbox):
 
 
 def test_gbdpt_gradient_consistency():
-    """E[dx] must match the finite difference of E[primal] (gbdpt's own
-    primal, which excludes the light-image MIS share)."""
+    """E[dx] must match the finite difference of E[primal] — with the
+    light image ON: the t=1 strategies' image-space shifts must supply
+    the light-image share of the gradients (a technique present in the
+    MIS denominators but missing from the pair sampling biases E[dx])."""
     scene, st = sc.load_scene(
         CBOX, {"width": "16", "height": "16", "spp": "8", "maxDepth": "2"})
-    # disable the light image (reference's lightImage knob) so very_direct
-    # contains only the emitter hits and the mask below stays tight
-    st.integrator_props["lightImage"] = False
     g = gb_mod.GBDPTracer(scene, st)
     out = g.render(scene, seed=0, spp=48, chunk=8)
     ref = g.render(scene, seed=555, spp=256, chunk=8)
