@@ -24,18 +24,28 @@ the same total length samples the same physical paths):
     must upgrade the map for ALL t (including t=1) at once to stay
     consistent.
 
-Estimator: for strategy (s,t) with base technique sum A_b (bdpt._mis_sum)
-and offset sum A_o computed on the SHIFTED eye-subpath view, the gradient
-pair weight is
+Estimator (decomposed gradient MIS): the primal integral is split into
+per-technique components I_{s,t} = E[w_st * f] with the standard BDPT
+power-heuristic weights w_st = 1/(1+A) (A = bdpt._mis_sum technique sum,
+a pure function of the path).  Each component's gradient is estimated
+independently with a TWO-way MIS between "sampled at this pixel, shifted
+forward" and "sampled at the neighbor, shifted back":
 
-    w = 1 / ( (1 + A_b) + r^2 (1 + A_o) ),
-    r = |J| * prod_i pdf_fwd_offset(z_i) / pdf_fwd_base(z_i),
+    g_st = 1/(1 + r^2) * ( w_st(ybar) * c_off - w_st(xbar) * c_base ),
+    r    = p_st(ybar) |J| / p_st(xbar)
+         = |J| * prod_i pdf_fwd_offset(z_i) / pdf_fwd_base(z_i),
 
-the extended power heuristic of the paper.  The offset views store TRUE
-per-slot densities (so A_o is correct even for the t'=1 technique, whose
-density does not contain the camera edge); the camera-edge image-plane
-shift is measure-preserving, so |J_cam| * pdf ratio of slot 0 == 1 and
-the slot-0 factor is simply skipped.
+where c_* are the raw strategy contributions f/p and w_st(ybar) uses the
+technique sum evaluated on the SHIFTED view.  Unlike the fully-coupled
+heuristic (one denominator over all techniques x {base, offset}), this
+form stays unbiased even when different techniques use DIFFERENT shift
+maps for the same physical path — which they do here: t=1 paths shift in
+image space with immediate reconnection while t>=2 eye shifts may replay
+specular prefixes.  The offset views store TRUE per-slot densities (so
+A_o is correct even for the t'=1 technique, whose density does not
+contain the camera edge); the camera-edge image-plane shift is
+measure-preserving, so |J_cam| * pdf ratio of slot 0 == 1 and the slot-0
+factor is simply skipped.
 """
 from __future__ import annotations
 
@@ -361,17 +371,20 @@ class GBDPTracer(BDPTracer):
         splat_pos, splat_val = [], []
         t1_pos, t1_grad = [], []
 
-        def pair_weight(sri_base, sri_off, r, ok):
-            # invalid offset views can carry inf/NaN technique sums; r is
-            # masked to 0 but 0*NaN != 0, and a degenerate offset view can
-            # have sri_off=inf while r^2 underflows to 0 (NaN); r==0 means
-            # the offset technique doesn't exist (weight -> base side)
+        def pair_grad(c_base, sri_base, c_off, sri_off, r, ok):
+            """Decomposed gradient estimate for one (strategy, offset)
+            pair — see module docstring.  Guards: invalid offset views can
+            carry inf/NaN technique sums and r*r can overflow to inf (a
+            2-way weight of 0 on this side — the neighbor's sample covers
+            the pair)."""
             sri_off = jnp.where(ok, sri_off, 0.0)
             r = jnp.where(ok, r, 0.0)
-            t_off = r * r * (1.0 + sri_off)
-            t_off = jnp.where(r > 0, t_off, 0.0)
-            t_off = jnp.where(jnp.isnan(t_off), jnp.inf, t_off)
-            return 1.0 / ((1.0 + sri_base) + t_off)
+            c_off = jnp.where(_b3(ok), c_off, 0.0)
+            a = 1.0 / (1.0 + r * r)
+            a = jnp.where(jnp.isnan(a), 0.0, a)
+            w_off = jnp.where(ok, 1.0 / (1.0 + sri_off), 0.0)
+            w_base = 1.0 / (1.0 + sri_base)
+            return _b3(a) * (_b3(w_off) * c_off - _b3(w_base) * c_base)
 
         def run_strategy(view, s, t):
             if s == 0:
@@ -403,10 +416,8 @@ class GBDPTracer(BDPTracer):
                     splat_val.append(val * _b3(1.0 / (1.0 + sri_base)))
                     offs = self._t1_offset(scene, light, y0, s, pos, N,
                                            eps, W, H, classify_light_end(s))
-                    g = [None] * 4
-                    for o_i, (v_off, sri_off, r) in enumerate(offs):
-                        w_pair = pair_weight(sri_base, sri_off, r, r > 0)
-                        g[o_i] = _b3(w_pair) * (v_off - val)
+                    g = [pair_grad(val, sri_base, v_off, sri_off, r, r > 0)
+                         for (v_off, sri_off, r) in offs]
                     t1_pos.append(pos)
                     t1_grad.append(jnp.stack(g))
                     continue
@@ -432,10 +443,8 @@ class GBDPTracer(BDPTracer):
                     for i in range(1, min(t - 1, 3)):
                         r = r * (_remap0(view.pdf_fwd[:, i]) /
                                  _remap0(eye.pdf_fwd[:, i]))
-                    c_off = jnp.where(_b3(ok), c_off, 0.0)
-                    w_pair = pair_weight(sri_base, sri_off, r, ok)
-                    grad = grad.at[o_i].add(
-                        _b3(w_pair) * (c_off - c_base))
+                    grad = grad.at[o_i].add(pair_grad(
+                        c_base, sri_base, c_off, sri_off, r, ok))
 
         def cat(parts, shape):
             if parts:
