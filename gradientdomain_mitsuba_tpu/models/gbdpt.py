@@ -6,23 +6,23 @@ TPU-native replacement for the fork's gbdpt integrator
 augmented with FOUR shifted evaluations whose EYE subpath is offset to the
 neighboring pixel; the light subpath is shared (SURVEY.md §9.5).
 
-Shift map (ONE piecewise map per neighbor, shared by every technique —
-required for the MIS weights to partition unity, since every (s,t) with
-the same total length samples the same physical paths):
-  - reconnection at the FIRST vertex: offset camera ray -> z'_1, then
-    reconnect z'_1 to the path's second surface vertex (z_2 for t>=3, the
-    light endpoint y_{s-1} for t=2, y_{s-2} for t=1); requires z_1, z'_1,
-    and that second vertex all classified diffuse by shiftThreshold;
+Shift map (piecewise, per neighbor):
+  - eye shifts (t>=2): offset camera ray -> z'_1; at each vertex i the
+    reconnection condition c(z_i) & c(z'_i) & c(z_{i+1}) is checked
+    (classification by roughness > shiftThreshold); on success the offset
+    reconnects z'_i -> z_{i+1} and shares the suffix, otherwise the base
+    bounce is replayed by HALF-VECTOR COPY (specular prefix replay,
+    gpt.half_vector_copy) and the walk continues.  When the strategy's
+    connection vertex is reached un-reconnected, the light connection
+    itself acts as the reconnection (endpoint mode, gated by the same
+    classifications).  See _build_offset_view;
   - light-tracing paths (t=1) are shifted in IMAGE space: the splat
     position moves one pixel, the camera ray through the shifted position
     is retraced to find z'_1, and z'_1 reconnects to y_{s-2}.  The image-
     plane Jacobian p_camArea(y_{s-1}) / p_camArea(z'_1) carries the
-    vertex-area change (SURVEY.md §9.5 [G/?]);
-  - otherwise (specular/glossy first vertex) the shift FAILS: r = 0,
-    contribution 0, and the MIS weight degrades unbiasedly to the valid
-    side.  Specular-prefix half-vector replay is a planned extension; it
-    must upgrade the map for ALL t (including t=1) at once to stay
-    consistent.
+    vertex-area change (SURVEY.md §9.5 [G/?]).  Non-reconnectable t=1
+    configurations FAIL (no replay into the light subpath): r = 0,
+    contribution 0 — unbiased under the decomposed MIS below.
 
 Estimator (decomposed gradient MIS): the primal integral is split into
 per-technique components I_{s,t} = E[w_st * f] with the standard BDPT
@@ -63,7 +63,7 @@ from ..ops import common, film as film_ops
 from ..ops import sensor as sensor_ops
 from .bdpt import (BDPTracer, SubPath, _b3, _dir_to_area, _is_delta_kind,
                    _remap0)
-from .gpt import OFFSETS
+from .gpt import OFFSETS, half_vector_copy
 
 
 class GBDPTracer(BDPTracer):
@@ -77,6 +77,10 @@ class GBDPTracer(BDPTracer):
         super().__init__(scene, settings)
         p = settings.integrator_props
         self.shift_threshold = float(p.get("shiftThreshold", 0.001))
+        # STATIC: all-diffuse scenes compile the prefix replay away (the
+        # junction always fires at the first vertex when it fires at all)
+        self.any_specular = bsdf_ops.any_specular(scene.materials,
+                                                  self.shift_threshold)
         # light tracing (t=1) participates fully: sampled into the light
         # image, shifted in image space for the gradients, and present in
         # every MIS denominator (camera connectable).  lightImage=false
@@ -106,128 +110,276 @@ class GBDPTracer(BDPTracer):
         return its, d
 
     def _build_offset_view(self, scene, eye: SubPath, its1, d_cam, N, eps):
-        """Shifted eye-subpath view: slot 0 replaced by the offset primary
-        vertex z'_1, slots 1..2 with adjusted pdf/throughput entries, the
-        rest shared with the base.  Returns (view, ok_t2, ok_conn,
-        ratio_beta2) where ok_t2 gates strategies with t-1 == 1 and
-        ok_conn gates t-1 >= 2."""
-        # classification
-        c_base1 = self._classify_diffuse(scene, eye.bsdf_id[:, 0],
-                                         eye.valid[:, 0])
-        c_off1 = self._classify_diffuse(scene, its1.bsdf_id, its1.valid)
-        c_base2 = self._classify_diffuse(scene, eye.bsdf_id[:, 1],
-                                         eye.valid[:, 1])
-        # map consistency: the SAME piecewise shift map must apply to every
-        # technique sampling this path, so t=2 strategies also require the
-        # first-vertex classifications (their "z_2" is the light endpoint,
-        # classified per strategy in trace_pass)
-        ok_t2 = its1.valid & eye.valid[:, 0] & c_base1 & c_off1
-        ok_conn = ok_t2 & c_base2
+        """Shifted eye-subpath view with specular-prefix replay.
 
-        # reconnection geometry z'_1 -> z_2
-        z2 = eye.p[:, 1]
-        to2 = z2 - its1.p
-        d2sq = jnp.maximum(m.squared_length(to2), 1e-12)
-        dist2v = jnp.sqrt(d2sq)
-        dir_rc = to2 / _b3(dist2v)
-        occ = self.occluded(
-            common.offset_ray_origin(its1.p, its1.ng, dir_rc, eps),
-            dir_rc, jnp.zeros(N), dist2v - 2 * eps,
-            scene.geom)
-        ok_conn = ok_conn & ~occ
+        The piecewise shift map (one per neighbor): starting from the
+        offset camera vertex z'_1, at each vertex index i the reconnection
+        condition c(z_i) & c(z'_i) & c(z_{i+1}) is checked; when it holds
+        the offset reconnects z'_i -> z_{i+1} (suffix shared with the
+        base), otherwise the base bounce is replayed by HALF-VECTOR COPY
+        (gpt.half_vector_copy) and the walk continues.  The junction slot
+        varies per lane; the view stores, per slot, either the offset
+        prefix vertex (with its TRUE sampling density) or the base vertex
+        with junction fixups, so every strategy (s,t) reads a consistent
+        path out of the same arrays:
 
-        # f and pdf at z'_1 toward z_2
-        ss1, ts1 = m.build_frame(its1.ns)
-        wi1 = m.to_local(-d_cam, ss1, ts1, its1.ns)
-        wo1 = m.to_local(dir_rc, ss1, ts1, its1.ns)
-        par1 = common.material_params(scene, self.has_textures,
-                                      its1.bsdf_id, its1.uv)
-        f1 = self._beval(par1, wi1, wo1)
-        pdf1_sa = self._bpdf(par1, wi1, wo1)
-        ok_conn = ok_conn & (jnp.max(f1, -1) > 0) & (pdf1_sa > 0)
+          endpoint slot e < junction: the strategy's light connection IS
+            the reconnection (offset endpoint vertex; the per-strategy
+            endpoint classifications are applied in trace_pass);
+          endpoint slot e >= junction: reconnected prefix + shared suffix.
 
-        # base z_1 -> z_2 edge quantities
-        base_wi2 = eye.wi[:, 1]                       # unit z_2 -> z_1
-        # base pdf_fwd[1] is the area pdf of z_2 from z_1 (walk-stored)
-        pdf_fwd2_off = _dir_to_area(pdf1_sa, dir_rc, d2sq, eye.ng[:, 1])
+        Returns dict(view, rcum, ok_recon, ok_end, ok_end_s0), indexed by
+        the strategy's endpoint slot e = t-2:
+          rcum[:, e]     r(s,t) = |J| prod pdf_off/pdf_base, slots 1..e
+                         (slot 0's factor is exactly 1: the image-plane
+                         shift through the camera is measure-preserving)
+          ok_recon[:, e] junction fired validly at some slot <= e-1
+          ok_end[:, e]   endpoint mode incl. c(z_e) & c(z'_e)
+          ok_end_s0[:, e] endpoint mode without classifications (s=0:
+                         the HV chain itself hits the emitter)
+        """
+        TE = self.TE
+        cls = self._classify_diffuse
+        c_walk = [cls(scene, eye.bsdf_id[:, k], eye.valid[:, k])
+                  for k in range(TE)]
+        n_steps = max(TE - 1, 1) if self.any_specular else 1
 
-        # f ratio at z_2: incoming direction changes z_1->z'_1
-        ss2, ts2 = m.build_frame(eye.ns[:, 1])
-        par2 = common.material_params(scene, self.has_textures,
-                                      eye.bsdf_id[:, 1], eye.uv[:, 1])
-        wi2_off = m.to_local(-dir_rc, ss2, ts2, eye.ns[:, 1])
-        wi2_base = m.to_local(base_wi2, ss2, ts2, eye.ns[:, 1])
-        # outgoing toward z_3 (if it exists)
-        to3 = eye.p[:, 2] - eye.p[:, 1]
-        d3sq = jnp.maximum(m.squared_length(to3), 1e-12)
-        dir23 = to3 / _b3(jnp.sqrt(d3sq))
-        wo2 = m.to_local(dir23, ss2, ts2, eye.ns[:, 1])
-        f2_off = self._beval(par2, wi2_off, wo2)
-        f2_base = self._beval(par2, wi2_base, wo2)
-        pdf2_off_sa = self._bpdf(par2, wi2_off, wo2)
-        pdf_fwd3_off = _dir_to_area(pdf2_off_sa, dir23, d3sq, eye.ng[:, 2])
-        ratio_f2 = jnp.where(
-            _b3(jnp.max(f2_base, -1) > 0),
-            f2_off / jnp.maximum(f2_base, 1e-20), 0.0)
+        def set3(arr, k, val, mask):
+            mk = jnp.reshape(mask, mask.shape + (1,) * (val.ndim - 1))
+            return arr.at[:, k].set(jnp.where(mk, val, arr[:, k]))
 
-        # reverse pdfs near the junction
-        # pdf_rev[0] of the view: z'_1 re-sampled from z_2 (incoming z_3)
-        pdf_rev1_sa = self._bpdf(par2, wo2, wi2_off)
-        pdf_rev1_off = _dir_to_area(pdf_rev1_sa, -dir_rc, d2sq, its1.ng)
+        # view arrays start as the base walk; prefix slots are overwritten
+        v = dict(p=eye.p, ng=eye.ng, ns=eye.ns, uv=eye.uv, wi=eye.wi,
+                 bsdf_id=eye.bsdf_id, emitter_id=eye.emitter_id,
+                 beta=eye.beta, pdf_fwd=eye.pdf_fwd, pdf_rev=eye.pdf_rev,
+                 delta=eye.delta)
+        rfac = jnp.ones((N, TE))
+        prefix_ok = [jnp.zeros(N, bool) for _ in range(TE)]
+        jun_struct = [jnp.zeros(N, bool) for _ in range(TE)]
+        jun_valid = [jnp.zeros(N, bool) for _ in range(TE)]
+        slot_iota = jnp.arange(TE)
 
-        # beta entries
-        # beta'[0] = 1 (camera factors cancel, J folded into pdf_fwd[0])
-        # beta'[1] = f(z'_1->z_2) * J_rc / pdf_sa_base(z_1->z_2)
-        cos2_off = jnp.abs(m.dot(dir_rc, eye.ng[:, 1]))
-        cos2_base = jnp.abs(m.dot(base_wi2, eye.ng[:, 1]))
-        d2_base = jnp.maximum(
-            m.squared_length(eye.p[:, 1] - eye.p[:, 0]), 1e-12)
-        jac_rc = (cos2_off / d2sq) / jnp.maximum(cos2_base / d2_base, 1e-30)
-        # pdf_sa of the base z_1->z_2 sample: reconstruct from pdf_fwd[1]
-        pdf_base12_sa = eye.pdf_fwd[:, 1] * d2_base / jnp.maximum(
-            cos2_base, 1e-9)
-        beta1_off = f1 * _b3(jac_rc / jnp.maximum(pdf_base12_sa, 1e-30))
-        # beta'[k>=2] = beta_base[k] * (beta'[1]/beta_base[1]) * ratio_f2
-        beta1_base = eye.beta[:, 1]
-        scale2 = jnp.where(
-            _b3(jnp.max(jnp.abs(beta1_base), -1) > 0),
-            beta1_off / jnp.maximum(beta1_base, 1e-30), 0.0) * ratio_f2
+        # ---- slot 0: offset camera vertex z'_1, TRUE camera density ----
+        ok0 = its1.valid & eye.valid[:, 0]
+        prefix_ok[0] = ok0
+        pf0_off = self._camera_pdf_area(scene, its1.p, its1.ng)
+        v["p"] = v["p"].at[:, 0].set(its1.p)
+        v["ng"] = v["ng"].at[:, 0].set(its1.ng)
+        v["ns"] = v["ns"].at[:, 0].set(its1.ns)
+        v["uv"] = v["uv"].at[:, 0].set(its1.uv)
+        v["wi"] = v["wi"].at[:, 0].set(-d_cam)
+        v["bsdf_id"] = v["bsdf_id"].at[:, 0].set(its1.bsdf_id)
+        v["emitter_id"] = v["emitter_id"].at[:, 0].set(its1.emitter_id)
+        v["beta"] = v["beta"].at[:, 0].set(jnp.ones((N, 3)))
+        v["pdf_fwd"] = set3(v["pdf_fwd"], 0, pf0_off, ok0)
+        v["delta"] = v["delta"].at[:, 0].set(
+            _is_delta_kind(scene.materials, its1.bsdf_id))
 
-        # delta-sample prefix: if the base z_1 bounce was delta-sampled the
-        # base pdf reconstruction above is meaningless -> offset dies
-        ok_conn = ok_conn & ~eye.delta[:, 0] & ~eye.delta[:, 1]
+        cur = dict(p=its1.p, ng=its1.ng, ns=its1.ns, uv=its1.uv,
+                   bsdf_id=its1.bsdf_id, wi=-d_cam)
+        beta_cur = jnp.ones((N, 3))
+        replaying = ok0
 
-        # TRUE camera-technique density of z'_1 (area measure).  The
-        # image-plane shift is measure-preserving, so the slot-0 MIS
-        # ratio times the camera Jacobian is identically 1 and r simply
-        # skips slot 0 — but A_o needs the true value for the t'=1
-        # technique (whose density has no camera edge).
-        pdf_fwd0_off = self._camera_pdf_area(scene, its1.p, its1.ng)
+        for k in range(n_steps):
+            kn = min(k + 1, TE - 1)   # slot of z_{k+2}
+            kn2 = min(k + 2, TE - 1)  # slot of z_{k+3} (clamped)
+            have_next = eye.valid[:, kn]
+            co_k = cls(scene, cur["bsdf_id"], prefix_ok[k])
+            jst = replaying & c_walk[k] & co_k & c_walk[kn] & have_next
+            jun_struct[k] = jst
 
-        view = eye._replace(
-            p=eye.p.at[:, 0].set(its1.p),
-            ng=eye.ng.at[:, 0].set(its1.ng),
-            ns=eye.ns.at[:, 0].set(its1.ns),
-            uv=eye.uv.at[:, 0].set(its1.uv),
-            wi=eye.wi.at[:, 0].set(-d_cam).at[:, 1].set(-dir_rc),
-            bsdf_id=eye.bsdf_id.at[:, 0].set(its1.bsdf_id),
-            emitter_id=eye.emitter_id.at[:, 0].set(its1.emitter_id),
-            pdf_fwd=eye.pdf_fwd
-                .at[:, 0].set(jnp.where(ok_t2, pdf_fwd0_off,
-                                        eye.pdf_fwd[:, 0]))
-                .at[:, 1].set(jnp.where(ok_conn, pdf_fwd2_off, 0.0))
-                .at[:, 2].set(jnp.where(ok_conn, pdf_fwd3_off,
-                                        eye.pdf_fwd[:, 2])),
-            pdf_rev=eye.pdf_rev
-                .at[:, 0].set(jnp.where(ok_conn, pdf_rev1_off, 0.0)),
-            delta=eye.delta.at[:, 0].set(
-                _is_delta_kind(scene.materials, its1.bsdf_id)),
-            beta=(eye.beta * scale2[:, None, :])
-                  .at[:, 0].set(jnp.ones((N, 3)))
-                  .at[:, 1].set(beta1_off),
-            valid=(eye.valid & ok_conn[:, None])
-                .at[:, 0].set(ok_t2))
-        return view, ok_t2, ok_conn
+            # frames/params at the current offset vertex
+            ssc, tsc = m.build_frame(cur["ns"])
+            wi_c = m.to_local(cur["wi"], ssc, tsc, cur["ns"])
+            par_c = common.material_params(scene, self.has_textures,
+                                           cur["bsdf_id"], cur["uv"])
+
+            # base bounce z_{k+1} -> z_{k+2}: geometry + solid-angle pdf
+            dir_b = -eye.wi[:, kn]
+            d2b = jnp.maximum(
+                m.squared_length(eye.p[:, kn] - eye.p[:, k]), 1e-12)
+            cosb = jnp.maximum(jnp.abs(m.dot(dir_b, eye.ng[:, kn])), 1e-9)
+            pdf_base_sa = eye.pdf_fwd[:, kn] * d2b / cosb
+
+            # ======== junction: reconnect z'_{k+1} -> z_{k+2} ==========
+            to_j = eye.p[:, kn] - cur["p"]
+            d2j = jnp.maximum(m.squared_length(to_j), 1e-12)
+            distj = jnp.sqrt(d2j)
+            dir_rc = to_j / _b3(distj)
+            occ = self.occluded(
+                common.offset_ray_origin(cur["p"], cur["ng"], dir_rc, eps),
+                dir_rc, jnp.zeros(N),
+                jnp.where(jst, distj - 2 * eps, -1.0), scene.geom)
+            wo_rc = m.to_local(dir_rc, ssc, tsc, cur["ns"])
+            f_rc = self._beval(par_c, wi_c, wo_rc)
+            pb_rc = self._bpdf(par_c, wi_c, wo_rc)
+            jok = (jst & ~occ & (jnp.max(f_rc, -1) > 0) & (pb_rc > 0) &
+                   (pdf_base_sa > 0))
+            jun_valid[k] = jok
+
+            cosj = jnp.abs(m.dot(dir_rc, eye.ng[:, kn]))
+            conv_o = cosj / d2j
+            jac_rc = conv_o / jnp.maximum(cosb / d2b, 1e-30)
+            beta_j = beta_cur * f_rc * _b3(
+                jac_rc / jnp.maximum(pdf_base_sa, 1e-30))
+            rfac_j = pb_rc * jac_rc / jnp.maximum(pdf_base_sa, 1e-30)
+            pf_j = pb_rc * conv_o
+
+            # "recently connected" fixups at slot k+2 (z_{k+2}'s incoming
+            # changed to come from z'_{k+1})
+            ss2, ts2 = m.build_frame(eye.ns[:, kn])
+            par2 = common.material_params(scene, self.has_textures,
+                                          eye.bsdf_id[:, kn],
+                                          eye.uv[:, kn])
+            wi2_off = m.to_local(-dir_rc, ss2, ts2, eye.ns[:, kn])
+            wi2_base = m.to_local(eye.wi[:, kn], ss2, ts2, eye.ns[:, kn])
+            to3 = eye.p[:, kn2] - eye.p[:, kn]
+            d3sq = jnp.maximum(m.squared_length(to3), 1e-12)
+            dir23 = to3 / _b3(jnp.sqrt(d3sq))
+            wo2 = m.to_local(dir23, ss2, ts2, eye.ns[:, kn])
+            f2_off = self._beval(par2, wi2_off, wo2)
+            f2_base = self._beval(par2, wi2_base, wo2)
+            pdf2_off_sa = self._bpdf(par2, wi2_off, wo2)
+            pf_recent = _dir_to_area(pdf2_off_sa, dir23, d3sq,
+                                     eye.ng[:, kn2])
+            ratio_f2 = jnp.where(
+                _b3(jnp.max(f2_base, -1) > 0),
+                f2_off / jnp.maximum(f2_base, 1e-20), 0.0)
+            # re-sampling z'_{k+1} from z_{k+2} (view pdf_rev[k])
+            pr_j_sa = self._bpdf(par2, wo2, wi2_off)
+            pr_j = _dir_to_area(pr_j_sa, -dir_rc, d2j, cur["ng"])
+            scale = jnp.where(
+                _b3(jnp.max(jnp.abs(eye.beta[:, kn]), -1) > 0),
+                beta_j / jnp.maximum(eye.beta[:, kn], 1e-30),
+                0.0) * ratio_f2
+
+            has_kn2 = (k + 2 <= TE - 1)
+            v["wi"] = set3(v["wi"], kn, -dir_rc, jok)
+            v["beta"] = set3(v["beta"], kn, beta_j, jok)
+            v["pdf_fwd"] = set3(v["pdf_fwd"], kn, pf_j, jok)
+            v["pdf_rev"] = set3(v["pdf_rev"], k, jnp.where(jok, pr_j, 0.0),
+                                jok)
+            rfac = set3(rfac, kn, rfac_j, jok)
+            if has_kn2:
+                v["pdf_fwd"] = set3(v["pdf_fwd"], kn2, pf_recent, jok)
+                rfac = set3(rfac, kn2,
+                            pf_recent / _remap0(eye.pdf_fwd[:, kn2]), jok)
+                # suffix throughput: beta'[j>=k+2] = beta_base[j] * scale
+                suff = (slot_iota >= k + 2)[None, :, None]
+                v["beta"] = jnp.where(jok[:, None, None] & suff,
+                                      eye.beta * scale[:, None, :],
+                                      v["beta"])
+            if k >= 1:
+                # re-sampling z'_k from z'_{k+1} whose outgoing changed
+                pr_prev_sa = self._bpdf(par_c, wo_rc, wi_c)
+                to_prev = v["p"][:, k - 1] - cur["p"]
+                d2p = jnp.maximum(m.squared_length(to_prev), 1e-12)
+                pr_prev = _dir_to_area(
+                    pr_prev_sa, to_prev / _b3(jnp.sqrt(d2p)), d2p,
+                    v["ng"][:, k - 1])
+                v["pdf_rev"] = set3(v["pdf_rev"], k - 1, pr_prev, jok)
+
+            # ======== half-vector replay step ==========================
+            if self.any_specular:
+                hv_can = replaying & ~jst & have_next
+                ssm, tsm = m.build_frame(eye.ns[:, k])
+                wi_m = m.to_local(eye.wi[:, k], ssm, tsm, eye.ns[:, k])
+                wo_m = m.to_local(dir_b, ssm, tsm, eye.ns[:, k])
+                par_m = common.material_params(scene, self.has_textures,
+                                               eye.bsdf_id[:, k],
+                                               eye.uv[:, k])
+                hv = half_vector_copy(self._beval, self._bpdf, wi_m, wo_m,
+                                      par_m, eye.delta[:, k], wi_c, par_c)
+                hv_ok = hv_can & hv["valid"]
+                wo_w = m.to_world(hv["wo"], ssc, tsc, cur["ns"])
+                o_new = common.offset_ray_origin(cur["p"], cur["ng"],
+                                                 wo_w, eps)
+                hit = self.closest(o_new, wo_w, jnp.zeros(N),
+                                   jnp.where(hv_ok, 3e38, -1.0),
+                                   scene.geom)
+                its_n = common.fill_intersection(scene, o_new, wo_w, hit)
+                adv = hv_ok & its_n.valid
+
+                pb_base = jnp.where(eye.delta[:, k], 1.0,
+                                    jnp.maximum(pdf_base_sa, 1e-30))
+                beta_hv = beta_cur * hv["f"] * _b3(hv["jac"] / pb_base)
+                rfac_hv = hv["pdf"] * hv["jac"] / pb_base
+                conv_n = jnp.abs(m.dot(its_n.ng, wo_w)) / jnp.maximum(
+                    its_n.t ** 2, 1e-12)
+                pf_hv = jnp.where(hv["is_delta"], 0.0,
+                                  hv["pdf"]) * conv_n
+
+                prefix_ok[kn] = adv
+                v["p"] = set3(v["p"], kn, its_n.p, adv)
+                v["ng"] = set3(v["ng"], kn, its_n.ng, adv)
+                v["ns"] = set3(v["ns"], kn, its_n.ns, adv)
+                v["uv"] = set3(v["uv"], kn, its_n.uv, adv)
+                v["wi"] = set3(v["wi"], kn, -wo_w, adv)
+                v["bsdf_id"] = set3(v["bsdf_id"], kn, its_n.bsdf_id, adv)
+                v["emitter_id"] = set3(v["emitter_id"], kn,
+                                       its_n.emitter_id, adv)
+                v["beta"] = set3(v["beta"], kn, beta_hv, adv)
+                v["pdf_fwd"] = set3(v["pdf_fwd"], kn,
+                                    jnp.where(adv, pf_hv, 0.0), adv)
+                v["delta"] = set3(
+                    v["delta"], kn,
+                    _is_delta_kind(scene.materials, its_n.bsdf_id), adv)
+                rfac = set3(rfac, kn, rfac_hv, adv)
+                if k >= 1:
+                    # re-sampling z'_k from z'_{k+1} given HV outgoing
+                    pr_sa = self._bpdf(par_c, hv["wo"], wi_c)
+                    to_prev = v["p"][:, k - 1] - cur["p"]
+                    d2p = jnp.maximum(m.squared_length(to_prev), 1e-12)
+                    pr_hv = _dir_to_area(
+                        pr_sa, to_prev / _b3(jnp.sqrt(d2p)), d2p,
+                        v["ng"][:, k - 1])
+                    v["pdf_rev"] = set3(v["pdf_rev"], k - 1, pr_hv, adv)
+
+                # advance the replay head
+                for key, val in (("p", its_n.p), ("ng", its_n.ng),
+                                 ("ns", its_n.ns), ("uv", its_n.uv),
+                                 ("bsdf_id", its_n.bsdf_id),
+                                 ("wi", -wo_w)):
+                    mk = jnp.reshape(adv, adv.shape +
+                                     (1,) * (val.ndim - 1))
+                    cur[key] = jnp.where(mk, val, cur[key])
+                beta_cur = jnp.where(_b3(adv), beta_hv, beta_cur)
+                replaying = adv
+            else:
+                replaying = jnp.zeros(N, bool)
+
+        # ---- per-endpoint masks ----------------------------------------
+        recon_before = []   # junction fired validly at slot <= e-1
+        struct_before = []  # junction fired structurally at slot <= e-1
+        acc_v = jnp.zeros(N, bool)
+        acc_s = jnp.zeros(N, bool)
+        for e in range(TE):
+            recon_before.append(acc_v)
+            struct_before.append(acc_s)
+            acc_v = acc_v | jun_valid[e]
+            acc_s = acc_s | jun_struct[e]
+        ok_recon = jnp.stack(recon_before, axis=1)
+        ok_end_s0 = (jnp.stack(prefix_ok, axis=1) &
+                     ~jnp.stack(struct_before, axis=1))
+        c_off_all = jnp.stack(
+            [cls(scene, v["bsdf_id"][:, e], prefix_ok[e])
+             for e in range(TE)], axis=1)
+        ok_end = (ok_end_s0 & jnp.stack(c_walk, axis=1) & c_off_all)
+
+        rcum = jnp.cumprod(rfac.at[:, 0].set(1.0), axis=1)
+
+        # slot validity: the offset prefix where it exists, base slots
+        # past a valid junction (slot k is post-junction iff the junction
+        # fired at some slot <= k-1, which is exactly ok_recon[:, k])
+        valid = jnp.stack(prefix_ok, axis=1) | (ok_recon & eye.valid)
+
+        view = SubPath(p=v["p"], ng=v["ng"], ns=v["ns"], wi=v["wi"],
+                       uv=v["uv"], bsdf_id=v["bsdf_id"],
+                       emitter_id=v["emitter_id"], beta=v["beta"],
+                       pdf_fwd=v["pdf_fwd"], pdf_rev=v["pdf_rev"],
+                       delta=v["delta"], valid=valid)
+        return dict(view=view, rcum=rcum, ok_recon=ok_recon,
+                    ok_end=ok_end, ok_end_s0=ok_end_s0)
 
     # ------------------------------------------------------------------
     def _t1_offset(self, scene, light, y0, s, film_base, N, eps, W, H,
@@ -429,22 +581,21 @@ class GBDPTracer(BDPTracer):
                     continue  # very direct: excluded from gradients
                 primal = primal + c_base * _b3(w_base)
 
-                for o_i, (view, ok_t2, ok_conn) in enumerate(views):
-                    if t == 2:
-                        ok = ok_t2 & classify_light_end(s)
+                e = t - 2
+                for o_i, V in enumerate(views):
+                    # reconnected mode: junction fired inside this
+                    # strategy's eye prefix.  Endpoint mode: the light
+                    # connection IS the reconnection — gate it with the
+                    # same classifications the map uses everywhere
+                    if s == 0:
+                        ok = V["ok_recon"][:, e] | V["ok_end_s0"][:, e]
                     else:
-                        ok = ok_conn
-                    c_off, sri_off = run_strategy(view, s, t)
-                    # r = |J| * prod of TRUE pdf ratios over the eye slots
-                    # this technique samples; slot 0 contributes exactly 1
-                    # (measure-preserving image-plane shift) and slots
-                    # >= 3 are shared with the base (ratio 1)
-                    r = jnp.ones(N)
-                    for i in range(1, min(t - 1, 3)):
-                        r = r * (_remap0(view.pdf_fwd[:, i]) /
-                                 _remap0(eye.pdf_fwd[:, i]))
+                        ok = V["ok_recon"][:, e] | (
+                            V["ok_end"][:, e] & classify_light_end(s))
+                    c_off, sri_off = run_strategy(V["view"], s, t)
                     grad = grad.at[o_i].add(pair_grad(
-                        c_base, sri_base, c_off, sri_off, r, ok))
+                        c_base, sri_base, c_off, sri_off,
+                        V["rcum"][:, e], ok))
 
         def cat(parts, shape):
             if parts:

@@ -64,6 +64,98 @@ def _b3(x):
     return x[..., None]
 
 
+def half_vector_copy(beval, bpdf, wi_m, wo_m, par_m, is_delta_m, wi_o,
+                     par_o):
+    """Half-vector copy shift (gpt.cpp halfVectorShift), shape-agnostic:
+    all BASE quantities must be pre-broadcast to the offset batch shape.
+    wi/wo are LOCAL directions in each vertex's own shading frame.
+    Returns dict(wo, f, pdf, jac, valid, is_delta) — the offset's outgoing
+    direction in ITS local frame, f*cos, sampling pdf, the |dwo_o/dH| /
+    |dwo_m/dH| Jacobian ratio, and validity.  Shared by G-PT's per-bounce
+    lockstep shift and G-BDPT's eye-subpath prefix replay."""
+    refract = (wi_m[..., 2] * wo_m[..., 2]) < 0  # transmission at base
+    eta_m = par_m.eta[..., 0]
+    eta_o = par_o.eta[..., 0]
+
+    # base half-vector in its local frame
+    h_refl = m.normalize(wi_m + wo_m)
+    h_refl = h_refl * jnp.sign(h_refl[..., 2:3])
+    rel_eta_m = jnp.where(wi_m[..., 2] >= 0, eta_m,
+                          1.0 / jnp.maximum(eta_m, 1e-9))
+    h_refr = m.normalize(-(wi_m + _b3(rel_eta_m) * wo_m))
+    h_refr = h_refr * jnp.sign(h_refr[..., 2:3])
+    h_m = jnp.where(_b3(refract), h_refr, h_refl)
+
+    # delta offset materials use their own normal as H
+    kind_o = par_o.kind
+    is_delta_o = ((kind_o == CONDUCTOR) | (kind_o == DIELECTRIC) |
+                  (kind_o == THIN_DIELECTRIC))
+    z_axis = jnp.zeros_like(h_m).at[..., 2].set(1.0)
+    h_o = jnp.where(_b3(is_delta_o), z_axis, h_m)
+
+    wi_o_ = wi_o
+    widh = m.dot(wi_o_, h_o)
+    # reflection about H
+    wo_refl = 2.0 * _b3(widh) * h_o - wi_o_
+    # refraction about H with the OFFSET's eta
+    rel_eta_o = jnp.where(wi_o_[..., 2] >= 0, eta_o,
+                          1.0 / jnp.maximum(eta_o, 1e-9))
+    c2 = 1.0 - (1.0 - widh * widh) / jnp.maximum(
+        rel_eta_o * rel_eta_o, 1e-18)
+    tir = c2 <= 0.0
+    cos_t = jnp.sqrt(jnp.maximum(c2, 0.0))
+    sgn = jnp.sign(widh)
+    wo_refr = (-wi_o_ / _b3(rel_eta_o) +
+               _b3(widh / rel_eta_o - sgn * cos_t) * h_o)
+    wo_refr = m.normalize(wo_refr)
+    wo_o = jnp.where(_b3(refract), wo_refr, wo_refl)
+
+    # validity: same structural event; hemisphere consistency
+    same_hemi_refl = (wo_o[..., 2] * wi_o_[..., 2]) > 0
+    cross_hemi = (wo_o[..., 2] * wi_o_[..., 2]) < 0
+    valid_mode = jnp.where(refract, cross_hemi & ~tir, same_hemi_refl)
+
+    # f*cos and pdf at the offset vertex
+    f_smooth = beval(par_o, wi_o_, wo_o)
+    pdf_smooth = bpdf(par_o, wi_o_, wo_o)
+
+    # delta offsets: discrete weights
+    F_c = bsdf_ops.fresnel_conductor(wi_o_[..., 2], par_o.eta, par_o.k)
+    F_d, _ = bsdf_ops.fresnel_dielectric(wi_o_[..., 2], eta_o)
+    w_cond = par_o.specular * F_c
+    w_die = jnp.where(_b3(refract),
+                      par_o.transmittance /
+                      _b3(jnp.maximum(rel_eta_o ** 2, 1e-9)),
+                      par_o.specular)
+    p_die = jnp.where(refract, 1.0 - F_d, F_d)
+    f_delta = jnp.where(_b3(kind_o == CONDUCTOR), w_cond, w_die)
+    pdf_delta = jnp.where(kind_o == CONDUCTOR, jnp.ones_like(F_d), p_die)
+
+    f = jnp.where(_b3(is_delta_o), f_delta, f_smooth)
+    pdf = jnp.where(is_delta_o, pdf_delta, pdf_smooth)
+
+    # Jacobian |dwo/dH| ratio
+    wodh_m = jnp.abs(m.dot(wo_m, h_m))
+    wodh_o = jnp.abs(m.dot(wo_o, h_o))
+    j_refl = wodh_o / jnp.maximum(wodh_m, 1e-9)
+    # refraction: |dwo/dH| = eta^2 |wo.H| / (wi.H + eta*wo.H)^2 with the
+    # relative eta; ratio of offset/base
+    den_m = (m.dot(wi_m, h_m) + rel_eta_m * m.dot(wo_m, h_m)) ** 2
+    den_o = (m.dot(wi_o_, h_o) + rel_eta_o * m.dot(wo_o, h_o)) ** 2
+    j_refr = ((rel_eta_o ** 2) * wodh_o / jnp.maximum(den_o, 1e-12)) / \
+        jnp.maximum((rel_eta_m ** 2) * wodh_m /
+                    jnp.maximum(den_m, 1e-12), 1e-12)
+    jac = jnp.where(refract, j_refr, j_refl)
+
+    # structural consistency: a delta base bounce must map to a delta
+    # offset bounce and vice versa (classification-mismatch kill)
+    delta_match = is_delta_o == is_delta_m
+    valid = (valid_mode & delta_match & (jnp.max(f, -1) > 0) &
+             jnp.isfinite(jac) & (jac > 0))
+    return dict(wo=wo_o, f=f, pdf=pdf, jac=jac, valid=valid,
+                is_delta=is_delta_o)
+
+
 class GPTracer:
     """Gradient-domain path tracer (also the BASE path machinery for the
     primal-parity test: with gradients ignored, primal+very_direct == path).
@@ -91,12 +183,8 @@ class GPTracer:
         # STATIC: does any material classify as specular/glossy for
         # shifting?  All-diffuse scenes skip the half-vector machinery and
         # its per-bounce offset continuation rays entirely.
-        kinds = np.asarray(scene.materials.kind)
-        alphas = np.asarray(scene.materials.alpha)
-        rough = np.where(np.isin(kinds, (1, 2, 7)), 0.0,
-                         np.where(np.isin(kinds, (3, 5, 6)), alphas,
-                                  np.inf))
-        self.any_specular = bool((rough <= self.shift_threshold).any())
+        self.any_specular = bsdf_ops.any_specular(scene.materials,
+                                                  self.shift_threshold)
         self.n_delta = settings.n_delta
         self._u1, self._u2 = make_sampler(settings.sampler, settings.spp)
 
@@ -688,94 +776,14 @@ class GPTracer:
     # ------------------------------------------------------------------
     def _half_vector_shift(self, scene, its, wi_m, par_m, bs, par_o,
                            wi_o_loc, o_its, uc):
-        """Half-vector copy (gpt.cpp halfVectorShift): returns the offset's
-        outgoing direction in ITS local frame, the f*cos value, sampling
-        pdf, Jacobian ratio |dwo_o/dH| / |dwo_m/dH|, and validity."""
-        refract = (wi_m[..., 2] * bs.wo[..., 2]) < 0  # transmission at base
-        eta_m = par_m.eta[..., 0]
-        eta_o = par_o.eta[..., 0]
-
-        # base half-vector in its local frame
-        h_refl = m.normalize(wi_m + bs.wo)
-        h_refl = h_refl * jnp.sign(h_refl[..., 2:3])
-        rel_eta_m = jnp.where(wi_m[..., 2] >= 0, eta_m,
-                              1.0 / jnp.maximum(eta_m, 1e-9))
-        h_refr = m.normalize(-(wi_m + _b3(rel_eta_m) * bs.wo))
-        h_refr = h_refr * jnp.sign(h_refr[..., 2:3])
-        h_m = jnp.where(_b3(refract), h_refr, h_refl)
-
-        # offsets: delta materials use their own normal as H
-        kind_o = par_o.kind
-        is_delta_o = ((kind_o == CONDUCTOR) | (kind_o == DIELECTRIC) |
-                      (kind_o == THIN_DIELECTRIC))
-        z_axis = jnp.zeros_like(h_m[None]).at[..., 2].set(1.0)
-        h_o = jnp.where(_b3(is_delta_o), z_axis,
-                        jnp.broadcast_to(h_m[None], (4,) + h_m.shape))
-
-        wi_o = wi_o_loc
-        widh = m.dot(wi_o, h_o)
-        # reflection about H
-        wo_refl = 2.0 * _b3(widh) * h_o - wi_o
-        # refraction about H with the OFFSET's eta
-        rel_eta_o = jnp.where(wi_o[..., 2] >= 0, eta_o,
-                              1.0 / jnp.maximum(eta_o, 1e-9))
-        c2 = 1.0 - (1.0 - widh * widh) / jnp.maximum(
-            rel_eta_o * rel_eta_o, 1e-18)
-        tir = c2 <= 0.0
-        cos_t = jnp.sqrt(jnp.maximum(c2, 0.0))
-        sgn = jnp.sign(widh)
-        wo_refr = (-wi_o / _b3(rel_eta_o) +
-                   _b3(widh / rel_eta_o - sgn * cos_t) * h_o)
-        wo_refr = m.normalize(wo_refr)
-        wo_o = jnp.where(_b3(refract[None]), wo_refr, wo_refl)
-
-        # validity: same structural event; hemisphere consistency
-        same_hemi_refl = (wo_o[..., 2] * wi_o[..., 2]) > 0
-        cross_hemi = (wo_o[..., 2] * wi_o[..., 2]) < 0
-        valid_mode = jnp.where(refract[None], cross_hemi & ~tir,
-                               same_hemi_refl)
-
-        # f*cos and pdf at the offset vertex
-        f_smooth = self._beval(par_o, wi_o, wo_o)
-        pdf_smooth = self._bpdf(par_o, wi_o, wo_o)
-
-        # delta offsets: discrete weights
-        F_c = bsdf_ops.fresnel_conductor(wi_o[..., 2], par_o.eta, par_o.k)
-        F_d, _ = bsdf_ops.fresnel_dielectric(wi_o[..., 2], eta_o)
-        w_cond = par_o.specular * F_c
-        w_die = jnp.where(_b3(refract[None]),
-                          par_o.transmittance /
-                          _b3(jnp.maximum(rel_eta_o ** 2, 1e-9)),
-                          par_o.specular)
-        p_die = jnp.where(refract[None], 1.0 - F_d, F_d)
-        f_delta = jnp.where(_b3(kind_o == CONDUCTOR), w_cond, w_die)
-        pdf_delta = jnp.where(kind_o == CONDUCTOR,
-                              jnp.ones_like(F_d), p_die)
-
-        f = jnp.where(_b3(is_delta_o), f_delta, f_smooth)
-        pdf = jnp.where(is_delta_o, pdf_delta, pdf_smooth)
-
-        # Jacobian |dwo/dH| ratio
-        wodh_m = jnp.abs(m.dot(bs.wo, h_m))
-        wodh_o = jnp.abs(m.dot(wo_o, h_o))
-        j_refl = wodh_o / jnp.maximum(wodh_m[None], 1e-9)
-        # refraction: |dwo/dH| = eta_t^2 |wo.H| / (wi.H + eta*wo.H)^2 with
-        # relative eta; ratio of offset/base
-        den_m = (m.dot(wi_m, h_m) + rel_eta_m * m.dot(bs.wo, h_m)) ** 2
-        den_o = (m.dot(wi_o, h_o) + rel_eta_o * m.dot(wo_o, h_o)) ** 2
-        j_refr = ((rel_eta_o ** 2) * wodh_o / jnp.maximum(den_o, 1e-12)) / \
-            jnp.maximum((rel_eta_m ** 2)[None] * wodh_m[None] /
-                        jnp.maximum(den_m[None], 1e-12), 1e-12)
-        jac = jnp.where(refract[None], j_refr, j_refl)
-
-        # structural consistency: a delta base bounce must map to a delta
-        # offset bounce and vice versa (classification-mismatch kill,
-        # halfVectorShift failure semantics)
-        delta_match = is_delta_o == bs.is_delta[None]
-        valid = (valid_mode & delta_match & (jnp.max(f, -1) > 0) &
-                 jnp.isfinite(jac) & (jac > 0))
-        return dict(wo=wo_o, f=f, pdf=pdf, jac=jac, valid=valid,
-                    is_delta=is_delta_o)
+        """Half-vector copy for the 4 lockstep offsets: broadcast the base
+        quantities to the [4, N] offset batch and defer to the shared
+        half_vector_copy (gpt.cpp halfVectorShift semantics)."""
+        b4 = lambda a: jnp.broadcast_to(a[None], (4,) + a.shape)
+        par_m4 = jax.tree.map(b4, par_m)
+        return half_vector_copy(self._beval, self._bpdf, b4(wi_m),
+                                b4(bs.wo), par_m4, b4(bs.is_delta),
+                                wi_o_loc, par_o)
 
     # ------------------------------------------------------------------
     def samples_per_batch(self, n_samples):

@@ -702,6 +702,20 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
                       is_delta=is_delta, eta=eta_out, valid=valid)
 
 
+def any_specular(materials, shift_threshold):
+    """Host-side (compile-time) check: does ANY material in the scene
+    classify as specular/glossy for shifting (roughness <= threshold)?
+    All-diffuse scenes statically skip the half-vector machinery."""
+    import numpy as np
+    kinds = np.asarray(materials.kind)
+    alphas = np.asarray(materials.alpha)
+    rough = np.where(
+        np.isin(kinds, (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC)), 0.0,
+        np.where(np.isin(kinds, (ROUGH_CONDUCTOR, ROUGH_PLASTIC,
+                                 ROUGH_DIELECTRIC)), alphas, np.inf))
+    return bool((rough <= shift_threshold).any())
+
+
 def roughness(materials, mid):
     """Scalar roughness used by G-PT vertex classification
     (gpt.cpp getVertexType): 0 for smooth-delta, alpha for microfacet,

@@ -1,0 +1,107 @@
+"""G-BDPT specular prefix replay validation: primal parity and gradient
+consistency on a scene with a smooth dielectric sphere.  Offset eye
+subpaths must half-vector-replay through the glass before reconnecting
+(models/gbdpt.py _build_offset_view), and the decomposed gradient MIS
+must keep E[dx] = finite difference of E[primal]."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from gradientdomain_mitsuba_tpu.models import bdpt as bdpt_mod
+from gradientdomain_mitsuba_tpu.models import gbdpt as gb_mod
+from gradientdomain_mitsuba_tpu.scene import scene as sc
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GLASS_XML = textwrap.dedent("""\
+    <scene version="0.5.0">
+      <integrator type="gbdpt"><integer name="maxDepth" value="4"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="39.3077"/>
+        <transform name="toWorld">
+          <lookat origin="278, 273, -800" target="278, 273, -799" up="0, 1, 0"/>
+        </transform>
+        <sampler type="independent"><integer name="sampleCount" value="8"/></sampler>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+      </sensor>
+      <bsdf type="diffuse" id="white"><rgb name="reflectance" value="0.725, 0.71, 0.68"/></bsdf>
+      <shape type="obj"><string name="filename" value="{mesh}/cbox_floor.obj"/><ref id="white"/></shape>
+      <shape type="obj"><string name="filename" value="{mesh}/cbox_ceiling.obj"/><ref id="white"/></shape>
+      <shape type="obj"><string name="filename" value="{mesh}/cbox_back.obj"/><ref id="white"/></shape>
+      <shape type="obj"><string name="filename" value="{mesh}/cbox_greenwall.obj"/><ref id="white"/></shape>
+      <shape type="obj"><string name="filename" value="{mesh}/cbox_redwall.obj"/><ref id="white"/></shape>
+      <shape type="sphere">
+        <point name="center" x="278" y="150" z="250"/>
+        <float name="radius" value="120"/>
+        <integer name="nTheta" value="12"/><integer name="nPhi" value="24"/>
+        <bsdf type="dielectric"><float name="intIOR" value="1.5"/></bsdf>
+      </shape>
+      <shape type="obj">
+        <string name="filename" value="{mesh}/cbox_luminaire.obj"/>
+        <ref id="white"/>
+        <emitter type="area"><rgb name="radiance" value="17, 12, 4"/></emitter>
+      </shape>
+    </scene>
+""").format(mesh=os.path.join(ROOT, "data/scenes/cbox/meshes"))
+
+
+@pytest.fixture(scope="module")
+def glass_scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("glass_gb")
+    p = d / "glass.xml"
+    p.write_text(GLASS_XML)
+    return sc.load_scene(str(p))
+
+
+def test_replay_enabled(glass_scene):
+    scene, st = glass_scene
+    g = gb_mod.GBDPTracer(scene, st)
+    assert g.any_specular  # the dielectric turns the prefix replay on
+
+
+def test_primal_parity_with_glass(glass_scene):
+    """The replay machinery must not perturb the primal estimator:
+    gbdpt primal (incl. light image) + very_direct == bdpt exactly."""
+    scene, st = glass_scene
+    g = gb_mod.GBDPTracer(scene, st)
+    out = g.render(scene, seed=1, spp=2, chunk=2)
+    b = bdpt_mod.BDPTracer(scene, st)
+    img = b.render(scene, seed=1, spp=2, chunk=2)
+    comb = out["primal"] + out["very_direct"]
+    np.testing.assert_allclose(comb, img, rtol=3e-4, atol=3e-5)
+    for k, v in out.items():
+        assert np.isfinite(v).all(), k
+
+
+def test_gradient_consistency_through_glass(glass_scene):
+    """E[dx] vs finite differences of a long gbdpt run.  Half-vector
+    replay Jacobian or junction-density errors show up as a systematic
+    mismatch (regression slope != 1); failed-shift handling errors bias
+    the magnitude.  lightImage=false isolates the eye-replay gradients:
+    the glass caustics in the t=1 light image are heavy-tailed enough
+    that even a 2048-spp finite-difference reference is noise-dominated
+    there (their shifts legitimately FAIL at the delta vertex, which is
+    unbiased but leaves caustic noise in both dx and the reference)."""
+    scene, st = glass_scene
+    import copy
+    st2 = copy.deepcopy(st)
+    st2.integrator_props["lightImage"] = False
+    g = gb_mod.GBDPTracer(scene, st2)
+    out = g.render(scene, seed=0, spp=96, chunk=8)
+    ref = g.render(scene, seed=555, spp=384, chunk=8)
+    fd_x = ref["primal"][:, 1:] - ref["primal"][:, :-1]
+    dx = out["dx"][:, :-1]
+    vd = out["very_direct"].sum(-1)
+    mx = (vd[:, 1:] + vd[:, :-1]) == 0
+    a, b = dx[mx].ravel(), fd_x[mx].ravel()
+    rms_fd = np.sqrt((b ** 2).mean())
+    rms_err = np.sqrt(((a - b) ** 2).mean())
+    assert rms_err / rms_fd < 0.8, (rms_err, rms_fd)
+    assert np.corrcoef(a, b)[0, 1] > 0.7
+    slope = (a * b).sum() / (b * b).sum()
+    assert 0.8 < slope < 1.2, slope  # measured 0.998 at 256/1024 spp
