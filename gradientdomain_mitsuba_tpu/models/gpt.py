@@ -273,20 +273,28 @@ class GPTracer:
             grad=jnp.zeros((4, N, 3)),
         )
 
-        if self.any_specular or self.n_bounces <= 1:
+        # mipmap LOD: primary hits only (bounce 0 is peeled below), like
+        # the reference whose ray differentials exist on camera rays
+        fp_m = fp_o = None
+        if self.has_textures and self.n_bounces > 0:
+            fp_m = common.primary_uv_footprint(scene, W, H, d_m, its_m)
+            fp_o = common.primary_uv_footprint(scene, W, H, d_o, its_o)
+
+        if self.n_bounces > 0:
+            state = self._bounce(scene, state, 0, seed, sample_idx,
+                                 pixel_id, N, eps, occl4, trace4, True,
+                                 fp_main=fp_m, fp_off=fp_o)
+        if self.any_specular:
             def bounce(b, s):
                 return self._bounce(scene, s, b, seed, sample_idx,
                                     pixel_id, N, eps, occl4, trace4, True)
 
-            state = jax.lax.fori_loop(0, self.n_bounces, bounce, state)
+            state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
         else:
             # all-diffuse: after bounce 0 every live offset is CONNECTED
             # (reconnection either succeeded or the shift died), so the
             # not-connected machinery — 8N offset visibility/continuation
             # rays per bounce — compiles away for the remaining bounces
-            state = self._bounce(scene, state, 0, seed, sample_idx,
-                                 pixel_id, N, eps, occl4, trace4, True)
-
             def bounce(b, s):
                 return self._bounce(scene, s, b, seed, sample_idx,
                                     pixel_id, N, eps, occl4, trace4,
@@ -297,7 +305,8 @@ class GPTracer:
 
     # ------------------------------------------------------------------
     def _bounce(self, scene, s, b, seed, sample_idx, pixel_id, N, eps,
-                occl4, trace4, allow_conn0=True):
+                occl4, trace4, allow_conn0=True, fp_main=None,
+                fp_off=None):
         st = self.settings
         depth = b + 1
         its = s["its"]
@@ -315,14 +324,16 @@ class GPTracer:
         ss_m, ts_m = self._frame(its)
         wi_m = m.to_local(wi_w, ss_m, ts_m, its.ns)
         par_m = common.material_params(scene, self.has_textures,
-                                       its.bsdf_id, its.uv)
+                                       its.bsdf_id, its.uv,
+                                       uv_footprint=fp_main)
         c_main = self._classify_diffuse(scene, its.bsdf_id, its.valid)
 
         # frames & params: offsets (their own vertices; only used conn==0)
         ss_o, ts_o = m.build_frame(o_its.ns)
         wi_o_loc = m.to_local(o_wi, ss_o, ts_o, o_its.ns)
         par_o = common.material_params(scene, self.has_textures,
-                                       o_its.bsdf_id, o_its.uv)
+                                       o_its.bsdf_id, o_its.uv,
+                                       uv_footprint=fp_off)
         c_off = self._classify_diffuse(scene, o_its.bsdf_id, o_its.valid)
         # wi of offsets expressed in MAIN frame (for conn>=1 states)
         wi_o_main = m.to_local(o_wi, ss_m[None], ts_m[None], its.ns[None])

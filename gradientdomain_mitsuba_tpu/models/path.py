@@ -98,7 +98,7 @@ class PathTracer:
             last_delta=jnp.ones(N, bool),  # depth-1 emitter hits: weight 1
         )
 
-        def bounce(b, s):
+        def bounce(b, s, fp=None):
             depth = b + 1  # Mitsuba depth of the CURRENT vertex
             its = s["its"]
             alive = s["alive"]
@@ -139,7 +139,8 @@ class PathTracer:
             ss, ts = m.build_frame(its.ns)
             wi = m.to_local(wi_world, ss, ts, its.ns)
             params = common.material_params(
-                scene, self.has_textures, its.bsdf_id, its.uv)
+                scene, self.has_textures, its.bsdf_id, its.uv,
+                uv_footprint=fp)
 
             # ---- NEE --------------------------------------------------------
             u_sel = self._u1(seed, pixel_id, sample_idx,
@@ -197,7 +198,16 @@ class PathTracer:
                         last_pdf=bs.pdf,
                         last_delta=bs.is_delta)
 
-        state = jax.lax.fori_loop(0, self.n_bounces, bounce, state)
+        # bounce 0 is peeled so the primary hits get their mipmap LOD
+        # (pixel footprint) without the trilinear gathers riding along in
+        # the compiled loop body for every later bounce
+        if self.n_bounces > 0:
+            fp0 = None
+            if self.has_textures:
+                fp0 = common.primary_uv_footprint(
+                    scene, st.width, st.height, d, its)
+            state = bounce(0, state, fp0)
+            state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
 
         # final emitter-hit pass for the vertex reached by the last bounce
         its = state["its"]

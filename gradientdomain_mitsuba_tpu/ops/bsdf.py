@@ -30,7 +30,8 @@ from ..core.spectrum import luminance
 from ..scene.materials import (CONDUCTOR, DIELECTRIC, DIFFUSE, DIST_GGX,
                                FLAG_TWOSIDED, NULL_BSDF, PHONG, PLASTIC,
                                ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
-                               ROUGH_DIFFUSE, ROUGH_PLASTIC, THIN_DIELECTRIC)
+                               ROUGH_DIFFUSE, ROUGH_PLASTIC,
+                               THIN_DIELECTRIC, WARD)
 
 INV_PI = 1.0 / jnp.pi
 
@@ -48,9 +49,12 @@ class MatParams(NamedTuple):
     dist: jnp.ndarray          # [N] i32
     fdr_int: jnp.ndarray       # [N]
     spec_weight: jnp.ndarray   # [N] specular sampling weight (plastic/phong)
+    alpha_v: jnp.ndarray       # [N] second roughness (ward anisotropy)
+    opacity: jnp.ndarray       # [N] mask wrapper opacity (1 = no mask)
 
 
-def gather_params(materials, mid, albedo_override=None) -> MatParams:
+def gather_params(materials, mid, albedo_override=None,
+                  opacity_override=None) -> MatParams:
     """Material parameters for a batch of ids [N] — ONE gather of the
     packed [M, 24] row table (Materials.packed) instead of 11 separate
     gathers; fields are static slices of the row."""
@@ -58,6 +62,9 @@ def gather_params(materials, mid, albedo_override=None) -> MatParams:
     refl = row[..., 2:5]
     if albedo_override is not None:
         refl = albedo_override
+    opacity = row[..., 22]
+    if opacity_override is not None:
+        opacity = opacity_override
     spec = row[..., 5:8]
     # Mitsuba's specularSamplingWeight: sAvg / (sAvg + dAvg) by luminance
     s_lum = luminance(spec)
@@ -69,7 +76,8 @@ def gather_params(materials, mid, albedo_override=None) -> MatParams:
         transmittance=row[..., 8:11],
         alpha=row[..., 11], eta=row[..., 12:15], k=row[..., 15:18],
         dist=row[..., 18].astype(jnp.int32), fdr_int=row[..., 19],
-        spec_weight=s_lum / jnp.maximum(s_lum + d_lum, 1e-9))
+        spec_weight=s_lum / jnp.maximum(s_lum + d_lum, 1e-9),
+        alpha_v=row[..., 21], opacity=opacity)
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +307,56 @@ def _phong_pdf(p, wi, wo):
     return jnp.where(valid, sw * pdf_s + (1 - sw) * pdf_d, 0.0)
 
 
+def _ward_spec_terms(p: MatParams, wi, wo):
+    """Classic Ward specular lobe (ward.cpp variant='ward', Walter 2005
+    sampling notes).  Returns (f_spec_scalar, pdf_spec, valid)."""
+    ax = jnp.maximum(p.alpha, 1e-4)
+    ay = jnp.maximum(p.alpha_v, 1e-4)
+    h = wi + wo
+    hz2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
+    expo = jnp.exp(-((h[..., 0] / ax) ** 2 + (h[..., 1] / ay) ** 2) / hz2)
+    ci = jnp.maximum(wi[..., 2], 1e-6)
+    co = jnp.maximum(wo[..., 2], 1e-6)
+    f_spec = expo / (4.0 * jnp.pi * ax * ay * jnp.sqrt(ci * co))
+    # p(h) = exp(.) / (pi ax ay cos^3 th); p(wo) = p(h) / (4 |h.wo|)
+    hlen = jnp.sqrt(jnp.maximum(jnp.sum(h * h, -1), 1e-12))
+    cos_h3 = jnp.maximum(h[..., 2] / hlen, 0.0) ** 3
+    hdwo = jnp.abs(jnp.sum(h * wo, -1)) / hlen
+    p_h = expo / (jnp.pi * ax * ay * jnp.maximum(cos_h3, 1e-9))
+    pdf_spec = p_h / jnp.maximum(4.0 * hdwo, 1e-9)
+    valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    return f_spec, pdf_spec, valid
+
+
+def _ward_eval(p: MatParams, wi, wo):
+    f_spec, _, valid = _ward_spec_terms(p, wi, wo)
+    co = jnp.maximum(wo[..., 2], 0.0)
+    out = (p.specular * f_spec[..., None] +
+           p.reflectance * INV_PI) * co[..., None]
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _ward_pdf(p: MatParams, wi, wo):
+    _, pdf_spec, valid = _ward_spec_terms(p, wi, wo)
+    sw = p.spec_weight
+    pdf = sw * pdf_spec + (1 - sw) * _diffuse_pdf(p, wi, wo)
+    return jnp.where(valid, pdf, 0.0)
+
+
+def _ward_sample_h(p: MatParams, u2):
+    """Sample the Ward half-vector (Walter 2005, eq. 6-7)."""
+    ax = jnp.maximum(p.alpha, 1e-4)
+    ay = jnp.maximum(p.alpha_v, 1e-4)
+    phi_iso = 2.0 * jnp.pi * u2[..., 1]
+    phi = jnp.arctan2(ay * jnp.sin(phi_iso), ax * jnp.cos(phi_iso))
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    tan2 = -jnp.log(jnp.maximum(u2[..., 0], 1e-9)) / \
+        jnp.maximum((cp / ax) ** 2 + (sp / ay) ** 2, 1e-12)
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t ** 2, 0.0))
+    return jnp.stack([sin_t * cp, sin_t * sp, cos_t], -1)
+
+
 def _roughdielectric_H(p, wi, wo):
     """Half vector for reflection/refraction (Walter et al. 2007), oriented
     to +z.  Returns (H, refract_mask, rel_eta)."""
@@ -432,12 +490,17 @@ def eval(p: MatParams, wi, wo, kinds=None):
     if _has(kinds, PHONG):
         out = jnp.where((p.kind == PHONG)[..., None],
                         _phong_eval(p, wi, wo), out)
+    if _has(kinds, WARD):
+        out = jnp.where((p.kind == WARD)[..., None],
+                        _ward_eval(p, wi, wo), out)
     if _has(kinds, PLASTIC):
         out = jnp.where((p.kind == PLASTIC)[..., None],
                         _plastic_eval_diffuse(p, wi, wo), out)
     if _has(kinds, ROUGH_DIELECTRIC):
         out = jnp.where((p.kind == ROUGH_DIELECTRIC)[..., None],
                         _roughdielectric_eval(p, wi, wo), out)
+    if _has(kinds, OPACITY):
+        out = out * p.opacity[..., None]  # mask: f = opacity * f_nested
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
                   (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
     return jnp.where(delta_only[..., None], 0.0, out)
@@ -470,11 +533,15 @@ def pdf(p: MatParams, wi, wo, kinds=None):
                         _roughplastic_pdf(p, wi, wo), out)
     if _has(kinds, PHONG):
         out = jnp.where(p.kind == PHONG, _phong_pdf(p, wi, wo), out)
+    if _has(kinds, WARD):
+        out = jnp.where(p.kind == WARD, _ward_pdf(p, wi, wo), out)
     if _has(kinds, PLASTIC):
         out = jnp.where(p.kind == PLASTIC, _plastic_pdf(p, wi, wo), out)
     if _has(kinds, ROUGH_DIELECTRIC):
         out = jnp.where(p.kind == ROUGH_DIELECTRIC,
                         _roughdielectric_pdf(p, wi, wo), out)
+    if _has(kinds, OPACITY):
+        out = out * p.opacity  # mask: continuous pdf share
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
                   (p.kind == THIN_DIELECTRIC) | (p.kind == NULL_BSDF))
     return jnp.where(delta_only, 0.0, out)
@@ -496,12 +563,22 @@ class BSDFSample(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
 
+# pseudo-kind sentinel: present in scene_kinds when any material carries a
+# mask-wrapper opacity (< 1 or textured) — compiles the pass-through
+# machinery in only where needed
+OPACITY = -2
+
+
 def scene_kinds(scene) -> frozenset:
     """Static set of material kinds present in a compiled scene — used to
     prune absent BSDF models out of the traced program entirely."""
     import numpy as _np
-    return frozenset(int(v) for v in
-                     _np.unique(_np.asarray(scene.materials.kind)))
+    kinds = set(int(v) for v in
+                _np.unique(_np.asarray(scene.materials.kind)))
+    packed = _np.asarray(scene.materials.packed)
+    if (packed[:, 22] < 1.0).any() or (packed[:, 23] >= 0).any():
+        kinds.add(OPACITY)
+    return frozenset(kinds)
 
 
 def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
@@ -514,6 +591,14 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
     N = wi.shape[:-1]
     one = jnp.ones(N, wi.dtype)
     k = p.kind
+
+    if _has(kinds, OPACITY):
+        # mask wrapper (mask.cpp): with probability 1-opacity the ray
+        # passes straight through (delta transmission); the component
+        # random number is rescaled for the nested lobe selection
+        op_m = jnp.clip(p.opacity, 0.0, 1.0)
+        pass_m = u_comp >= op_m
+        u_comp = jnp.clip(u_comp / jnp.maximum(op_m, 1e-9), 0.0, 1.0)
 
     # --- diffuse-family (always compiled: the default branch) -------------
     wo_d = warp.square_to_cosine_hemisphere(u2)
@@ -660,6 +745,21 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
         valid_sel.append((PHONG, (wo_ph[..., 2] > 0) & (wif[..., 2] > 0)
                           & (pdf_ph > 0)))
 
+    if _has(kinds, WARD):
+        pick_spec_w = u_comp < sw
+        h_w = _ward_sample_h(p, u2)
+        widh_w = jnp.sum(wif * h_w, axis=-1)
+        wo_w_spec = 2.0 * widh_w[..., None] * h_w - wif
+        wo_wd = jnp.where(pick_spec_w[..., None], wo_w_spec, wo_d)
+        pdf_wd = _ward_pdf(p, wif, wo_wd)
+        ev_wd = _ward_eval(p, wif, wo_wd)
+        w_wd = ev_wd / jnp.maximum(pdf_wd, 1e-12)[..., None]
+        wo_sel.append((WARD, wo_wd))
+        w_sel.append((WARD, w_wd))
+        pdf_sel.append((WARD, pdf_wd))
+        valid_sel.append((WARD, (wo_wd[..., 2] > 0) & (wif[..., 2] > 0)
+                          & (pdf_wd > 0)))
+
     if _has(kinds, ROUGH_DIELECTRIC):
         wo_rd, w_rd, pdf_rd, valid_rd, eta_rd = _roughdielectric_sample(
             p, wi, u2, u_comp)
@@ -696,6 +796,15 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
     unflip = jnp.where(handles_sign, 1.0, sign)
     wo = wo * jnp.stack([jnp.ones_like(unflip)] * 2 + [unflip], -1)
 
+    if _has(kinds, OPACITY):
+        wo = jnp.where(pass_m[..., None], -wi, wo)
+        weight = jnp.where(pass_m[..., None], jnp.ones_like(weight),
+                           weight)
+        pdf_out = jnp.where(pass_m, 1.0 - op_m, pdf_out * op_m)
+        eta_out = jnp.where(pass_m, jnp.ones_like(eta_out), eta_out)
+        valid = jnp.where(pass_m, True, valid)
+        is_delta = is_delta | pass_m
+
     weight = jnp.where(valid[..., None], weight, 0.0)
     return BSDFSample(wo=wo, weight=weight,
                       pdf=jnp.where(valid, pdf_out, 0.0),
@@ -712,8 +821,11 @@ def any_specular(materials, shift_threshold):
     rough = np.where(
         np.isin(kinds, (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC)), 0.0,
         np.where(np.isin(kinds, (ROUGH_CONDUCTOR, ROUGH_PLASTIC,
-                                 ROUGH_DIELECTRIC)), alphas, np.inf))
-    return bool((rough <= shift_threshold).any())
+                                 ROUGH_DIELECTRIC, WARD)), alphas,
+                 np.inf))
+    packed = np.asarray(materials.packed)
+    has_mask = (packed[:, 22] < 1.0).any() or (packed[:, 23] >= 0).any()
+    return bool((rough <= shift_threshold).any() or has_mask)
 
 
 def roughness(materials, mid):
@@ -726,5 +838,5 @@ def roughness(materials, mid):
     r = jnp.where((kind == CONDUCTOR) | (kind == DIELECTRIC) |
                   (kind == THIN_DIELECTRIC), 0.0, r)
     r = jnp.where((kind == ROUGH_CONDUCTOR) | (kind == ROUGH_DIELECTRIC) |
-                  (kind == ROUGH_PLASTIC), alpha, r)
+                  (kind == ROUGH_PLASTIC) | (kind == WARD), alpha, r)
     return r

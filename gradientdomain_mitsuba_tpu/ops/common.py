@@ -70,12 +70,12 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     """Shading data for Hit records via ONE packed-row gather.
 
     hit.prim indexes the BVH-ordered tri_shade table (see scene.Geometry):
-    a single [N, 22] gather replaces the 13-gather dependent chain through
+    a single [N, 23] gather replaces the 13-gather dependent chain through
     indices/positions/normals/uvs/per-shape tables — TPU gathers were the
     wavefront's dominant cost (measured 2.9 ms of a 4.6 ms bounce)."""
     g = scene.geom
     prim = jnp.maximum(hit.prim, 0)
-    row = g.tri_shade[prim]                      # [N, 22]
+    row = g.tri_shade[prim]                      # [N, 23]
 
     u = hit.u[..., None]
     v = hit.v[..., None]
@@ -109,17 +109,49 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     )
 
 
-def material_params(scene, has_textures: bool, bsdf_id, uv):
+def material_params(scene, has_textures: bool, bsdf_id, uv,
+                    uv_footprint=None):
     """Gather BSDF params, resolving reflectance textures when present
-    (has_textures is STATIC so untextured scenes skip the gathers)."""
+    (has_textures is STATIC so untextured scenes skip the gathers).
+    uv_footprint selects the mipmap level pair at primary hits
+    (ops/texture.py eval_texture)."""
     from . import bsdf as bsdf_ops
     mid = jnp.maximum(bsdf_id, 0)
     if has_textures:
-        from .texture import resolve_albedo
+        from .texture import resolve_albedo, resolve_opacity
+        op = None
+        if int(has_textures) & 2:  # bit 1: textured mask opacity present
+            op = resolve_opacity(scene, mid, uv)
         return bsdf_ops.gather_params(scene.materials, mid,
                                       albedo_override=resolve_albedo(
-                                          scene, mid, uv))
+                                          scene, mid, uv, uv_footprint),
+                                      opacity_override=op)
     return bsdf_ops.gather_params(scene.materials, mid)
+
+
+def primary_uv_footprint(scene, W, H, d, its):
+    """UV-space area of one pixel's footprint at a camera-ray hit — the
+    mipmap LOD source (replaces the reference's camera-ray differentials,
+    include/mitsuba/render/mipmap.h + perspective.cpp; secondary bounces
+    have no differentials in either renderer and sample the finest
+    level).  Pixel solid angle ~ (A_img/(W*H)) * cos^3(theta_cam);
+    projected surface area = t^2 * omega / |cos(ng, d)|; converted to UV
+    with the hit triangle's uv-per-world-area density (tri_shade col 22).
+    """
+    cam = scene.camera
+    fwd = cam.to_world[:3, 2]
+    x0 = m.transform_point(cam.sample_to_camera,
+                           jnp.array([0.0, 0.0, 0.0]))
+    x1 = m.transform_point(cam.sample_to_camera,
+                           jnp.array([1.0, 1.0, 0.0]))
+    a_img = jnp.abs((x1[0] / x1[2] - x0[0] / x0[2]) *
+                    (x1[1] / x1[2] - x0[1] / x0[2]))
+    cos_cam = jnp.maximum(m.dot(d, jnp.broadcast_to(fwd, d.shape)), 1e-6)
+    omega = (a_img / (W * H)) * cos_cam ** 3
+    cos_hit = jnp.maximum(jnp.abs(m.dot(its.ng, d)), 1e-4)
+    area = jnp.where(its.valid, its.t, 0.0) ** 2 * omega / cos_hit
+    uvd = scene.geom.tri_shade[jnp.maximum(its.prim_id, 0), 22]
+    return area * uvd
 
 
 def offset_ray_origin(p, ng, d, eps):

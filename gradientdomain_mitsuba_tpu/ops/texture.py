@@ -1,11 +1,14 @@
-"""Texture evaluation: bitmap (bilinear, wrap) + checkerboard.
+"""Texture evaluation: bitmap (trilinear mipmapped, wrap) + checkerboard.
 
 TPU-native replacement for Mitsuba's texture plugins + mipmap machinery
 (src/textures/{bitmap,checkerboard}.cpp, include/mitsuba/render/mipmap.h):
-all bitmaps live in one padded stack [T, Hmax, Wmax, 3] in HBM; lookups are
-gathers + bilinear weights (trilinear mipmapping is a later perf/quality
-pass — renders are supersampled anyway).
-"""
+all bitmaps live in one padded atlas stack [T, Hmax, Wmax, 3] in HBM with
+the mip pyramid packed beside level 0 (levels >= 1 stacked vertically at
+x >= w0); lookups are gathers + bilinear weights, and trilinear filtering
+lerps between the two straddling levels.  The level-of-detail comes from
+the PRIMARY-hit pixel footprint (like the reference, whose ray
+differentials exist only on camera rays — secondary bounces sample the
+finest level in both renderers)."""
 from __future__ import annotations
 
 from typing import NamedTuple
@@ -23,11 +26,20 @@ class TextureTable(NamedTuple):
     color1: np.ndarray     # [T, 3]
     uv_scale: np.ndarray   # [T, 2]
     uv_offset: np.ndarray  # [T, 2]
-    image: np.ndarray      # [T, Hmax, Wmax, 3] (1x1 dummy rows allowed)
-    img_size: np.ndarray   # [T, 2] (h, w) actual size
+    image: np.ndarray      # [T, Hmax, Wmax, 3] atlas incl. mip levels
+    img_size: np.ndarray   # [T, 2] (h, w) of level 0
+    lvl_off: np.ndarray    # [T, L, 2] (y, x) atlas offset per level
+    lvl_size: np.ndarray   # [T, L, 2] (h, w) per level
+    n_levels: np.ndarray   # [T] i32
+
+
+def _lvl_dummy(t=1):
+    return (np.zeros((t, 1, 2), np.int32), np.ones((t, 1, 2), np.int32),
+            np.ones(t, np.int32))
 
 
 def empty_table() -> TextureTable:
+    lo, ls, nl = _lvl_dummy()
     return TextureTable(
         kind=np.zeros(1, np.int32),
         color0=np.ones((1, 3), np.float32),
@@ -35,7 +47,51 @@ def empty_table() -> TextureTable:
         uv_scale=np.ones((1, 2), np.float32),
         uv_offset=np.zeros((1, 2), np.float32),
         image=np.ones((1, 1, 1, 3), np.float32),
-        img_size=np.ones((1, 2), np.int32))
+        img_size=np.ones((1, 2), np.int32),
+        lvl_off=lo, lvl_size=ls, n_levels=nl)
+
+
+def _downsample2(img):
+    """2x box downsample with replicate padding for odd sizes."""
+    h, w = img.shape[:2]
+    if h > 1 and h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+    if w > 1 and w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+    h, w = img.shape[:2]
+    if h > 1:
+        img = 0.5 * (img[0::2] + img[1::2])
+    if w > 1:
+        img = 0.5 * (img[:, 0::2] + img[:, 1::2])
+    return img
+
+
+def _build_pyramid(img):
+    """[level 0 image, ...] down to 1x1 (box-filtered, mipmap.h E*Box)."""
+    levels = [img]
+    while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+        levels.append(_downsample2(levels[-1]))
+    return levels
+
+
+def _pack_pyramid(levels):
+    """Pack a mip chain into one 2D slab: level 0 at (0, 0), levels >= 1
+    stacked vertically at x = w0.  Returns (slab, offsets, sizes)."""
+    h0, w0 = levels[0].shape[:2]
+    side_h = sum(l.shape[0] for l in levels[1:])
+    H = max(h0, side_h)
+    W = w0 + (levels[1].shape[1] if len(levels) > 1 else 0)
+    slab = np.zeros((H, W, 3), np.float32)
+    slab[:h0, :w0] = levels[0]
+    offs, sizes = [(0, 0)], [(h0, w0)]
+    y = 0
+    for l in levels[1:]:
+        lh, lw = l.shape[:2]
+        slab[y:y + lh, w0:w0 + lw] = l
+        offs.append((y, w0))
+        sizes.append((lh, lw))
+        y += lh
+    return slab, offs, sizes
 
 
 def build_table(nodes, base_dir) -> TextureTable:
@@ -44,7 +100,8 @@ def build_table(nodes, base_dir) -> TextureTable:
     from ..scene.ir import spectrum_value
     if not nodes:
         return empty_table()
-    kinds, c0s, c1s, scales, offsets, images = [], [], [], [], [], []
+    kinds, c0s, c1s, scales, offsets = [], [], [], [], []
+    slabs, lvl_offs, lvl_sizes, sizes0 = [], [], [], []
     for node in nodes:
         us = float(node.get("uscale", 1.0))
         vs = float(node.get("vscale", 1.0))
@@ -52,12 +109,7 @@ def build_table(nodes, base_dir) -> TextureTable:
         vo = float(node.get("voffset", 0.0))
         scales.append((us, vs))
         offsets.append((uo, vo))
-        if node.type == "checkerboard":
-            kinds.append(TEX_CHECKERBOARD)
-            c0s.append(spectrum_value(node.get("color0"), (0.4,) * 3))
-            c1s.append(spectrum_value(node.get("color1"), (0.2,) * 3))
-            images.append(np.ones((1, 1, 3), np.float32))
-        elif node.type == "bitmap":
+        if node.type == "bitmap":
             kinds.append(TEX_BITMAP)
             c0s.append(np.ones(3, np.float32))  # scale
             c1s.append(np.zeros(3, np.float32))
@@ -75,31 +127,86 @@ def build_table(nodes, base_dir) -> TextureTable:
                                    ((raw + 0.055) / 1.055) ** 2.4)
                 else:
                     img = raw ** gamma
-            images.append(img.astype(np.float32))
+            img = img.astype(np.float32)
         else:
-            # unsupported texture type: constant grey stand-in
-            kinds.append(TEX_CHECKERBOARD)
-            c0s.append(np.full(3, 0.5, np.float32))
-            c1s.append(np.full(3, 0.5, np.float32))
-            images.append(np.ones((1, 1, 3), np.float32))
-    hmax = max(i.shape[0] for i in images)
-    wmax = max(i.shape[1] for i in images)
-    stack = np.zeros((len(images), hmax, wmax, 3), np.float32)
-    sizes = np.zeros((len(images), 2), np.int32)
-    for i, img in enumerate(images):
-        stack[i, :img.shape[0], :img.shape[1]] = img
-        sizes[i] = (img.shape[0], img.shape[1])
+            if node.type == "checkerboard":
+                kinds.append(TEX_CHECKERBOARD)
+                c0s.append(spectrum_value(node.get("color0"), (0.4,) * 3))
+                c1s.append(spectrum_value(node.get("color1"), (0.2,) * 3))
+            else:
+                # unsupported texture type: constant grey stand-in
+                kinds.append(TEX_CHECKERBOARD)
+                c0s.append(np.full(3, 0.5, np.float32))
+                c1s.append(np.full(3, 0.5, np.float32))
+            img = np.ones((1, 1, 3), np.float32)
+        slab, offs, szs = _pack_pyramid(_build_pyramid(img))
+        slabs.append(slab)
+        lvl_offs.append(offs)
+        lvl_sizes.append(szs)
+        sizes0.append((img.shape[0], img.shape[1]))
+
+    hmax = max(s.shape[0] for s in slabs)
+    wmax = max(s.shape[1] for s in slabs)
+    L = max(len(o) for o in lvl_offs)
+    T = len(slabs)
+    stack = np.zeros((T, hmax, wmax, 3), np.float32)
+    lo = np.zeros((T, L, 2), np.int32)
+    ls = np.ones((T, L, 2), np.int32)
+    nl = np.zeros(T, np.int32)
+    for i, slab in enumerate(slabs):
+        stack[i, :slab.shape[0], :slab.shape[1]] = slab
+        n = len(lvl_offs[i])
+        lo[i, :n] = lvl_offs[i]
+        ls[i, :n] = lvl_sizes[i]
+        # out-of-range rows repeat the coarsest level (clamped gathers)
+        lo[i, n:] = lvl_offs[i][-1]
+        ls[i, n:] = lvl_sizes[i][-1]
+        nl[i] = n
     return TextureTable(
         kind=np.asarray(kinds, np.int32),
         color0=np.stack(c0s).astype(np.float32),
         color1=np.stack(c1s).astype(np.float32),
         uv_scale=np.asarray(scales, np.float32),
         uv_offset=np.asarray(offsets, np.float32),
-        image=stack, img_size=sizes)
+        image=stack, img_size=np.asarray(sizes0, np.int32),
+        lvl_off=lo, lvl_size=ls, n_levels=nl)
 
 
-def eval_texture(tex: TextureTable, tex_id, uv):
-    """Evaluate textures for a batch: tex_id [N] (>=0), uv [N, 2]."""
+def _bilinear(tex: TextureTable, tid, lvl, u, v):
+    """Bilinear tap at mip level lvl (wrap addressing, v flipped: uv
+    origin bottom-left, image row 0 at top — Mitsuba bitmap convention)."""
+    off = tex.lvl_off[tid, lvl]
+    size = tex.lvl_size[tid, lvl]
+    h = size[..., 0].astype(jnp.float32)
+    w = size[..., 1].astype(jnp.float32)
+    x = (u % 1.0) * w - 0.5
+    y = ((1.0 - v) % 1.0) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    hi = size[..., 0]
+    wi_ = size[..., 1]
+    x0i = jnp.mod(x0.astype(jnp.int32), wi_)
+    x1i = jnp.mod(x0i + 1, wi_)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    y1i = jnp.mod(y0i + 1, hi)
+    oy = off[..., 0]
+    ox = off[..., 1]
+    c00 = tex.image[tid, oy + y0i, ox + x0i]
+    c01 = tex.image[tid, oy + y0i, ox + x1i]
+    c10 = tex.image[tid, oy + y1i, ox + x0i]
+    c11 = tex.image[tid, oy + y1i, ox + x1i]
+    return (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
+            c10 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None):
+    """Evaluate textures for a batch: tex_id [N] (>=0), uv [N, 2].
+
+    uv_footprint (optional, [N]): UV-space area covered by the sample's
+    pixel footprint; selects the mip level pair for trilinear filtering
+    (None == finest level, the behavior for secondary bounces)."""
     tid = jnp.maximum(tex_id, 0)
     scale = tex.uv_scale[tid]
     off = tex.uv_offset[tid]
@@ -112,38 +219,44 @@ def eval_texture(tex: TextureTable, tex_id, uv):
     even = ((iu + iv) % 2) == 0
     checker = jnp.where(even[..., None], tex.color0[tid], tex.color1[tid])
 
-    # bitmap: bilinear, wrap addressing; v flipped (uv origin bottom-left,
-    # image row 0 at top — Mitsuba bitmap convention)
-    h = tex.img_size[tid, 0].astype(jnp.float32)
-    w = tex.img_size[tid, 1].astype(jnp.float32)
-    x = (u % 1.0) * w - 0.5
-    y = ((1.0 - v) % 1.0) * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    hi = tex.img_size[tid, 0]
-    wi_ = tex.img_size[tid, 1]
-    x0i = jnp.mod(x0.astype(jnp.int32), wi_)
-    x1i = jnp.mod(x0i + 1, wi_)
-    y0i = jnp.mod(y0.astype(jnp.int32), hi)
-    y1i = jnp.mod(y0i + 1, hi)
-    c00 = tex.image[tid, y0i, x0i]
-    c01 = tex.image[tid, y0i, x1i]
-    c10 = tex.image[tid, y1i, x0i]
-    c11 = tex.image[tid, y1i, x1i]
-    bmp = (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
-           c10 * (1 - fx) * fy + c11 * fx * fy) * tex.color0[tid]
+    if uv_footprint is None:
+        bmp = _bilinear(tex, tid, jnp.zeros_like(tid), u, v)
+    else:
+        # lod = 0.5 log2(texels covered): footprint in scaled-uv space
+        # times the level-0 texel density
+        h0 = tex.img_size[tid, 0].astype(jnp.float32)
+        w0 = tex.img_size[tid, 1].astype(jnp.float32)
+        texels = (uv_footprint * scale[..., 0] * scale[..., 1] * h0 * w0)
+        lod = 0.5 * jnp.log2(jnp.maximum(texels, 1e-20))
+        lod = jnp.clip(lod, 0.0,
+                       (tex.n_levels[tid] - 1).astype(jnp.float32))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, tex.n_levels[tid] - 1)
+        fl = (lod - l0.astype(jnp.float32))[..., None]
+        bmp = (_bilinear(tex, tid, l0, u, v) * (1 - fl) +
+               _bilinear(tex, tid, l1, u, v) * fl)
+    bmp = bmp * tex.color0[tid]
 
     return jnp.where((tex.kind[tid] == TEX_CHECKERBOARD)[..., None],
                      checker, bmp)
 
 
-def resolve_albedo(scene, mid, uv):
+def resolve_opacity(scene, mid, uv):
+    """Mask-wrapper opacity with texture override where bound (luminance
+    of the opacity texture, mask.cpp semantics)."""
+    from ..core.spectrum import luminance
+    row = scene.materials.packed[mid]
+    op = row[..., 22]
+    tex_id = row[..., 23].astype(jnp.int32)
+    tex_val = eval_texture(scene.textures, tex_id, uv)
+    return jnp.where(tex_id >= 0, luminance(tex_val), op)
+
+
+def resolve_albedo(scene, mid, uv, uv_footprint=None):
     """Material reflectance with texture override where bound."""
     row = scene.materials.packed[mid]
     refl = row[..., 2:5]
     tex_id = row[..., 20].astype(jnp.int32)
     has_tex = tex_id >= 0
-    tex_val = eval_texture(scene.textures, tex_id, uv)
+    tex_val = eval_texture(scene.textures, tex_id, uv, uv_footprint)
     return jnp.where(has_tex[..., None], tex_val, refl)

@@ -130,14 +130,17 @@ class MaterialBuilder:
     def add_row(self, kind, flags=0, reflectance=(0.5, 0.5, 0.5),
                 specular=(1, 1, 1), transmittance=(1, 1, 1), alpha=0.1,
                 eta=(1.5046, 1.5046, 1.5046), k=(0, 0, 0), dist=DIST_BECKMANN,
-                tex_reflectance=-1, fdr_int=0.0):
+                tex_reflectance=-1, fdr_int=0.0, alpha_v=None,
+                opacity=1.0, tex_opacity=-1):
         self.rows.append(dict(
             kind=kind, flags=flags, reflectance=np.asarray(reflectance, np.float32),
             specular=np.asarray(specular, np.float32),
             transmittance=np.asarray(transmittance, np.float32),
             alpha=float(alpha), eta=np.asarray(eta, np.float32),
             k=np.asarray(k, np.float32), dist=dist,
-            tex_reflectance=tex_reflectance, fdr_int=float(fdr_int)))
+            tex_reflectance=tex_reflectance, fdr_int=float(fdr_int),
+            alpha_v=float(alpha if alpha_v is None else alpha_v),
+            opacity=float(opacity), tex_opacity=tex_opacity))
         return len(self.rows) - 1
 
     def add_texture(self, node) -> int:
@@ -178,7 +181,25 @@ class MaterialBuilder:
             if inner is None:
                 raise ValueError("twosided BSDF without nested BSDF")
             return self._build(inner, flags | FLAG_TWOSIDED)
-        if t in ("bumpmap", "normalmap", "coating", "roughcoating", "mask",
+        if t == "mask":
+            # mask.cpp: opacity-weighted mix of the nested BSDF and a
+            # delta pass-through.  The nested row is COPIED so a <ref>'d
+            # inner BSDF used bare elsewhere keeps opacity 1.
+            inner = node.child("bsdf") or next(
+                (v for v in node.props.values() if hasattr(v, "kind")
+                 and v.kind == "bsdf"), None)
+            if inner is None:
+                raise ValueError("mask BSDF without nested BSDF")
+            rid = self._build(inner, flags)
+            import copy as _copy
+            row = _copy.deepcopy(self.rows[rid])
+            op, optex = self._spectrum_or_texture(
+                node, ["opacity"], (0.5, 0.5, 0.5))
+            row["opacity"] = float(np.mean(op))
+            row["tex_opacity"] = optex
+            self.rows.append(row)
+            return len(self.rows) - 1
+        if t in ("bumpmap", "normalmap", "coating", "roughcoating",
                  "mixturebsdf", "blendbsdf"):
             # unsupported wrappers: fall through to the first nested BSDF
             inner = node.child("bsdf")
@@ -229,6 +250,18 @@ class MaterialBuilder:
                 alpha=alpha, eta=(rel_eta,) * 3, dist=dist,
                 tex_reflectance=tex,
                 fdr_int=fresnel_diffuse_reflectance(1.0 / rel_eta))
+        if kind == WARD:
+            # ward.cpp (classic 'ward' variant): anisotropic Gaussian
+            # specular lobe + Lambertian diffuse
+            refl, tex = self._spectrum_or_texture(
+                node, ["diffuseReflectance"], (0.5, 0.5, 0.5))
+            au = float(node.get("alphaU", node.get("alpha", 0.1)))
+            av = float(node.get("alphaV", node.get("alpha", 0.1)))
+            return self.add_row(kind=kind, flags=flags, reflectance=refl,
+                                specular=spectrum_value(
+                                    node.get("specularReflectance"),
+                                    (0.2, 0.2, 0.2)),
+                                alpha=au, alpha_v=av, tex_reflectance=tex)
         if kind == PHONG:
             refl, tex = self._spectrum_or_texture(
                 node, ["diffuseReflectance"], (0.5, 0.5, 0.5))
@@ -260,6 +293,9 @@ class MaterialBuilder:
         packed[:, 18] = g("dist")
         packed[:, 19] = g("fdr_int")
         packed[:, 20] = g("tex_reflectance")
+        packed[:, 21] = g("alpha_v")
+        packed[:, 22] = g("opacity")
+        packed[:, 23] = g("tex_opacity")
         return Materials(
             packed=packed,
             kind=g("kind").astype(np.int32),

@@ -32,8 +32,9 @@ class Geometry(NamedTuple):
     # instead of a 13-gather dependent chain (TPU gathers are the wavefront
     # hot spot; see ops/common.fill_intersection):
     # [0:3] ng, [3:12] n0 n1 n2, [12:18] uv0 uv1 uv2,
-    # [18] bsdf_id, [19] emitter_id, [20] shape_id, [21] use_face_normals
-    tri_shade: np.ndarray    # [T, 22] f32
+    # [18] bsdf_id, [19] emitter_id, [20] shape_id, [21] use_face_normals,
+    # [22] uv-area per world-area (mipmap LOD)
+    tri_shade: np.ndarray    # [T, 23] f32
     positions: np.ndarray    # [V, 3] (original order)
     normals: np.ndarray      # [V, 3] shading normals
     uvs: np.ndarray          # [V, 2]
@@ -325,10 +326,10 @@ def compile_scene(desc: SceneDesc,
 
     # packed shading rows (BVH order)
     ng_all = np.cross(p1 - p0, p2 - p0)
-    ng_all /= np.maximum(np.linalg.norm(ng_all, axis=-1, keepdims=True),
-                         1e-20)
+    area2 = np.linalg.norm(ng_all, axis=-1)        # 2x world area
+    ng_all /= np.maximum(area2[..., None], 1e-20)
     shape_of_tri = tri_shape
-    tri_shade = np.zeros((len(indices), 22), np.float32)
+    tri_shade = np.zeros((len(indices), 23), np.float32)
     tri_shade[:, 0:3] = ng_all
     tri_shade[:, 3:6] = normals[indices[:, 0]]
     tri_shade[:, 6:9] = normals[indices[:, 1]]
@@ -343,6 +344,12 @@ def compile_scene(desc: SceneDesc,
     tri_shade[:, 19] = se[shape_of_tri]
     tri_shade[:, 20] = shape_of_tri
     tri_shade[:, 21] = sf[shape_of_tri]
+    # [22]: UV area per world area (mipmap LOD, common.primary_uv_footprint)
+    uv0 = uvs[indices[:, 0]]
+    e1uv = uvs[indices[:, 1]] - uv0
+    e2uv = uvs[indices[:, 2]] - uv0
+    uv_area2 = np.abs(e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0])
+    tri_shade[:, 22] = uv_area2 / np.maximum(area2, 1e-20)
     tri_shade = tri_shade[order][psel]
     tri_shade[~valid_slot] = 0.0
     tri_shade[~valid_slot, 18:20] = -1.0  # bsdf/emitter ids
@@ -390,7 +397,11 @@ def compile_scene(desc: SceneDesc,
 
     extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
     textures = build_table(mb.texture_nodes, desc.base_dir)
-    settings.has_textures = len(mb.texture_nodes) > 0
+    # bitmask: bit 0 = any textures bound; bit 1 = textured mask opacity
+    # (ops/common.material_params gates the extra opacity lookup on it)
+    settings.has_textures = (
+        (1 if mb.texture_nodes else 0) |
+        (2 if any(r.get("tex_opacity", -1) >= 0 for r in mb.rows) else 0))
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
         textures=textures,

@@ -90,6 +90,10 @@ CASES = {
                   specular=(0.3,) * 3, alpha=20.0),
     "roughdielectric": dict(kind=M.ROUGH_DIELECTRIC, alpha=0.35,
                             eta=(1.5,) * 3),
+    "ward": dict(kind=M.WARD, reflectance=(0.4,) * 3,
+                 specular=(0.3,) * 3, alpha=0.2),
+    "ward_aniso": dict(kind=M.WARD, reflectance=(0.3,) * 3,
+                       specular=(0.4,) * 3, alpha=0.1, alpha_v=0.3),
 }
 
 
@@ -132,3 +136,76 @@ def test_energy_conservation():
         w = np.where(np.asarray(bs.valid)[:, None], w, 0.0)
         assert w.mean() < 1.05, (name, w.mean())
         assert np.isfinite(w).all(), name
+
+
+def test_mask_opacity_sampling():
+    """mask wrapper: pass-through with probability 1-opacity (delta, unit
+    weight), nested lobe otherwise; eval/pdf carry the opacity factor so
+    weight == eval/pdf still holds on the continuous part."""
+    par = make_params(N, kind=M.DIFFUSE, reflectance=(0.6,) * 3,
+                      opacity=0.6)
+    wi = normalize(jnp.array([0.3, 0.2, 0.93]))
+    bs = draw(par, wi, seed=21)
+    is_delta = np.asarray(bs.is_delta)
+    frac_pass = is_delta.mean()
+    assert abs(frac_pass - 0.4) < 0.02, frac_pass
+    wo = np.asarray(bs.wo)
+    w = np.asarray(bs.weight)
+    pdfs = np.asarray(bs.pdf)
+    wi_n = np.asarray(jnp.broadcast_to(wi, (N, 3)))
+    np.testing.assert_allclose(wo[is_delta], -wi_n[is_delta], atol=1e-6)
+    np.testing.assert_allclose(w[is_delta], 1.0, atol=1e-6)
+    np.testing.assert_allclose(pdfs[is_delta], 0.4, atol=1e-6)
+    # continuous side: pdf scaled by opacity, weight = eval/pdf
+    weight_matches_eval_over_pdf(par, wi, bs)
+    f = np.asarray(bsdf.eval(par, jnp.broadcast_to(wi, (N, 3)), bs.wo))
+    par_plain = make_params(N, kind=M.DIFFUSE, reflectance=(0.6,) * 3)
+    f_plain = np.asarray(bsdf.eval(par_plain,
+                                   jnp.broadcast_to(wi, (N, 3)), bs.wo))
+    np.testing.assert_allclose(f, 0.6 * f_plain, rtol=1e-5)
+
+
+def test_mask_scene_end_to_end(tmp_path):
+    """<bsdf type='mask'> loads from XML (nested BSDF row copied with the
+    opacity set), flags the OPACITY pseudo-kind, and renders finite with
+    stochastic pass-through (path integrator)."""
+    import os
+    import textwrap
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    xml = textwrap.dedent("""\
+        <scene version="0.5.0">
+          <integrator type="path"><integer name="maxDepth" value="4"/></integrator>
+          <sensor type="perspective">
+            <float name="fov" value="39.3077"/>
+            <transform name="toWorld">
+              <lookat origin="278, 273, -800" target="278, 273, -799" up="0, 1, 0"/>
+            </transform>
+            <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+            <film type="hdrfilm">
+              <integer name="width" value="12"/><integer name="height" value="12"/>
+              <rfilter type="box"/>
+            </film>
+          </sensor>
+          <shape type="obj"><string name="filename" value="{mesh}/cbox_floor.obj"/>
+            <bsdf type="mask">
+              <float name="opacity" value="0.3"/>
+              <bsdf type="diffuse"><rgb name="reflectance" value="0.6"/></bsdf>
+            </bsdf>
+          </shape>
+          <shape type="obj"><string name="filename" value="{mesh}/cbox_back.obj"/>
+            <bsdf type="diffuse"/></shape>
+          <shape type="obj"><string name="filename" value="{mesh}/cbox_luminaire.obj"/>
+            <emitter type="area"><rgb name="radiance" value="17, 12, 4"/></emitter>
+          </shape>
+        </scene>
+    """).format(mesh=os.path.join(root, "data/scenes/cbox/meshes"))
+    p = tmp_path / "mask.xml"
+    p.write_text(xml)
+    from gradientdomain_mitsuba_tpu.models import path as path_mod
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    scene, st = sc.load_scene(str(p))
+    packed = np.asarray(scene.materials.packed)
+    assert (np.abs(packed[:, 22] - 0.3) < 1e-6).any()
+    assert bsdf.OPACITY in bsdf.scene_kinds(scene)
+    img = path_mod.PathTracer(scene, st).render(scene, seed=0, spp=4)
+    assert np.isfinite(img).all()

@@ -92,3 +92,64 @@ def test_gradient_consistency_through_glass(glass_scene):
     assert rms_err / rms_fd < 0.7, (rms_err, rms_fd)
     corr = np.corrcoef(dx[mx].ravel(), fd_x[mx].ravel())[0, 1]
     assert corr > 0.8, corr
+
+
+ROUGH_XML = GLASS_XML.replace(
+    '<bsdf type="dielectric"><float name="intIOR" value="1.5"/></bsdf>',
+    '<bsdf type="roughdielectric"><float name="intIOR" value="1.5"/>'
+    '<float name="alpha" value="0.05"/></bsdf>').replace(
+    '<integrator type="gpt"><integer name="maxDepth" value="4"/>'
+    '</integrator>',
+    '<integrator type="gpt"><integer name="maxDepth" value="4"/>'
+    '<float name="shiftThreshold" value="0.1"/></integrator>')
+
+
+@pytest.fixture(scope="module")
+def rough_scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("roughglass")
+    p = d / "rough.xml"
+    p.write_text(ROUGH_XML)
+    return sc.load_scene(str(p))
+
+
+def test_roughdielectric_classifies_glossy(rough_scene):
+    """alpha=0.05 <= shiftThreshold=0.1: the rough glass takes the
+    half-vector branch with a NON-delta microfacet lobe (glossy H copy +
+    eta-scaled refraction), the case gpt.cpp stresses on the Veach door."""
+    scene, st = rough_scene
+    g = gpt_mod.GPTracer(scene, st)
+    assert g.any_specular
+    assert g.shift_threshold == 0.1
+
+
+def test_primal_parity_roughdielectric(rough_scene):
+    scene, st = rough_scene
+    g = gpt_mod.GPTracer(scene, st)
+    out = g.render(scene, seed=1, spp=2, chunk=2)
+    img = path_mod.PathTracer(scene, st).render(scene, seed=1, spp=2)
+    comb = out["primal"] + out["very_direct"]
+    np.testing.assert_allclose(comb, img, rtol=3e-4, atol=3e-5)
+    for k, v in out.items():
+        assert np.isfinite(v).all(), k
+
+
+def test_gradient_consistency_roughdielectric(rough_scene):
+    """E[dx] vs finite differences with GLOSSY half-vector shifts: the
+    microfacet H copy must carry the |dwo/dH| Jacobian and the offset's
+    own rough-lobe pdf (a missing Jacobian shows as slope != 1)."""
+    scene, st = rough_scene
+    g = gpt_mod.GPTracer(scene, st)
+    out = g.render(scene, seed=0, spp=128, chunk=16)
+    ref = path_mod.PathTracer(scene, st).render(scene, seed=777, spp=3072)
+    ref_nd = ref - out["very_direct"]
+    fd_x = ref_nd[:, 1:] - ref_nd[:, :-1]
+    dx = out["dx"][:, :-1]
+    vd = out["very_direct"].sum(-1)
+    mx = (vd[:, 1:] + vd[:, :-1]) == 0
+    a, b = dx[mx].ravel(), fd_x[mx].ravel()
+    rms_fd = np.sqrt((b ** 2).mean())
+    rms_err = np.sqrt(((a - b) ** 2).mean())
+    assert rms_err / rms_fd < 0.75, (rms_err, rms_fd)
+    assert np.corrcoef(a, b)[0, 1] > 0.75
+    slope = (a * b).sum() / (b * b).sum()
+    assert 0.75 < slope < 1.25, slope

@@ -1,0 +1,119 @@
+"""Texture system: mip pyramid construction, trilinear filtering, and the
+primary-hit LOD path (ops/texture.py; reference mipmap.h + bitmap.cpp)."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from gradientdomain_mitsuba_tpu.ops import texture as tx
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pyramid_box_filter_preserves_mean():
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 32, 3)).astype(np.float32)
+    levels = tx._build_pyramid(img)
+    assert levels[0].shape == (64, 32, 3)
+    assert levels[-1].shape == (1, 1, 3)
+    assert len(levels) == 7  # 64 -> ... -> 1
+    # box filtering preserves the mean at every level (pow2 dims: exact)
+    for l in levels:
+        np.testing.assert_allclose(l.mean(axis=(0, 1)),
+                                   img.mean(axis=(0, 1)), rtol=1e-5)
+
+
+def test_pyramid_odd_sizes():
+    img = np.ones((5, 7, 3), np.float32)
+    levels = tx._build_pyramid(img)
+    assert levels[-1].shape == (1, 1, 3)
+    for l in levels:
+        np.testing.assert_allclose(l, 1.0)
+
+
+def _table_from_image(img):
+    """Build a 1-texture table through the packing path."""
+    slab, offs, szs = tx._pack_pyramid(tx._build_pyramid(img))
+    T, L = 1, len(offs)
+    return tx.TextureTable(
+        kind=np.zeros(T, np.int32),
+        color0=np.ones((T, 3), np.float32),
+        color1=np.zeros((T, 3), np.float32),
+        uv_scale=np.ones((T, 2), np.float32),
+        uv_offset=np.zeros((T, 2), np.float32),
+        image=slab[None], img_size=np.array([img.shape[:2]], np.int32),
+        lvl_off=np.array([offs], np.int32),
+        lvl_size=np.array([szs], np.int32),
+        n_levels=np.array([L], np.int32))
+
+
+def test_trilinear_levels():
+    """A 1-texel checker: level 0 reads near 0/1, the coarsest level is
+    the 0.5 mean, and LODs in between interpolate monotonically."""
+    img = np.zeros((16, 16, 3), np.float32)
+    img[::2, ::2] = 1.0
+    img[1::2, 1::2] = 1.0
+    tab = _table_from_image(img)
+    tid = np.zeros(1, np.int32)
+    uv = np.array([[0.53125, 0.53125]], np.float32)  # texel center-ish
+
+    import jax.numpy as jnp
+    v_fine = np.asarray(tx.eval_texture(tab, tid, uv))  # no footprint
+    # footprint covering the whole texture -> coarsest level = mean 0.5
+    fp_huge = jnp.full((1,), 64.0)
+    v_coarse = np.asarray(tx.eval_texture(tab, tid, uv, fp_huge))
+    np.testing.assert_allclose(v_coarse, 0.5, atol=1e-3)
+    # tiny footprint -> identical to the no-footprint (finest) path
+    fp_tiny = jnp.full((1,), 1e-12)
+    v_tiny = np.asarray(tx.eval_texture(tab, tid, uv, fp_tiny))
+    np.testing.assert_allclose(v_tiny, v_fine, atol=1e-6)
+    # mid footprint sits between
+    fp_mid = jnp.full((1,), 4.0 / (16 * 16))  # ~4 texels -> lod 1
+    v_mid = np.asarray(tx.eval_texture(tab, tid, uv, fp_mid))
+    assert (np.abs(v_mid - 0.5) <= np.abs(v_fine - 0.5) + 1e-6).all()
+
+
+def test_bitmap_scene_renders_with_lod(tmp_path):
+    """End-to-end: a bitmap-textured floor renders finite with the
+    primary-hit LOD path enabled (path integrator, peeled bounce 0)."""
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    teximg = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(teximg).save(tmp_path / "tex.png")
+    xml = textwrap.dedent("""\
+        <scene version="0.5.0">
+          <integrator type="path"><integer name="maxDepth" value="3"/></integrator>
+          <sensor type="perspective">
+            <float name="fov" value="39.3077"/>
+            <transform name="toWorld">
+              <lookat origin="278, 273, -800" target="278, 273, -799" up="0, 1, 0"/>
+            </transform>
+            <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+            <film type="hdrfilm">
+              <integer name="width" value="16"/><integer name="height" value="16"/>
+              <rfilter type="box"/>
+            </film>
+          </sensor>
+          <shape type="obj"><string name="filename" value="{mesh}/cbox_floor.obj"/>
+            <bsdf type="diffuse">
+              <texture name="reflectance" type="bitmap">
+                <string name="filename" value="tex.png"/>
+                <float name="uscale" value="8"/><float name="vscale" value="8"/>
+              </texture>
+            </bsdf>
+          </shape>
+          <shape type="obj"><string name="filename" value="{mesh}/cbox_luminaire.obj"/>
+            <emitter type="area"><rgb name="radiance" value="17, 12, 4"/></emitter>
+          </shape>
+        </scene>
+    """).format(mesh=os.path.join(ROOT, "data/scenes/cbox/meshes"))
+    p = tmp_path / "tex.xml"
+    p.write_text(xml)
+    from gradientdomain_mitsuba_tpu.models import path as path_mod
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    scene, st = sc.load_scene(str(p))
+    assert int(scene.textures.n_levels[0]) == 7
+    img = path_mod.PathTracer(scene, st).render(scene, seed=0, spp=4)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
