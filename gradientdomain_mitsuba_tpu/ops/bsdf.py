@@ -565,7 +565,16 @@ class BSDFSample(NamedTuple):
 
 # pseudo-kind sentinel: present in scene_kinds when any material carries a
 # mask-wrapper opacity (< 1 or textured) — compiles the pass-through
-# machinery in only where needed
+# machinery in only where needed.
+#
+# Shadow-ray semantics match the reference's PLAIN path tracer exactly:
+# masked geometry blocks shadow rays geometrically
+# (Scene::sampleEmitterDirect -> boolean rayIntersect), and paths that
+# cross a mask contribute through BSDF sampling with MIS weight 1 after
+# the delta pass-through (path.cpp sets lumPdf = 0 after an ENull-type
+# bounce).  The technique set stays complete and unbiased: NEE simply
+# cannot produce through-blocker paths, and the BSDF technique claims
+# them fully.  (Attenuated NEE is a volpath feature, not a path one.)
 OPACITY = -2
 
 
