@@ -48,7 +48,7 @@ def main():
     tracer = GPTracer(scene, st)
 
     # warm-up: compile (excluded per BASELINE.md measurement protocol)
-    chunk = 8
+    chunk = 64
     bufs = tracer.render_chunk(scene, 0, 0, chunk)
     bufs["primal"].block_until_ready()
     _ = poisson.reconstruct(

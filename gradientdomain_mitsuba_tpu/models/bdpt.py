@@ -361,7 +361,7 @@ class BDPTracer:
         y0p = p0 + bary[..., 0:1] * (p1 - p0) + bary[..., 1:2] * (p2 - p0)
         ng0 = m.normalize(jnp.cross(p1 - p0, p2 - p0))
         pdf_pos = 1.0 / (jnp.maximum(em.total_area[e], 1e-12) * n_area)
-        rad = em.radiance[e]
+        rad = common.fast_row_gather(em.radiance, e)
         ok = jnp.full(N, self.n_area > 0)
 
         ssf, tsf = m.build_frame(ng0)
@@ -490,7 +490,8 @@ class BDPTracer:
         em_id = eye.emitter_id[:, k]
         cosf = m.dot(eye.ns[:, k], eye.wi[:, k])
         ok = eye.valid[:, k] & (em_id >= 0) & (cosf > 0)
-        rad = scene.emitters.radiance[jnp.maximum(em_id, 0)]
+        rad = common.fast_row_gather(scene.emitters.radiance,
+                                     jnp.maximum(em_id, 0))
         contrib = eye.beta[:, k] * rad
 
         n_area = max(self.n_area, 1)
@@ -693,7 +694,7 @@ class BDPTracer:
         img = state["0"] / np.maximum(state["1"], 1e-12)[..., None]
         return img + state["2"] / spp
 
-    def render(self, scene, seed=0, spp=None, chunk=4,
+    def render(self, scene, seed=0, spp=None, chunk=32,
                checkpoint_path=None, resume=False, progress=None):
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp

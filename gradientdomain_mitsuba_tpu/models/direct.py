@@ -99,7 +99,7 @@ class AOIntegrator:
     def finalize(self, state, spp):
         return state["0"] / np.maximum(state["1"], 1e-12)[..., None]
 
-    def render(self, scene, seed=0, spp=None, chunk=8,
+    def render(self, scene, seed=0, spp=None, chunk=64,
                checkpoint_path=None, resume=False):
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp

@@ -660,7 +660,7 @@ class GBDPTracer(BDPTracer):
             "dy": state["dy"] / spp,
         }
 
-    def render(self, scene, seed=0, spp=None, chunk=4,
+    def render(self, scene, seed=0, spp=None, chunk=32,
                checkpoint_path=None, resume=False, progress=None):
         """Returns buffers dict; the light image is merged into primal
         (it participates in reconstruction via the t=1 gradient shifts);

@@ -249,7 +249,8 @@ class GPTracer:
         very = jnp.zeros((N, 3))
         cosf = m.dot(its_m.ns, -d_m)
         is_em = its_m.valid & (its_m.emitter_id >= 0) & (cosf > 0)
-        rad = scene.emitters.radiance[jnp.maximum(its_m.emitter_id, 0)]
+        rad = common.fast_row_gather(scene.emitters.radiance,
+                                     jnp.maximum(its_m.emitter_id, 0))
         very = very + jnp.where(_b3(is_em), rad, 0.0)
         if self.has_env:
             very = very + jnp.where(
@@ -471,7 +472,8 @@ class GPTracer:
         # emission seen by the main path at the new vertex
         cosf_n = m.dot(its_n.ns, -wo_w)
         hit_em = its_n.valid & (its_n.emitter_id >= 0) & (cosf_n > 0)
-        rad_n = scene.emitters.radiance[jnp.maximum(its_n.emitter_id, 0)]
+        rad_n = common.fast_row_gather(scene.emitters.radiance,
+                                       jnp.maximum(its_n.emitter_id, 0))
         n_tot = self.n_area + self.n_delta + (1 if self.has_env else 0)
         pe_area_n = jnp.where(
             hit_em,
@@ -697,7 +699,8 @@ class GPTracer:
         cosf_o = m.dot(its_n.ns[None], -dir_in)
         hit_em_o = (its_n.valid[None] & (its_n.emitter_id[None] >= 0) &
                     (cosf_o > 0))
-        rad_np = scene.emitters.radiance[jnp.maximum(its_n.emitter_id, 0)]
+        rad_np = common.fast_row_gather(scene.emitters.radiance,
+                                        jnp.maximum(its_n.emitter_id, 0))
         if self.has_env:
             env_rad_m = em_ops.eval_env(scene, self.env_kind, wo_w)
             pe_env_m = em_ops.pdf_env_direct(scene, self.n_area,
@@ -722,7 +725,8 @@ class GPTracer:
         cosf_hv = m.dot(its_hv.ns, -wo_hv_w)
         hit_em_hv = (its_hv.valid & (its_hv.emitter_id >= 0) &
                      (cosf_hv > 0))
-        rad_hv = scene.emitters.radiance[jnp.maximum(its_hv.emitter_id, 0)]
+        rad_hv = common.fast_row_gather(scene.emitters.radiance,
+                                        jnp.maximum(its_hv.emitter_id, 0))
         if self.has_env:
             env_rad_hv = em_ops.eval_env(
                 scene, self.env_kind,
@@ -852,7 +856,7 @@ class GPTracer:
             "dy": state["dy"] / spp,
         }
 
-    def render(self, scene, seed=0, spp=None, chunk=8,
+    def render(self, scene, seed=0, spp=None, chunk=64,
                checkpoint_path=None, resume=False, progress=None):
         """Returns dict of numpy buffers: primal, dx, dy, very_direct
         (all sample-normalized)."""

@@ -109,7 +109,8 @@ class PathTracer:
             # ---- emitter / environment hit at current vertex --------------
             cos_front = m.dot(its.ns, wi_world)
             is_emitter = its.valid & (its.emitter_id >= 0) & (cos_front > 0)
-            rad = scene.emitters.radiance[jnp.maximum(its.emitter_id, 0)]
+            rad = common.fast_row_gather(scene.emitters.radiance,
+                                          jnp.maximum(its.emitter_id, 0))
             lum_pdf = em_ops.pdf_area_direct(
                 scene, self.n_area, self.has_env, its.emitter_id,
                 s["o"], its.p, its.ng, n_delta=self.n_delta)
@@ -214,7 +215,8 @@ class PathTracer:
         wi_world = -state["d"]
         cos_front = m.dot(its.ns, wi_world)
         is_emitter = its.valid & (its.emitter_id >= 0) & (cos_front > 0)
-        rad = scene.emitters.radiance[jnp.maximum(its.emitter_id, 0)]
+        rad = common.fast_row_gather(scene.emitters.radiance,
+                                      jnp.maximum(its.emitter_id, 0))
         lum_pdf = em_ops.pdf_area_direct(
             scene, self.n_area, self.has_env, its.emitter_id,
             state["o"], its.p, its.ng, n_delta=self.n_delta)
@@ -272,7 +274,7 @@ class PathTracer:
         fb, wb = state["0"], state["1"]
         return fb / np.maximum(wb, 1e-12)[..., None]
 
-    def render(self, scene, seed=0, spp=None, chunk=8,
+    def render(self, scene, seed=0, spp=None, chunk=64,
                checkpoint_path=None, resume=False, progress=None):
         from ..parallel.checkpoint import render_accumulate
         spp = spp or self.settings.spp

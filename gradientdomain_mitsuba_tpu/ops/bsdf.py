@@ -57,8 +57,10 @@ def gather_params(materials, mid, albedo_override=None,
                   opacity_override=None) -> MatParams:
     """Material parameters for a batch of ids [N] — ONE gather of the
     packed [M, 24] row table (Materials.packed) instead of 11 separate
-    gathers; fields are static slices of the row."""
-    row = materials.packed[mid]
+    gathers; fields are static slices of the row.  The gather itself
+    rides the MXU as a one-hot matmul on TPU (common.fast_row_gather)."""
+    from .common import fast_row_gather
+    row = fast_row_gather(materials.packed, mid)
     refl = row[..., 2:5]
     if albedo_override is not None:
         refl = albedo_override

@@ -20,15 +20,26 @@ BRUTE_FORCE_MAX_TRIS = 2048
 def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
     """Returns (closest, occluded) with signature (o, d, mint, maxt, geom).
 
-    Brute force for small scenes on every backend (standalone microbench
-    says the Pallas kernel wins even at 36 tris, but END-TO-END the
-    custom-call boundary blocks XLA from fusing/overlapping inside the
-    per-sample fori loop and the bench regresses 16.4 -> 13.1 Mrays/s —
-    measured, not assumed).  Above the threshold: the Pallas cluster-DMA
-    traversal kernel on TPU (9-16x over the jnp clustered path at 8k
-    tris); the two-level clustered jnp traversal on CPU backends (Mosaic
-    kernels only run on real TPUs)."""
+    On TPU, small scenes (padded tris <= MATMUL_MAX_TRIS) use the
+    linear-MT matmul sweep (intersect_matmul): the per-pair
+    Moeller-Trumbore arithmetic rides the MXU as one [R,10] @ [10,4T]
+    f32 matmul, leaving ~15 VPU ops/pair of sign-fixed comparisons vs
+    the brute path's ~50 (the VPU is the measured bottleneck of every
+    traversal formulation on this hardware).  On CPU backends small
+    scenes keep the exact brute scan (tests compare against it).  Above
+    the threshold: the Pallas cluster-DMA traversal kernel on TPU (9-16x
+    over the jnp clustered path at 8k tris); the two-level clustered jnp
+    traversal on CPU (Mosaic kernels only run on real TPUs)."""
+    import jax
+    on_cpu = jax.default_backend() == "cpu"
     if n_tris <= BRUTE_FORCE_MAX_TRIS:
+        if not on_cpu:
+            def closest(o, d, mint, maxt, geom):
+                return isec.intersect_matmul(o, d, mint, maxt, geom.linC)
+
+            def occl(o, d, mint, maxt, geom):
+                return isec.occluded_matmul(o, d, mint, maxt, geom.linC)
+            return closest, occl
         chunk = min(1024, max(64, n_tris))
 
         def closest(o, d, mint, maxt, geom):
@@ -39,8 +50,6 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
             return isec.occluded_brute(o, d, mint, maxt, geom.tris,
                                        chunk=chunk)
         return closest, occl
-
-    import jax
     if n_clusters > 0 and jax.default_backend() not in ("cpu",):
         from . import pallas_trace as ptr
         closest_p = ptr.make_pallas_intersector(settings.cluster_window,
@@ -66,6 +75,28 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
     return closest, occl
 
 
+ONEHOT_GATHER_MAX_ROWS = 4096
+
+
+def fast_row_gather(table, idx):
+    """table[idx] for a [T, C] table and integer idx [...], but routed
+    through the MXU as one_hot(idx) @ table when the table is small and
+    we are on TPU.  XLA's TPU row gather is latency-bound (measured ~3 ms
+    for 65k rows in the render loop); the one-hot matmul is two cheap VPU
+    passes plus MXU work.  HIGHEST precision makes the 0/1 selection
+    bit-exact for f32 payloads (the bf16x3 decomposition reconstructs
+    each selected row exactly; validated in tests/test_intersect.py)."""
+    import jax
+    T = table.shape[0]
+    if jax.default_backend() == "cpu" or T > ONEHOT_GATHER_MAX_ROWS:
+        return table[idx]
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(T, dtype=flat.dtype)[None, :])
+    row = jax.lax.dot(oh.astype(table.dtype), table,
+                      precision=jax.lax.Precision.HIGHEST)
+    return row.reshape(idx.shape + (table.shape[1],))
+
+
 def fill_intersection(scene, o, d, hit) -> Intersection:
     """Shading data for Hit records via ONE packed-row gather.
 
@@ -75,7 +106,7 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     wavefront's dominant cost (measured 2.9 ms of a 4.6 ms bounce)."""
     g = scene.geom
     prim = jnp.maximum(hit.prim, 0)
-    row = g.tri_shade[prim]                      # [N, 23]
+    row = fast_row_gather(g.tri_shade, prim)     # [N, 23]
 
     u = hit.u[..., None]
     v = hit.v[..., None]

@@ -109,7 +109,8 @@ def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos,
     area = em.total_area[e]
     pdf_area = 1.0 / jnp.maximum(area, 1e-12)
     pdf_sa = pick_pdf * pdf_area * dist2 / jnp.maximum(cos_l, 1e-9)
-    rad = em.radiance[e]
+    from .common import fast_row_gather
+    rad = fast_row_gather(em.radiance, e)
     valid_area = cos_l > 1e-6
 
     pdf_area_full = pick_pdf * pdf_area

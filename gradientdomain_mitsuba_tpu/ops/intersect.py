@@ -411,6 +411,92 @@ def make_bvh_occluder(stack_depth: int):
     return occluded
 
 
+# ---------------------------------------------------------------------------
+# Linear-MT ("matmul traversal"): Moeller-Trumbore as ONE MXU matmul
+# ---------------------------------------------------------------------------
+#
+# The four MT determinants are LINEAR in the 10 ray features
+# r = [o x d, d, o, 1]:
+#
+#   det   = e1.(d x e2)        = -d.n                      n = e1 x e2
+#   u_num = (o-v0).(d x e2)    = (o x d).e2 + d.(v0 x e2)
+#   v_num = d.((o-v0) x e1)    = -(o x d).e1 - d.(v0 x e1)
+#   t_num = e2.((o-v0) x e1)   = (o-v0).n = o.n - v0.n
+#
+# so intersecting R rays against ALL T triangles is one [R,10] @ [10,4T]
+# f32 matmul (MXU work, essentially free) plus a short VPU epilogue of
+# sign-fixed comparisons.  This is this framework's TriAccel: like the
+# reference's Wald projection test (include/mitsuba/render/triaccel.h)
+# it trades per-ray-per-triangle arithmetic for a per-triangle
+# precomputation, but shaped for a systolic array instead of SSE.  The
+# small-scene replacement for intersect_brute on TPU (the brute per-pair
+# Moeller-Trumbore is ~50 VPU ops/pair; this is ~15, with all the
+# multiply-accumulate work moved off the VPU entirely).
+
+
+def build_linear_mt(v0, e1, e2) -> np.ndarray:
+    """[10, 4T] per-triangle coefficient matrix for the linear-MT matmul
+    (built in f64 on host, stored f32).  Column blocks: det | u_num |
+    v_num | t_num.  Degenerate (padding) triangles get all-zero columns,
+    hence det = 0, hence never hit."""
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    T = v0.shape[0]
+    n = np.cross(e1, e2)
+    C = np.zeros((10, 4 * T), np.float64)
+    C[3:6, 0:T] = -n.T
+    C[0:3, T:2 * T] = e2.T
+    C[3:6, T:2 * T] = np.cross(v0, e2).T
+    C[0:3, 2 * T:3 * T] = -e1.T
+    C[3:6, 2 * T:3 * T] = -np.cross(v0, e1).T
+    C[6:9, 3 * T:4 * T] = n.T
+    C[9, 3 * T:4 * T] = -np.einsum('ti,ti->t', v0, n)
+    return C.astype(np.float32)
+
+
+def _linear_mt_terms(o, d, mint, maxt, linC):
+    """Shared matmul + sign-fixed hit test.  Returns (su, sv, st, ad, ok)
+    with everything multiplied through by sign(det) so the tests read
+    su >= 0 etc. without a per-pair division."""
+    T = linC.shape[1] // 4
+    feats = jnp.concatenate(
+        [jnp.cross(o, d), d, o, jnp.ones_like(o[:, :1])], axis=1)
+    F = jax.lax.dot(feats, linC, precision=jax.lax.Precision.HIGHEST)
+    det = F[:, :T]
+    s = jnp.sign(det)
+    ad = det * s
+    su = F[:, T:2 * T] * s
+    sv = F[:, 2 * T:3 * T] * s
+    st = F[:, 3 * T:] * s
+    ok = ((su >= 0.0) & (sv >= 0.0) & (su + sv <= ad) & (ad > 0.0) &
+          (st > mint[:, None] * ad) & (st < maxt[:, None] * ad))
+    return su, sv, st, ad, ok
+
+
+def intersect_matmul(o, d, mint, maxt, linC) -> Hit:
+    """Closest hit against every triangle via the linear-MT matmul."""
+    T = linC.shape[1] // 4
+    su, sv, st, ad, ok = _linear_mt_terms(o, d, mint, maxt, linC)
+    safe_ad = jnp.where(ok, ad, 1.0)
+    tt = jnp.where(ok, st / safe_ad, F32_MAX)
+    tm = jnp.min(tt, axis=1)
+    valid = tm < F32_MAX
+    j = jnp.argmin(tt, axis=1).astype(jnp.int32)
+    oh = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1) == j[:, None]
+    inv_win = jnp.where(oh, 1.0 / safe_ad, 0.0)
+    u = jnp.sum(su * inv_win, axis=1)
+    v = jnp.sum(sv * inv_win, axis=1)
+    return Hit(t=jnp.where(valid, tm, F32_MAX), u=u, v=v,
+               prim=jnp.where(valid, j, -1), valid=valid)
+
+
+def occluded_matmul(o, d, mint, maxt, linC):
+    """Any-hit variant: no division at all, just the masked reduce."""
+    _, _, _, _, ok = _linear_mt_terms(o, d, mint, maxt, linC)
+    return jnp.any(ok, axis=1)
+
+
 def make_cluster_intersector(window: int):
     """Two-level clustered closest-hit: dense [N, K] ray-vs-cluster-AABB
     tests (pure VPU), per-ray nearest-first cluster ordering, then a

@@ -245,7 +245,8 @@ def resolve_opacity(scene, mid, uv):
     """Mask-wrapper opacity with texture override where bound (luminance
     of the opacity texture, mask.cpp semantics)."""
     from ..core.spectrum import luminance
-    row = scene.materials.packed[mid]
+    from .common import fast_row_gather
+    row = fast_row_gather(scene.materials.packed, mid)
     op = row[..., 22]
     tex_id = row[..., 23].astype(jnp.int32)
     tex_val = eval_texture(scene.textures, tex_id, uv)
@@ -254,7 +255,8 @@ def resolve_opacity(scene, mid, uv):
 
 def resolve_albedo(scene, mid, uv, uv_footprint=None):
     """Material reflectance with texture override where bound."""
-    row = scene.materials.packed[mid]
+    from .common import fast_row_gather
+    row = fast_row_gather(scene.materials.packed, mid)
     refl = row[..., 2:5]
     tex_id = row[..., 20].astype(jnp.int32)
     has_tex = tex_id >= 0

@@ -39,7 +39,7 @@ def load(path: str):
     return state, int(z["__done"]), int(z["__seed"]), meta
 
 
-def render_accumulate(tracer, scene, seed: int, spp: int, chunk: int = 8,
+def render_accumulate(tracer, scene, seed: int, spp: int, chunk: int = 64,
                       checkpoint_path: Optional[str] = None,
                       resume: bool = False, log=None, progress=None):
     """Drive tracer.render_chunk with optional checkpointing.
@@ -48,6 +48,10 @@ def render_accumulate(tracer, scene, seed: int, spp: int, chunk: int = 8,
     accumulation buffers (raw sums).  Returns (state dict, spp).
     """
     import jax
+
+    # one upfront device transfer — otherwise every chunk dispatch
+    # re-uploads the whole (numpy) scene pytree through the jit boundary
+    scene = jax.device_put(scene)
 
     state = None
     done = 0

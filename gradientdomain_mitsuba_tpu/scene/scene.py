@@ -28,6 +28,8 @@ class Geometry(NamedTuple):
     clusters: ClusterArrays  # two-level traversal (ops/intersect.py)
     tri9: np.ndarray         # [K, 16, window] cluster slabs (pallas_trace.py)
     cbounds: np.ndarray      # [K, 6] packed cluster bounds (pallas_trace.py)
+    linC: np.ndarray         # [10, 4*Tp] linear-MT matmul coefficients
+    #                          (ops/intersect.py; [10,4] dummy when unused)
     # packed per-triangle shading rows in BVH ORDER — ONE gather per hit
     # instead of a 13-gather dependent chain (TPU gathers are the wavefront
     # hot spot; see ops/common.fill_intersection):
@@ -358,10 +360,20 @@ def compile_scene(desc: SceneDesc,
         child1_min=tree.child1_min, child1_max=tree.child1_max,
         child0=tree.child0, child1=tree.child1)
 
+    # linear-MT coefficient table (ops/intersect.py intersect_matmul):
+    # only built for small scenes, where the single-level matmul sweep is
+    # the TPU traversal of choice (same threshold choose_intersector
+    # dispatches on) — [10, 4*Tp] is dead weight beyond that
+    from ..ops.common import BRUTE_FORCE_MAX_TRIS
+    from ..ops.intersect import build_linear_mt
+    linC = (build_linear_mt(tris.v0, tris.e1, tris.e2)
+            if T <= BRUTE_FORCE_MAX_TRIS else np.zeros((10, 4), np.float32))
+
     from ..ops.pallas_trace import pack_cluster_bounds
     geom = Geometry(
         tris=tris, bvh=bvh_arrays, clusters=clusters,
         tri9=tri9, cbounds=pack_cluster_bounds(clusters),
+        linC=linC,
         tri_shade=tri_shade,
         positions=positions, normals=normals,
         uvs=uvs, indices=indices, tri_shape=tri_shape,

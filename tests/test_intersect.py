@@ -113,3 +113,91 @@ def test_native_builder_matches_brute():
     m = np.asarray(brute.valid)
     np.testing.assert_allclose(np.asarray(hit.t)[m],
                                np.asarray(brute.t)[m], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Linear-MT matmul traversal (ops/intersect.py intersect_matmul)
+# ---------------------------------------------------------------------------
+
+class TestMatmulTraversal:
+    def _setup(self, n_tris=97, n_rays=512):
+        v0, v1, v2 = _random_soup(n_tris, seed=3)
+        tris = TriSoup(v0=jnp.asarray(v0), e1=jnp.asarray(v1 - v0),
+                       e2=jnp.asarray(v2 - v0),
+                       orig_id=jnp.arange(n_tris, dtype=jnp.int32))
+        linC = jnp.asarray(isec.build_linear_mt(v0, v1 - v0, v2 - v0))
+        o, d = _random_rays(n_rays, seed=4)
+        mint = jnp.zeros(n_rays)
+        maxt = jnp.full(n_rays, 3.0e38)
+        return tris, linC, jnp.asarray(o), jnp.asarray(d), mint, maxt
+
+    def test_closest_matches_brute(self):
+        tris, linC, o, d, mint, maxt = self._setup()
+        hb = isec.intersect_brute(o, d, mint, maxt, tris, chunk=128)
+        hm = isec.intersect_matmul(o, d, mint, maxt, linC)
+        vb = np.asarray(hb.valid)
+        vm = np.asarray(hm.valid)
+        # the linear decomposition reassociates the MT arithmetic, so
+        # hits exactly on a triangle edge may flip; require near-total
+        # agreement rather than bit equality
+        assert (vb == vm).mean() > 0.998
+        m = vb & vm
+        agree = np.asarray(hb.prim)[m] == np.asarray(hm.prim)[m]
+        assert agree.mean() > 0.998
+        ma = m.copy()
+        ma[m] &= agree
+        np.testing.assert_allclose(np.asarray(hm.t)[ma],
+                                   np.asarray(hb.t)[ma], rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(hm.u)[ma],
+                                   np.asarray(hb.u)[ma], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(hm.v)[ma],
+                                   np.asarray(hb.v)[ma], atol=2e-4)
+
+    def test_occluded_matches_brute(self):
+        tris, linC, o, d, mint, _ = self._setup()
+        maxt = jnp.full(o.shape[0], 8.0)
+        ob = np.asarray(isec.occluded_brute(o, d, mint, maxt, tris,
+                                            chunk=128))
+        om = np.asarray(isec.occluded_matmul(o, d, mint, maxt, linC))
+        assert (ob == om).mean() > 0.998
+
+    def test_respects_maxt_mint(self):
+        tris, linC, o, d, _, _ = self._setup(n_rays=256)
+        hit_all = isec.intersect_matmul(
+            o, d, jnp.zeros(256), jnp.full(256, 3.0e38), linC)
+        # mint beyond the first hit must not return it again at the same t
+        mint = jnp.where(hit_all.valid, hit_all.t * 1.001, 0.0)
+        h2 = isec.intersect_matmul(o, d, mint, jnp.full(256, 3.0e38), linC)
+        m = np.asarray(hit_all.valid) & np.asarray(h2.valid)
+        assert np.all(np.asarray(h2.t)[m] > np.asarray(hit_all.t)[m])
+
+    def test_padding_tris_never_hit(self):
+        tris, linC, o, d, mint, maxt = self._setup()
+        # zero-padded (degenerate) columns: det == 0 -> no hit
+        pad = np.zeros((10, 4 * 32), np.float32)
+        T = linC.shape[1] // 4
+        blocks = [np.concatenate(
+            [np.asarray(linC[:, i * T:(i + 1) * T]), pad[:, i * 32:(i + 1) * 32]],
+            axis=1) for i in range(4)]
+        linC_pad = jnp.asarray(np.concatenate(blocks, axis=1))
+        hm = isec.intersect_matmul(o, d, mint, maxt, linC_pad)
+        assert np.all(np.asarray(hm.prim) < T)
+
+
+def test_onehot_gather_exact():
+    """fast_row_gather's MXU one-hot path must reproduce table rows
+    bit-exactly (HIGHEST precision matmul; see ops/common.py)."""
+    from gradientdomain_mitsuba_tpu.ops import common
+    rs = np.random.RandomState(0)
+    table = jnp.asarray(rs.randn(256, 23).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, 256, 4096), jnp.int32)
+    # exercise the one-hot formula directly (the dispatcher falls back to
+    # a plain gather on CPU)
+    oh = (idx[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :])
+    got = jax.lax.dot(oh.astype(table.dtype), table,
+                      precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(table[idx]))
+    # and the public entry point, whatever backend we are on
+    np.testing.assert_array_equal(
+        np.asarray(common.fast_row_gather(table, idx)),
+        np.asarray(table[idx]))
