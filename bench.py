@@ -48,16 +48,13 @@ def main():
     tracer = GPTracer(scene, st)
 
     # warm-up: compile (excluded per BASELINE.md measurement protocol)
-    chunk = 64
-    bufs = tracer.render_chunk(scene, 0, 0, chunk)
-    bufs["primal"].block_until_ready()
-    _ = poisson.reconstruct(
-        {k: v for k, v in bufs.items() if k != "wsum"}, mode="L1")
-    _.block_until_ready()
+    import jax
+    scene = jax.device_put(scene)
+    final, _ = tracer.render_final(scene, 0, SPP, alpha=0.2, mode="L1")
+    final.block_until_ready()
 
     t0 = time.time()
-    out = tracer.render(scene, seed=1, spp=SPP, chunk=chunk)
-    final = poisson.reconstruct(out, alpha=0.2, mode="L1")
+    final, _ = tracer.render_final(scene, 1, SPP, alpha=0.2, mode="L1")
     final.block_until_ready()
     wall = time.time() - t0
 

@@ -296,18 +296,56 @@ class GPTracer:
             # (reconnection either succeeded or the shift died), so the
             # not-connected machinery — 8N offset visibility/continuation
             # rays per bounce — compiles away for the remaining bounces
-            def bounce(b, s):
-                return self._bounce(scene, s, b, seed, sample_idx,
-                                    pixel_id, N, eps, occl4, trace4,
-                                    False)
+            if self.n_bounces > 1:
+                state = self._bounce(scene, state, 1, seed, sample_idx,
+                                     pixel_id, N, eps, occl4, trace4,
+                                     False)
+            if self.n_bounces > 2:
+                # SUFFIX FACTORIZATION: from here every offset is
+                # CONN_DONE (suffix shared with the base path) or dead.
+                # For a shared suffix, contrib_o = rho * contrib_m with
+                # rho = o_tp / tp constant for the rest of the walk
+                # (both throughputs multiply by the same bs.weight and
+                # RR 1/q), and the pair-MIS weight factorizes as
+                # w_pair = w_std / (1 + r^2) with r = o_r constant.  For
+                # a dead offset (failed shift) r = 0, rho = 0 and the
+                # per-bounce update degenerates to -w_std*contrib_m.
+                # Hence the ENTIRE remaining gradient is
+                #   grad += (rho - 1) / (1 + r^2) * primal_rest
+                # where primal_rest is the plain-PT contribution of
+                # bounces >= 2 — so the remaining bounces run at plain
+                # path-tracer cost (no [4,N] offset machinery at all).
+                alive = state["alive"]
+                o_alive = state["o_alive"]
+                tp_safe = jnp.maximum(state["tp"], 1e-30)
+                rho = jnp.where(_b3(o_alive),
+                                state["o_tp"] / tp_safe[None], 0.0)
+                r_c = jnp.where(o_alive, state["o_r"], 0.0)
+                coeff = jnp.where(_b3(o_alive | alive[None]),
+                                  (rho - 1.0) /
+                                  _b3(1.0 + r_c * r_c), 0.0)
 
-            state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
+                rest = dict(state)
+                rest["primal"] = jnp.zeros_like(state["primal"])
+
+                def bounce(b, s):
+                    return self._bounce(scene, s, b, seed, sample_idx,
+                                        pixel_id, N, eps, occl4, trace4,
+                                        False, with_offsets=False)
+
+                rest = jax.lax.fori_loop(2, self.n_bounces, bounce, rest)
+                state["primal"] = state["primal"] + rest["primal"]
+                state["grad"] = state["grad"] + coeff * rest["primal"][None]
         return pos_film, state["primal"], very, state["grad"]
 
     # ------------------------------------------------------------------
     def _bounce(self, scene, s, b, seed, sample_idx, pixel_id, N, eps,
                 occl4, trace4, allow_conn0=True, fp_main=None,
-                fp_off=None):
+                fp_off=None, with_offsets=True):
+        """One lockstep bounce.  with_offsets=False runs the plain-PT
+        subset only (main NEE + main BSDF segment, offset state passed
+        through untouched) — the suffix-factorization fast path of
+        trace_pass uses it for the post-connection bounces."""
         st = self.settings
         depth = b + 1
         its = s["its"]
@@ -329,15 +367,18 @@ class GPTracer:
                                        uv_footprint=fp_main)
         c_main = self._classify_diffuse(scene, its.bsdf_id, its.valid)
 
-        # frames & params: offsets (their own vertices; only used conn==0)
-        ss_o, ts_o = m.build_frame(o_its.ns)
-        wi_o_loc = m.to_local(o_wi, ss_o, ts_o, o_its.ns)
-        par_o = common.material_params(scene, self.has_textures,
-                                       o_its.bsdf_id, o_its.uv,
-                                       uv_footprint=fp_off)
-        c_off = self._classify_diffuse(scene, o_its.bsdf_id, o_its.valid)
-        # wi of offsets expressed in MAIN frame (for conn>=1 states)
-        wi_o_main = m.to_local(o_wi, ss_m[None], ts_m[None], its.ns[None])
+        if with_offsets:
+            # frames & params: offsets (own vertices; only used conn==0)
+            ss_o, ts_o = m.build_frame(o_its.ns)
+            wi_o_loc = m.to_local(o_wi, ss_o, ts_o, o_its.ns)
+            par_o = common.material_params(scene, self.has_textures,
+                                           o_its.bsdf_id, o_its.uv,
+                                           uv_footprint=fp_off)
+            c_off = self._classify_diffuse(scene, o_its.bsdf_id,
+                                           o_its.valid)
+            # wi of offsets expressed in MAIN frame (conn>=1 states)
+            wi_o_main = m.to_local(o_wi, ss_m[None], ts_m[None],
+                                   its.ns[None])
 
         not_last = jnp.bool_(True)
         ext_alive = alive
@@ -379,7 +420,7 @@ class GPTracer:
 
             # ---- offsets -------------------------------------------------
             # conn==0: evaluate from own vertex y_k toward the SAME light pt
-            if allow_conn0:
+            if with_offsets and allow_conn0:
                 to_l = ds.p[None] - o_its.p
                 dist_o = jnp.sqrt(jnp.maximum(m.squared_length(to_l),
                                               1e-12))
@@ -418,33 +459,35 @@ class GPTracer:
                 pb_o0_u = jnp.zeros_like(o_r)
                 conv_o0 = jnp.zeros_like(o_r)
                 occ_o0 = jnp.ones_like(o_alive)
-            # conn==1: same vertex as main, different wi (material params
-            # broadcast [N,...] against [4,N,...])
-            f_o1 = self._beval(par_m, wi_o_main, wo_l_m[None])
-            pb_o1_u = jnp.where(ds.is_delta[None], 0.0,
-                                self._bpdf(par_m, wi_o_main,
-                                             wo_l_m[None]) * conv_m[None])
+            if with_offsets:
+                # conn==1: same vertex as main, different wi (material
+                # params broadcast [N,...] against [4,N,...])
+                f_o1 = self._beval(par_m, wi_o_main, wo_l_m[None])
+                pb_o1_u = jnp.where(ds.is_delta[None], 0.0,
+                                    self._bpdf(par_m, wi_o_main,
+                                               wo_l_m[None]) * conv_m[None])
 
-            is0 = (o_conn == CONN_NONE)
-            is1 = (o_conn == CONN_RECENT)
-            f_o = jnp.where(_b3(is0), f_o0,
-                            jnp.where(_b3(is1), f_o1, f_m[None]))
-            pb_o_u = jnp.where(is0, pb_o0_u,
-                               jnp.where(is1, pb_o1_u, pb_m_u[None]))
-            conv_o = jnp.where(is0, conv_o0, conv_m[None])
-            vis_o = jnp.where(is0, ~occ_o0, ~occ_m[None])
-            ok_o = (o_alive & vis_o & vis_m[None])
-            c_o_val = (o_tp * f_o * ds.radiance[None] *
-                       _b3(conv_o / jnp.maximum(pe_u, 1e-30)[None]))
-            contrib_o = jnp.where(_b3(ok_o), c_o_val, 0.0)
-            r_eff = jnp.where(ok_o, o_r, 0.0)
+                is0 = (o_conn == CONN_NONE)
+                is1 = (o_conn == CONN_RECENT)
+                f_o = jnp.where(_b3(is0), f_o0,
+                                jnp.where(_b3(is1), f_o1, f_m[None]))
+                pb_o_u = jnp.where(is0, pb_o0_u,
+                                   jnp.where(is1, pb_o1_u, pb_m_u[None]))
+                conv_o = jnp.where(is0, conv_o0, conv_m[None])
+                vis_o = jnp.where(is0, ~occ_o0, ~occ_m[None])
+                ok_o = (o_alive & vis_o & vis_m[None])
+                c_o_val = (o_tp * f_o * ds.radiance[None] *
+                           _b3(conv_o / jnp.maximum(pe_u, 1e-30)[None]))
+                contrib_o = jnp.where(_b3(ok_o), c_o_val, 0.0)
+                r_eff = jnp.where(ok_o, o_r, 0.0)
 
-            pe2 = (pe_u * pe_u)[None]
-            den = (pe2 + (pb_m_u * pb_m_u)[None] +
-                   r_eff * r_eff * (pe2 + pb_o_u * pb_o_u))
-            w_pair = jnp.where(vis_m[None] | ok_o,
-                               pe2 / jnp.maximum(den, 1e-30), 0.0)
-            grad = grad + w_pair[..., None] * (contrib_o - contrib_m[None])
+                pe2 = (pe_u * pe_u)[None]
+                den = (pe2 + (pb_m_u * pb_m_u)[None] +
+                       r_eff * r_eff * (pe2 + pb_o_u * pb_o_u))
+                w_pair = jnp.where(vis_m[None] | ok_o,
+                                   pe2 / jnp.maximum(den, 1e-30), 0.0)
+                grad = grad + w_pair[..., None] * (contrib_o -
+                                                   contrib_m[None])
 
         # ================= BSDF-sampling strategy =========================
         u2 = self._u2(seed, pixel_id, sample_idx,
@@ -504,32 +547,34 @@ class GPTracer:
         primal = primal + contrib_m_b * _b3(w_std_b)
 
         # ----------------- offset shift handling --------------------------
-        new = self._shift_offsets(
-            scene, N, eps, occl4, trace4,
-            its, wi_m, par_m, ss_m, ts_m, c_main, bs, wo_w, its_n,
-            conv_m_seg, pb_m_sa, o_its, o_wi, wi_o_loc, wi_o_main,
-            par_o, ss_o, ts_o, c_off, o_tp, o_r, o_conn, o_alive,
-            main_cont, esc, uc, allow_conn0)
-        (o_its2, o_wi2, o_tp2, o_r2, o_conn2, o_alive2,
-         off_emit, off_pb_u, off_pe_u) = new
+        if with_offsets:
+            new = self._shift_offsets(
+                scene, N, eps, occl4, trace4,
+                its, wi_m, par_m, ss_m, ts_m, c_main, bs, wo_w, its_n,
+                conv_m_seg, pb_m_sa, o_its, o_wi, wi_o_loc, wi_o_main,
+                par_o, ss_o, ts_o, c_off, o_tp, o_r, o_conn, o_alive,
+                main_cont, esc, uc, allow_conn0)
+            (o_its2, o_wi2, o_tp2, o_r2, o_conn2, o_alive2,
+             off_emit, off_pb_u, off_pe_u) = new
 
-        # pair MIS for the emission at the new vertex
-        has_pair = has_emit_m | (o_alive2 & (m.squared_length(off_emit) > 0))
-        r_eff_b = jnp.where(o_alive2, o_r2, 0.0)
-        num_b = jnp.where(bs.is_delta[None],
-                          jnp.ones_like(off_pb_u),
-                          (pb_for_mis * pb_for_mis)[None])
-        den_b = jnp.where(
-            bs.is_delta[None],
-            1.0 + r_eff_b * r_eff_b,
-            (pb_for_mis * pb_for_mis + pe_u_n * pe_u_n)[None] +
-            r_eff_b * r_eff_b * (off_pb_u * off_pb_u +
-                                 off_pe_u * off_pe_u))
-        w_pair_b = jnp.where(has_pair, num_b / jnp.maximum(den_b, 1e-30),
-                             0.0)
-        contrib_o_b = jnp.where(_b3(o_alive2), o_tp2 * off_emit, 0.0)
-        grad = grad + w_pair_b[..., None] * (contrib_o_b -
-                                             contrib_m_b[None])
+            # pair MIS for the emission at the new vertex
+            has_pair = has_emit_m | (o_alive2 &
+                                     (m.squared_length(off_emit) > 0))
+            r_eff_b = jnp.where(o_alive2, o_r2, 0.0)
+            num_b = jnp.where(bs.is_delta[None],
+                              jnp.ones_like(off_pb_u),
+                              (pb_for_mis * pb_for_mis)[None])
+            den_b = jnp.where(
+                bs.is_delta[None],
+                1.0 + r_eff_b * r_eff_b,
+                (pb_for_mis * pb_for_mis + pe_u_n * pe_u_n)[None] +
+                r_eff_b * r_eff_b * (off_pb_u * off_pb_u +
+                                     off_pe_u * off_pe_u))
+            w_pair_b = jnp.where(has_pair,
+                                 num_b / jnp.maximum(den_b, 1e-30), 0.0)
+            contrib_o_b = jnp.where(_b3(o_alive2), o_tp2 * off_emit, 0.0)
+            grad = grad + w_pair_b[..., None] * (contrib_o_b -
+                                                 contrib_m_b[None])
 
         # ----------------- russian roulette (shared decision) -------------
         u_rr = self._u1(seed, pixel_id, sample_idx,
@@ -540,10 +585,19 @@ class GPTracer:
         survive = jnp.where(do_rr, u_rr < q, True)
         inv_q = jnp.where(do_rr, 1.0 / jnp.maximum(q, 1e-9), 1.0)
         tp_new = tp_new * _b3(inv_q)
-        o_tp2 = o_tp2 * inv_q[None, :, None]
         alive_next = main_cont & its_n.valid & survive & \
             (jnp.max(tp_new, -1) > 0)
 
+        if not with_offsets:
+            # plain-PT bounce: offset state frozen (the caller applies
+            # the factorized gradient once at the end)
+            return dict(
+                d=wo_w, its=its_n, tp=tp_new, eta=eta_new,
+                alive=alive_next, primal=primal,
+                o_its=o_its, o_wi=o_wi, o_tp=o_tp, o_r=o_r,
+                o_conn=o_conn, o_alive=s["o_alive"], grad=grad)
+
+        o_tp2 = o_tp2 * inv_q[None, :, None]
         return dict(
             d=wo_w, its=its_n, tp=tp_new, eta=eta_new, alive=alive_next,
             primal=primal,
@@ -867,3 +921,29 @@ class GPTracer:
             checkpoint_path=checkpoint_path, resume=resume,
             progress=progress)
         return self.finalize(state, spp)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
+    def render_final(self, scene, seed, spp, alpha=0.2, mode="L1",
+                     l2_iters=100, l1_outer=8, l1_inner=40):
+        """Render + finalize + screened-Poisson reconstruction as ONE
+        device program (each dispatch costs ~0.4 s through the remote
+        tunnel; the host round trip of render() -> reconstruct() is pure
+        overhead when no checkpointing is requested).  Returns
+        (final image, buffers dict)."""
+        from . import poisson
+        state = self.render_chunk(scene, seed, 0, spp)
+        w = jnp.maximum(state["wsum"], 1e-12)[..., None]
+        bufs = {
+            "primal": state["primal"] / w,
+            "very_direct": state["very_direct"] / w,
+            "dx": state["dx"] / spp,
+            "dy": state["dy"] / spp,
+        }
+        if mode.upper() == "L2":
+            rec = poisson.solve_l2(bufs["primal"], bufs["dx"], bufs["dy"],
+                                   alpha=alpha, iters=l2_iters)
+        else:
+            rec = poisson.solve_l1(bufs["primal"], bufs["dx"], bufs["dy"],
+                                   alpha=alpha, outer_iters=l1_outer,
+                                   inner_iters=l1_inner)
+        return rec + bufs["very_direct"], bufs

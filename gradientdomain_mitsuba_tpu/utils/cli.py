@@ -134,19 +134,34 @@ def _render_scene(args, scene_path, variables, log):
         else:
             from ..models.gbdpt import GBDPTracer
             tracer = GBDPTracer(scene, st)
-        bufs = tracer.render(scene, seed=args.seed, spp=st.spp,
-                             checkpoint_path=args.checkpoint,
-                             resume=args.resume,
-                             progress=make_flusher(tracer, True))
-        t_render = time.time()
-        from ..models import poisson
         p = st.integrator_props
         mode = "L2" if bool(p.get("reconstructL2", False)) and not bool(
             p.get("reconstructL1", True)) else "L1"
         alpha = float(p.get("reconstructAlpha", 0.2))
         import numpy as np
-        final = np.asarray(poisson.reconstruct(bufs, alpha=alpha, mode=mode))
-        t_rec = time.time()
+        if (st.integrator == "gpt" and not args.checkpoint
+                and not args.refresh):
+            # fused single-dispatch render + reconstruction (the host
+            # round trip between the two costs ~0.4 s/dispatch through
+            # the remote tunnel); checkpoint/periodic-flush runs take
+            # the chunked path below
+            import jax
+            final_d, bufs_d = tracer.render_final(
+                jax.device_put(scene), args.seed, st.spp,
+                alpha=alpha, mode=mode)
+            final = np.asarray(final_d)
+            bufs = {k: np.asarray(v) for k, v in bufs_d.items()}
+            t_render = t_rec = time.time()
+        else:
+            bufs = tracer.render(scene, seed=args.seed, spp=st.spp,
+                                 checkpoint_path=args.checkpoint,
+                                 resume=args.resume,
+                                 progress=make_flusher(tracer, True))
+            t_render = time.time()
+            from ..models import poisson
+            final = np.asarray(
+                poisson.reconstruct(bufs, alpha=alpha, mode=mode))
+            t_rec = time.time()
         aux_ext = ext if ext.lower() == ".exr" else ".exr"
         exr.write(base + "-primal" + aux_ext,
                   bufs["primal"] + bufs["very_direct"])
