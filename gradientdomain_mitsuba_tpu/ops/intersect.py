@@ -475,20 +475,37 @@ def _linear_mt_terms(o, d, mint, maxt, linC):
 
 
 def intersect_matmul(o, d, mint, maxt, linC) -> Hit:
-    """Closest hit against every triangle via the linear-MT matmul."""
+    """Closest hit against every triangle via the linear-MT matmul.
+
+    The epilogue divides by det FIRST (u = u_num/det etc.) so the hit
+    test needs no sign-fixing passes, and selects the winner by exact
+    t-equality against the row min instead of argmin + one-hot (the
+    iota_reduce argmin fusion was 260 us/call on [65k,128]).  det == 0
+    (parallel or degenerate padding) yields inf/nan coordinates whose
+    comparisons are all false — the lane drops out like in the brute
+    Moeller-Trumbore."""
     T = linC.shape[1] // 4
-    su, sv, st, ad, ok = _linear_mt_terms(o, d, mint, maxt, linC)
-    safe_ad = jnp.where(ok, ad, 1.0)
-    tt = jnp.where(ok, st / safe_ad, F32_MAX)
+    feats = jnp.concatenate(
+        [jnp.cross(o, d), d, o, jnp.ones_like(o[:, :1])], axis=1)
+    F = jax.lax.dot(feats, linC, precision=jax.lax.Precision.HIGHEST)
+    d_inv = 1.0 / F[:, :T]
+    u = F[:, T:2 * T] * d_inv
+    v = F[:, 2 * T:3 * T] * d_inv
+    t = F[:, 3 * T:] * d_inv
+    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+          (t > mint[:, None]) & (t < maxt[:, None]))
+    tt = jnp.where(ok, t, F32_MAX)
     tm = jnp.min(tt, axis=1)
     valid = tm < F32_MAX
-    j = jnp.argmin(tt, axis=1).astype(jnp.int32)
-    oh = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1) == j[:, None]
-    inv_win = jnp.where(oh, 1.0 / safe_ad, 0.0)
-    u = jnp.sum(su * inv_win, axis=1)
-    v = jnp.sum(sv * inv_win, axis=1)
-    return Hit(t=jnp.where(valid, tm, F32_MAX), u=u, v=v,
-               prim=jnp.where(valid, j, -1), valid=valid)
+    sel = ok & (tt == tm[:, None])
+    iota = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+    j = jnp.min(jnp.where(sel, iota, jnp.int32(2 ** 30)), axis=1)
+    first = sel & (iota == j[:, None])
+    us = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+    vs = jnp.sum(jnp.where(first, v, 0.0), axis=1)
+    return Hit(t=jnp.where(valid, tm, F32_MAX), u=us, v=vs,
+               prim=jnp.where(valid, j, -1).astype(jnp.int32),
+               valid=valid)
 
 
 def occluded_matmul(o, d, mint, maxt, linC):
