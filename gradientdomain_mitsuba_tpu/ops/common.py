@@ -50,18 +50,22 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
             return isec.occluded_brute(o, d, mint, maxt, geom.tris,
                                        chunk=chunk)
         return closest, occl
-    if n_clusters > 0 and jax.default_backend() not in ("cpu",):
+    if n_clusters > 0 and not on_cpu:
+        # v3: sorted rays + per-cluster linear-MT matmul sweeps on the
+        # MXU (pallas_trace.py); v2 (make_pallas_intersector) kept for
+        # comparison benchmarks
         from . import pallas_trace as ptr
-        closest_p = ptr.make_pallas_intersector(settings.cluster_window,
-                                                n_clusters)
-        occl_p = ptr.make_pallas_occluder(settings.cluster_window,
-                                          n_clusters)
+        closest_p = ptr.make_pallas_mt_intersector(
+            settings.cluster_window, n_clusters)
+        occl_p = ptr.make_pallas_mt_occluder(settings.cluster_window,
+                                             n_clusters)
 
         def closest(o, d, mint, maxt, geom):
-            return closest_p(o, d, mint, maxt, geom.tri9, geom.cbounds)
+            return closest_p(o, d, mint, maxt, geom.mt_slabs,
+                             geom.cbounds)
 
         def occl(o, d, mint, maxt, geom):
-            return occl_p(o, d, mint, maxt, geom.tri9, geom.cbounds)
+            return occl_p(o, d, mint, maxt, geom.mt_slabs, geom.cbounds)
         return closest, occl
 
     closest_c = isec.make_cluster_intersector(settings.cluster_window)

@@ -257,3 +257,265 @@ def pack_cluster_bounds(clusters: ClusterArrays) -> np.ndarray:
     return np.concatenate([np.asarray(clusters.bmin),
                            np.asarray(clusters.bmax)],
                           axis=1).astype(np.float32)
+
+
+# ===========================================================================
+# Traversal v3: in-kernel linear-MT (MXU) sweeps + sorted-ray coherence
+# ===========================================================================
+#
+# The v2 kernel above runs Moeller-Trumbore as ~55 VPU ops per (ray, tri)
+# pair; the VPU issue rate is the measured wall on this hardware while the
+# MXU idles.  v3 stores each cluster's triangles as their linear-MT
+# coefficient slab (ops/intersect.py build_linear_mt): one in-kernel
+# [RBLK, 16] @ [16, 4*window] f32 matmul yields (det, u_num, v_num, t_num)
+# for the whole sweep and the VPU epilogue shrinks to ~15 ops/pair.
+# Incoherent ray batches (bounce/NEE wavefronts) are first sorted by
+# (direction octant, origin Morton code) — rays in a block then share
+# clusters, so the per-block worklists shrink ~10x (measured 28 ms
+# coherent vs 295 ms incoherent on a 384k-tri scene with v2).  The sort
+# is two lax.sort calls (~0.03 ms at 65k rays: the payload rides the
+# sort network, no gathers).
+
+
+def build_mt_slabs(linC: np.ndarray, window: int) -> np.ndarray:
+    """Reshape the scene-wide [10, 4*Tp] linear-MT coefficient matrix
+    into per-cluster DMA slabs [K, 16, 4*window] (rows padded 10 -> 16
+    for the 8-sublane DMA granule; zero rows are harmless under the
+    matmul)."""
+    Tp = linC.shape[1] // 4
+    K = Tp // window
+    seg = linC.reshape(10, 4, K, window)          # [10, out, K, W]
+    slabs = np.zeros((K, 16, 4 * window), np.float32)
+    slabs[:, :10, :] = seg.transpose(2, 0, 1, 3).reshape(K, 10, 4 * window)
+    return slabs
+
+
+def _mt_kernel(window, n_clusters, any_hit):
+    W = window
+
+    def kernel(cb_ref, rays_ref, slab_hbm, work_hbm,
+               out_ref, prim_ref, slab_vmem, sem, work_smem, wsem):
+        ox = rays_ref[:, 0:1]
+        oy = rays_ref[:, 1:2]
+        oz = rays_ref[:, 2:3]
+        dx = rays_ref[:, 3:4]
+        dy = rays_ref[:, 4:5]
+        dz = rays_ref[:, 5:6]
+        mint = rays_ref[:, 6:7]
+        inv = lambda c: jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, 1e30)
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        zeros = jnp.zeros_like(ox)
+        feats = jnp.concatenate(
+            [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx,
+             dx, dy, dz, ox, oy, oz, jnp.ones_like(ox),
+             zeros, zeros, zeros, zeros, zeros, zeros], axis=1)
+
+        out_ref[:, 0:1] = rays_ref[:, 7:8]           # t := maxt
+        out_ref[:, 1:2] = zeros
+        out_ref[:, 2:3] = zeros
+        out_ref[:, 3:4] = zeros
+        prim_ref[:] = jnp.full(mint.shape, -1, jnp.int32)
+        blk = pl.program_id(0)
+        wcp = pltpu.make_async_copy(work_hbm.at[blk], work_smem, wsem)
+        wcp.start()
+        wcp.wait()
+
+        def cluster_body(s, _):
+            e = 1 + s
+            k = work_smem[e % 8, e // 8]
+            t_b = out_ref[:, 0:1]
+            tx0 = (cb_ref[k, 0] - ox) * ix
+            tx1 = (cb_ref[k, 3] - ox) * ix
+            ty0 = (cb_ref[k, 1] - oy) * iy
+            ty1 = (cb_ref[k, 4] - oy) * iy
+            tz0 = (cb_ref[k, 2] - oz) * iz
+            tz1 = (cb_ref[k, 5] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            pending = (tn <= tf) & (tf >= mint) & (tn <= t_b)
+
+            @pl.when(jnp.any(pending))
+            def _():
+                cp = pltpu.make_async_copy(slab_hbm.at[k], slab_vmem, sem)
+                cp.start()
+                cp.wait()
+                F = jax.lax.dot_general(
+                    feats, slab_vmem[...],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)   # [RBLK, 4W]
+                dinv = 1.0 / F[:, :W]
+                u = F[:, W:2 * W] * dinv
+                v = F[:, 2 * W:3 * W] * dinv
+                t = F[:, 3 * W:] * dinv
+                ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+                      (t > mint) & (t < out_ref[:, 0:1]))
+                if any_hit:
+                    hit_any = jnp.any(ok, axis=1, keepdims=True)
+                    prim_ref[:] = jnp.where(hit_any, 0, prim_ref[:])
+                    # kill future pending tests for occluded rays
+                    out_ref[:, 0:1] = jnp.where(hit_any, -1.0,
+                                                out_ref[:, 0:1])
+                else:
+                    tt = jnp.where(ok, t, F32_MAX)
+                    tc = jnp.min(tt, axis=1, keepdims=True)
+                    better = tc < out_ref[:, 0:1]
+                    iw = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                    sel = tt == tc
+                    j = jnp.min(jnp.where(sel, iw, jnp.int32(2 ** 30)),
+                                axis=1, keepdims=True)
+                    first = iw == j
+                    uc = jnp.sum(jnp.where(first, u, 0.0), axis=1,
+                                 keepdims=True)
+                    vc = jnp.sum(jnp.where(first, v, 0.0), axis=1,
+                                 keepdims=True)
+                    out_ref[:, 1:2] = jnp.where(better, uc,
+                                                out_ref[:, 1:2])
+                    out_ref[:, 2:3] = jnp.where(better, vc,
+                                                out_ref[:, 2:3])
+                    prim_ref[:] = jnp.where(better, k * W + j,
+                                            prim_ref[:])
+                    out_ref[:, 0:1] = jnp.where(better, tc,
+                                                out_ref[:, 0:1])
+
+            return 0
+
+        jax.lax.fori_loop(0, work_smem[0, 0], cluster_body, 0)
+
+    return kernel
+
+
+def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
+    RBLK = 512
+    N = o.shape[0]
+    pad = (-N) % RBLK
+    Np = N + pad
+    G = Np // RBLK
+
+    rays = jnp.concatenate(
+        [o, d, mint[:, None], maxt[:, None]], axis=1).astype(jnp.float32)
+    if pad:
+        filler = jnp.concatenate(
+            [jnp.zeros((pad, 3)), jnp.ones((pad, 3)),
+             jnp.zeros((pad, 1)), jnp.full((pad, 1), -1.0)], axis=1)
+        rays = jnp.concatenate([rays, filler.astype(jnp.float32)], axis=0)
+
+    # per-block near-to-far worklists (same dense build as v2 _run)
+    K = cbounds.shape[0]
+    ob = rays[:, 0:3].reshape(G, RBLK, 1, 3)
+    db = rays[:, 3:6].reshape(G, RBLK, 1, 3)
+    mintb = rays[:, 6].reshape(G, RBLK, 1)
+    maxtb = rays[:, 7].reshape(G, RBLK, 1)
+    invd = jnp.where(jnp.abs(db) > 1e-12, 1.0 / db, 1e30)
+    t0b = (cbounds[None, None, :, 0:3] - ob) * invd
+    t1b = (cbounds[None, None, :, 3:6] - ob) * invd
+    tn = jnp.max(jnp.minimum(t0b, t1b), axis=-1)
+    tf = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+    pend = (tn <= tf) & (tf >= mintb) & (tn <= maxtb)
+    tn_blk = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), F32_MAX),
+                     axis=1)
+    pend_blk = jnp.any(pend, axis=1)
+    order = jnp.argsort(tn_blk, axis=1).astype(jnp.int32)
+    count = jnp.sum(pend_blk, axis=1, dtype=jnp.int32)[:, None]
+    Kp = 1 + K + ((-(1 + K)) % 1024)
+    W8 = Kp // 8
+    flat = jnp.concatenate(
+        [count, order, jnp.zeros((G, Kp - 1 - K), jnp.int32)], axis=1)
+    work = flat.reshape(G, W8, 8).transpose(0, 2, 1)
+
+    ray_spec = pl.BlockSpec((RBLK, 8), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((RBLK, 4), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec((RBLK, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out, prim = pl.pallas_call(
+        kernel_fn,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[ray_spec,
+                      pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[out_spec, prim_spec],
+            scratch_shapes=[
+                pltpu.VMEM((16, 4 * window), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((8, W8), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ]),
+        out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+    )(cbounds, rays, slabs, work)
+    return (out[:N, 0], out[:N, 1], out[:N, 2], prim[:N, 0])
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x so there are 2 zero bits between each
+    (Morton interleave helper, standard bit twiddling)."""
+    x = x & 0x3ff
+    x = (x | (x << 16)) & 0x30000ff
+    x = (x | (x << 8)) & 0x300f00f
+    x = (x | (x << 4)) & 0x30c30c3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def sort_rays(o, d, mint, maxt, bmin, bmax):
+    """Coherence sort: key = (direction octant << 21) | morton7(origin).
+    Returns the sorted ray streams plus the inverse-permutation index;
+    payload rides the lax.sort network (no gathers)."""
+    extent = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip((o - bmin[None]) / extent[None] * 127.0,
+                 0.0, 127.0).astype(jnp.int32)
+    morton = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1) |
+              (_part1by2(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(jnp.int32) * 4 +
+              (d[:, 1] < 0).astype(jnp.int32) * 2 +
+              (d[:, 2] < 0).astype(jnp.int32))
+    key = (octant << 21) | morton
+    iota = jnp.arange(o.shape[0], dtype=jnp.int32)
+    (key, o0, o1, o2, d0, d1, d2, mi, ma, inv) = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         mint, maxt, iota), dimension=0, num_keys=1)
+    return (jnp.stack([o0, o1, o2], 1), jnp.stack([d0, d1, d2], 1),
+            mi, ma, inv)
+
+
+def make_pallas_mt_intersector(window: int, n_clusters: int):
+    kernel = _mt_kernel(window, n_clusters, any_hit=False)
+
+    @jax.jit
+    def intersect(o, d, mint, maxt, slabs, cbounds):
+        bmin = jnp.min(cbounds[:, 0:3], axis=0)
+        bmax = jnp.max(cbounds[:, 3:6], axis=0)
+        so, sd, smi, sma, inv = sort_rays(o, d, mint, maxt, bmin, bmax)
+        t, u, v, p = _mt_run(kernel, window, so, sd, smi, sma,
+                             slabs, cbounds)
+        # unsort: second payload sort keyed on the original index
+        _, t, u, v, p = jax.lax.sort((inv, t, u, v, p), dimension=0,
+                                     num_keys=1)
+        return Hit(t=jnp.where(p >= 0, t, F32_MAX), u=u, v=v, prim=p,
+                   valid=p >= 0)
+
+    return intersect
+
+
+def make_pallas_mt_occluder(window: int, n_clusters: int):
+    kernel = _mt_kernel(window, n_clusters, any_hit=True)
+
+    @jax.jit
+    def occluded(o, d, mint, maxt, slabs, cbounds):
+        bmin = jnp.min(cbounds[:, 0:3], axis=0)
+        bmax = jnp.max(cbounds[:, 3:6], axis=0)
+        so, sd, smi, sma, inv = sort_rays(o, d, mint, maxt, bmin, bmax)
+        t, _, _, p = _mt_run(kernel, window, so, sd, smi, sma,
+                             slabs, cbounds)
+        _, p = jax.lax.sort((inv, p), dimension=0, num_keys=1)
+        return p >= 0
+
+    return occluded

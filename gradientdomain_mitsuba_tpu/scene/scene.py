@@ -30,6 +30,8 @@ class Geometry(NamedTuple):
     cbounds: np.ndarray      # [K, 6] packed cluster bounds (pallas_trace.py)
     linC: np.ndarray         # [10, 4*Tp] linear-MT matmul coefficients
     #                          (ops/intersect.py; [10,4] dummy when unused)
+    mt_slabs: np.ndarray     # [K, 16, 4*window] per-cluster linear-MT DMA
+    #                          slabs (pallas_trace.py v3; dummy when small)
     # packed per-triangle shading rows in BVH ORDER — ONE gather per hit
     # instead of a 13-gather dependent chain (TPU gathers are the wavefront
     # hot spot; see ops/common.fill_intersection):
@@ -366,14 +368,21 @@ def compile_scene(desc: SceneDesc,
     # dispatches on) — [10, 4*Tp] is dead weight beyond that
     from ..ops.common import BRUTE_FORCE_MAX_TRIS
     from ..ops.intersect import build_linear_mt
-    linC = (build_linear_mt(tris.v0, tris.e1, tris.e2)
-            if T <= BRUTE_FORCE_MAX_TRIS else np.zeros((10, 4), np.float32))
+    from ..ops.pallas_trace import build_mt_slabs, pack_cluster_bounds
+    if T <= BRUTE_FORCE_MAX_TRIS:
+        # small scene: single-level matmul sweep over the whole soup
+        linC = build_linear_mt(tris.v0, tris.e1, tris.e2)
+        mt_slabs = np.zeros((1, 16, 4), np.float32)
+    else:
+        # large scene: per-cluster slabs for the Pallas v3 kernel
+        linC_full = build_linear_mt(tris.v0, tris.e1, tris.e2)
+        mt_slabs = build_mt_slabs(linC_full, window)
+        linC = np.zeros((10, 4), np.float32)
 
-    from ..ops.pallas_trace import pack_cluster_bounds
     geom = Geometry(
         tris=tris, bvh=bvh_arrays, clusters=clusters,
         tri9=tri9, cbounds=pack_cluster_bounds(clusters),
-        linC=linC,
+        linC=linC, mt_slabs=mt_slabs,
         tri_shade=tri_shade,
         positions=positions, normals=normals,
         uvs=uvs, indices=indices, tri_shape=tri_shape,

@@ -68,3 +68,83 @@ def test_pallas_occluder_matches_brute(interpret_pallas):
     ref = isec.occluded_brute(o, d, mint, maxt, scene.geom.tris,
                               chunk=1024)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# v3 kernel: in-kernel linear-MT matmul sweeps + sorted rays
+# ---------------------------------------------------------------------------
+
+def _mats_scene_with_slabs():
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene, st = sc.load_scene(
+        os.path.join(root, "data/scenes/cbox-mats/cbox-mats.xml"),
+        {"width": "16", "height": "16", "spp": "1", "maxDepth": "2"})
+    # small scenes do not carry slabs; build them the same way scene.py
+    # does for large ones
+    g = scene.geom
+    linC_full = isec.build_linear_mt(g.tris.v0, g.tris.e1, g.tris.e2)
+    slabs = jnp.asarray(ptr.build_mt_slabs(linC_full, st.cluster_window))
+    return scene, st, slabs
+
+
+def test_pallas_mt_intersector_matches_brute(interpret_pallas):
+    scene, st, slabs = _mats_scene_with_slabs()
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(0)
+    N = 2048
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.full(N, 3e38)
+    f = ptr.make_pallas_mt_intersector(st.cluster_window, K)
+    h = f(o, d, mint, maxt, slabs, scene.geom.cbounds)
+    h2 = isec.intersect_brute(o, d, mint, maxt, scene.geom.tris,
+                              chunk=1024)
+    # the linear decomposition reassociates the MT arithmetic: near-total
+    # agreement rather than bit equality (see test_intersect.py)
+    valid_agree = (np.asarray(h.valid) == np.asarray(h2.valid)).mean()
+    assert valid_agree > 0.998, valid_agree
+    m = np.asarray(h2.valid) & np.asarray(h.valid)
+    prim_agree = (np.asarray(h.prim)[m] == np.asarray(h2.prim)[m])
+    assert prim_agree.mean() > 0.995
+    mm = m.copy()
+    mm[m] &= prim_agree
+    np.testing.assert_allclose(np.asarray(h.t)[mm], np.asarray(h2.t)[mm],
+                               rtol=1e-2)
+
+
+def test_pallas_mt_occluder_matches_brute(interpret_pallas):
+    scene, st, slabs = _mats_scene_with_slabs()
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(3)
+    N = 1024
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.full(N, 400.0)
+    f = ptr.make_pallas_mt_occluder(st.cluster_window, K)
+    occ = f(o, d, mint, maxt, slabs, scene.geom.cbounds)
+    occ2 = isec.occluded_brute(o, d, mint, maxt, scene.geom.tris,
+                               chunk=1024)
+    agree = (np.asarray(occ) == np.asarray(occ2)).mean()
+    assert agree > 0.998, agree
+
+
+def test_sort_rays_roundtrip():
+    rs = np.random.RandomState(7)
+    N = 512
+    o = jnp.asarray(np.float32(rs.uniform(-5, 5, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    mint = jnp.asarray(np.float32(rs.uniform(0, 1, N)))
+    maxt = jnp.asarray(np.float32(rs.uniform(10, 20, N)))
+    so, sd, smi, sma, inv = ptr.sort_rays(
+        o, d, mint, maxt, jnp.array([-5.0, -5.0, -5.0]),
+        jnp.array([5.0, 5.0, 5.0]))
+    # unsort restores the original order exactly
+    _, r0, r1, r2, rm = jax.lax.sort(
+        (inv, so[:, 0], so[:, 1], so[:, 2], smi), dimension=0, num_keys=1)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(o[:, 0]))
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(mint))

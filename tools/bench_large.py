@@ -83,14 +83,14 @@ def build_scene(n_tris: int, width: int, height: int, spp: int,
   </shape>
   <shape type="rectangle">
     <transform name="toWorld">
-      <scale x="300" y="1" z="300"/><rotate x="1" angle="-90"/>
+      <scale x="300" y="300" z="1"/><rotate x="1" angle="-90"/>
       <translate x="278" y="0" z="279"/>
     </transform>
     <ref id="white"/>
   </shape>
   <shape type="rectangle">
     <transform name="toWorld">
-      <scale x="65" y="1" z="52"/><rotate x="1" angle="90"/>
+      <scale x="65" y="52" z="1"/><rotate x="1" angle="90"/>
       <translate x="278" y="548" z="279"/>
     </transform>
     <ref id="white"/>
@@ -123,7 +123,9 @@ def main():
     from gradientdomain_mitsuba_tpu.models.path import PathTracer
     scene = jax.device_put(scene)
     tracer = PathTracer(scene, st)
-    img = tracer.render(scene, seed=0, spp=1, chunk=1)   # compile
+    # warm-up MUST use the same chunk (render_chunk is jitted per static
+    # sample count)
+    img = tracer.render(scene, seed=0, spp=args.spp, chunk=args.spp)
     t0 = time.time()
     img = tracer.render(scene, seed=1, spp=args.spp, chunk=args.spp)
     dt = time.time() - t0
