@@ -268,7 +268,13 @@ def compile_scene(desc: SceneDesc,
     T = len(order)
     # cluster decomposition for the TPU traversal; window grows with the
     # scene so K stays bounded (phase-1 cost is O(N*K))
-    target = int(np.clip(-(-T // 1024), 64, 4096)) if T > 64 else max(T, 1)
+    import os as _os
+    _tgt = _os.environ.get("GDMT_CLUSTER_TARGET")
+    if _tgt:
+        target = int(_tgt)
+    else:
+        target = int(np.clip(-(-T // 1024), 64, 4096)) if T > 64 \
+            else max(T, 1)
     c_off, c_cnt, c_min, c_max = bvh_mod.extract_clusters(tree, target)
     window = int(c_cnt.max()) if len(c_cnt) else 1
     window = max(128, -(-window // 128) * 128)  # lane-aligned pallas DMA
