@@ -365,3 +365,38 @@ def make_disk(n_seg=64) -> Mesh:
     uv = (p[:, :2] * 0.5 + 0.5).astype(np.float32)
     tris = [(0, 1 + i, 1 + (i + 1) % n_seg) for i in range(n_seg)]
     return Mesh(p, np.asarray(tris, np.int32), n, uv)
+
+
+def make_cylinder(p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0,
+                  n_seg=64) -> Mesh:
+    """Open cylinder from p0 to p1 (src/shapes/cylinder.cpp semantics:
+    no end caps), tessellated with exact per-vertex normals."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    axis = p1 - p0
+    length = float(np.linalg.norm(axis))
+    axis = axis / max(length, 1e-12)
+    # build an orthonormal frame around the axis
+    h = np.array([1.0, 0, 0], np.float32) if abs(axis[0]) < 0.9 \
+        else np.array([0, 1.0, 0], np.float32)
+    s = np.cross(axis, h)
+    s /= np.linalg.norm(s)
+    t = np.cross(axis, s)
+    ang = np.linspace(0, 2 * np.pi, n_seg + 1)
+    ring_n = (np.cos(ang)[:, None] * s[None] +
+              np.sin(ang)[:, None] * t[None]).astype(np.float32)
+    bot = p0[None] + radius * ring_n
+    top = p1[None] + radius * ring_n
+    pos = np.concatenate([bot, top]).astype(np.float32)
+    nrm = np.concatenate([ring_n, ring_n]).astype(np.float32)
+    u = (ang / (2 * np.pi)).astype(np.float32)
+    uv = np.concatenate([
+        np.stack([u, np.zeros_like(u)], -1),
+        np.stack([u, np.ones_like(u)], -1)]).astype(np.float32)
+    W = n_seg + 1
+    tris = []
+    for j in range(n_seg):
+        a, b, c, d = j, j + 1, W + j, W + j + 1
+        tris.append((a, c, b))
+        tris.append((b, c, d))
+    return Mesh(pos, np.asarray(tris, np.int32), nrm, uv)

@@ -149,6 +149,11 @@ def _shape_mesh(shape: Plugin, base_dir: str) -> mesh_mod.Mesh:
             n_phi=int(shape.get("nPhi", 128)))
     if t == "disk":
         return mesh_mod.make_disk()
+    if t == "cylinder":
+        return mesh_mod.make_cylinder(
+            p0=shape.get("p0", np.array([0, 0, 0], np.float32)),
+            p1=shape.get("p1", np.array([0, 0, 1], np.float32)),
+            radius=float(shape.get("radius", 1.0)))
     raise ValueError(f"unsupported shape type '{t}'")
 
 

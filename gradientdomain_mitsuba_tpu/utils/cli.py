@@ -28,8 +28,9 @@ import time
 
 
 def write_image(exr_mod, path, img):
-    """EXR by default; .png/.jpg get sRGB-tonemapped 8-bit output
-    (the ldrfilm analog)."""
+    """EXR by default; .png/.jpg get sRGB-tonemapped 8-bit output (the
+    ldrfilm analog); .m/.npy get raw float dumps (the mfilm analog,
+    src/films/mfilm.cpp — matlab text / numpy binary)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".png", ".jpg", ".jpeg"):
         import numpy as np
@@ -37,6 +38,18 @@ def write_image(exr_mod, path, img):
         from ..core.spectrum import linear_to_srgb
         ldr = np.clip(np.asarray(linear_to_srgb(np.clip(img, 0, 1))), 0, 1)
         Image.fromarray((ldr * 255 + 0.5).astype("uint8")).save(path)
+    elif ext == ".npy":
+        import numpy as np
+        np.save(path, np.asarray(img, dtype=np.float32))
+    elif ext == ".m":
+        import numpy as np
+        a = np.asarray(img, dtype=np.float32)
+        with open(path, "w") as f:
+            for c, name in enumerate("rgb"[:a.shape[-1]]):
+                f.write(f"{name} = [\n")
+                for row in a[..., c]:
+                    f.write(" ".join(f"{v:.8g}" for v in row) + ";\n")
+                f.write("];\n")
     else:
         exr_mod.write(path, img)
 
@@ -175,7 +188,7 @@ def _render_scene(args, scene_path, variables, log):
         stats.update(render_s=t_render - t_load,
                      reconstruct_s=t_rec - t_render, mode=mode)
     else:
-        if st.integrator not in ("path", "direct", "ao", "bdpt"):
+        if st.integrator not in ("path", "direct", "ao", "bdpt", "field"):
             log(f"[tpurender] integrator '{st.integrator}' not available; "
                 f"falling back to 'path'")
         if st.integrator == "bdpt":
@@ -187,6 +200,9 @@ def _render_scene(args, scene_path, variables, log):
         elif st.integrator == "ao":
             from ..models.direct import AOIntegrator
             tracer = AOIntegrator(scene, st)
+        elif st.integrator == "field":
+            from ..models.direct import FieldIntegrator
+            tracer = FieldIntegrator(scene, st)
         else:
             from ..models.path import PathTracer
             tracer = PathTracer(scene, st)

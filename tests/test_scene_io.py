@@ -128,3 +128,32 @@ def test_transform_stack_order(tmp_path):
     m = desc.shapes[0].props["toWorld"]
     # scale first, then translate: point (1,1,0) -> (3,2,0)
     np.testing.assert_allclose(m @ np.array([1, 1, 0, 1.0]), [3, 2, 0, 1])
+
+
+def test_cylinder_shape_builds():
+    from gradientdomain_mitsuba_tpu.scene import meshes as mesh_mod
+    m = mesh_mod.make_cylinder(p0=(0, 0, -1), p1=(0, 0, 1), radius=2.0,
+                               n_seg=16)
+    import numpy as np
+    r = np.linalg.norm(m.positions[:, :2], axis=1)
+    np.testing.assert_allclose(r, 2.0, rtol=1e-5)
+    # normals point radially outward
+    nr = m.normals[:, :2] / np.linalg.norm(m.normals[:, :2], axis=1,
+                                           keepdims=True)
+    pr = m.positions[:, :2] / np.maximum(r[:, None], 1e-9)
+    np.testing.assert_allclose(nr, pr, atol=1e-5)
+    assert m.indices.shape[0] == 32
+
+
+def test_mfilm_outputs(tmp_path):
+    import numpy as np
+    from gradientdomain_mitsuba_tpu.utils import exr
+    from gradientdomain_mitsuba_tpu.utils.cli import write_image
+    img = np.random.RandomState(0).rand(4, 5, 3).astype(np.float32)
+    p_npy = str(tmp_path / "out.npy")
+    write_image(exr, p_npy, img)
+    np.testing.assert_array_equal(np.load(p_npy), img)
+    p_m = str(tmp_path / "out.m")
+    write_image(exr, p_m, img)
+    txt = open(p_m).read()
+    assert txt.startswith("r = [") and "g = [" in txt and "b = [" in txt

@@ -59,3 +59,27 @@ def test_gpt_runs_on_envmap_dof():
     for k, v in out.items():
         assert np.isfinite(v).all(), k
     assert out["very_direct"].max() > 0.01  # env visible at depth 1
+
+
+def test_field_integrator_aovs():
+    """field integrator (src/integrators/misc/field.cpp analog): depth,
+    normal, albedo AOVs are consistent with the camera-visible cbox."""
+    import os
+    import numpy as np
+    from gradientdomain_mitsuba_tpu.models.direct import FieldIntegrator
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "data/scenes/cbox/cbox.xml")
+    for field, check in (
+            ("distance", lambda a: ((a > 100).mean() > 0.9) and (a < 2000).all()),
+            ("shNormal", lambda a: (np.abs(np.linalg.norm(
+                a.reshape(-1, 3), axis=1) - 1.0) < 1e-3).mean() > 0.9),
+            ("albedo", lambda a: (a >= 0).all() and (a <= 1).all()),
+            ("shapeIndex", lambda a: (a >= 1).mean() > 0.9)):
+        scene, st = sc.load_scene(path, {
+            "width": "16", "height": "16", "spp": "1", "maxDepth": "2"})
+        st.integrator_props = {"field": field}
+        f = FieldIntegrator(scene, st)
+        img = np.asarray(f.render(scene, seed=0, spp=1, chunk=1))
+        assert np.isfinite(img).all(), field
+        assert check(img), (field, img.min(), img.max())
