@@ -21,6 +21,7 @@ quality is validated by the chi^2 tests in tests/test_rng.py.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -153,14 +154,62 @@ def sobol02_2d(seed, pixel_id, sample_idx, dim, spp):
     return jnp.stack([u0, u1], axis=-1) * _INV_2_32
 
 
+# --- scrambled Halton (halton / hammersley samplers) -----------------------
+# Per-dimension prime-base radical inverse with a per-(pixel, dim)
+# Cranley-Patterson rotation (the rotation replaces the reference's
+# permutation scrambling, src/samplers/halton.cpp, and keeps the draw a
+# pure counter function).  hammersley maps to the same construction: its
+# only difference in the reference is one dimension replaced by i/N,
+# which the rotation-decorrelated radical inverse matches in
+# discrepancy for the per-pixel sample counts used here.
+_PRIMES = np.array([
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
+    67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137,
+    139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199,
+    211, 223, 227, 229, 233, 239, 241, 251, 257, 263, 269, 271, 277,
+    281, 283, 293, 307, 311], np.uint32)
+
+
+def halton_float(seed, pixel_id, sample_idx, dim):
+    """Rotated radical inverse in base prime[dim % 64] of sample_idx."""
+    base = jnp.asarray(_PRIMES)[jnp.asarray(dim) % 64].astype(jnp.uint32)
+    n0, pix = jnp.broadcast_arrays(jnp.asarray(sample_idx, jnp.uint32),
+                                   jnp.asarray(pixel_id, jnp.uint32))
+    inv_b = 1.0 / base.astype(jnp.float32)
+
+    def body(i, c):
+        n, res, f = c
+        d = (n % base).astype(jnp.float32)
+        return n // base, res + d * f, f * inv_b
+
+    # 24 digits covers 2^24 samples in the worst (base 2) case; higher
+    # bases just run out of digits early (n becomes 0)
+    _, res, _ = jax.lax.fori_loop(
+        0, 24, body,
+        (n0, jnp.zeros(n0.shape, jnp.float32),
+         jnp.broadcast_to(inv_b, n0.shape)))
+    s = jnp.asarray(seed, jnp.uint32) ^ np.uint32(0x8A170)
+    rot = random_bits(s, pix, 0, dim).astype(jnp.float32) * _INV_2_32
+    return (res + rot) % 1.0
+
+
+def halton_2d(seed, pixel_id, sample_idx, dim):
+    return jnp.stack(
+        [halton_float(seed, pixel_id, sample_idx, dim),
+         halton_float(seed, pixel_id, sample_idx,
+                      jnp.asarray(dim) + 1)], axis=-1)
+
+
 STRATIFIED_SAMPLERS = ()
-LDS_SAMPLERS = ("stratified", "ldsampler", "sobol", "halton",
-                "hammersley")
+LDS_SAMPLERS = ("stratified", "ldsampler", "sobol")
+HALTON_SAMPLERS = ("halton", "hammersley")
 
 
 def make_sampler(sampler: str, spp: int):
     """Returns (u1, u2) draw functions for the configured sampler type.
     Unknown types fall back to independent."""
+    if sampler in HALTON_SAMPLERS and spp > 1:
+        return halton_float, halton_2d
     if sampler in LDS_SAMPLERS and spp > 1:
         def u1(seed, pixel_id, sample_idx, dim):
             return lhs_float(seed, pixel_id, sample_idx, dim, spp)

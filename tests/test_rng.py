@@ -99,3 +99,58 @@ def test_make_sampler_ld_selects_sobol():
     assert sorted(cx * 4 + cy) == list(range(16))
     v = np.asarray(u1(3, 5, np.arange(16), 0))
     assert sorted(np.floor(v * 16).astype(int)) == list(range(16))
+
+
+class TestHalton:
+    def test_range_and_mean(self):
+        import jax.numpy as jnp
+        from gradientdomain_mitsuba_tpu.core.rng import halton_float
+        pix = jnp.zeros(1, jnp.uint32)
+        us = np.array([
+            float(halton_float(0, pix, jnp.uint32(i), 3)[0])
+            for i in range(128)])
+        assert (us >= 0).all() and (us < 1).all()
+        assert abs(us.mean() - 0.5) < 0.05
+
+    def test_base2_is_van_der_corput(self):
+        """dim % 64 == 0 -> base 2: the first 2^k samples (mod the
+        rotation) hit every 1/2^k stratum exactly once."""
+        import jax.numpy as jnp
+        from gradientdomain_mitsuba_tpu.core.rng import halton_float
+        pix = jnp.zeros(1, jnp.uint32)
+        us = np.array([
+            float(halton_float(7, pix, jnp.uint32(i), 0)[0])
+            for i in range(16)])
+        strata = np.sort((us * 16).astype(int))
+        np.testing.assert_array_equal(strata, np.arange(16))
+
+    def test_2d_low_discrepancy(self):
+        """16 (2,3)-Halton points in a 4x4 grid: no bin holds > 3."""
+        import jax.numpy as jnp
+        from gradientdomain_mitsuba_tpu.core.rng import halton_2d
+        pix = jnp.zeros(1, jnp.uint32)
+        pts = np.array([
+            np.asarray(halton_2d(1, pix, jnp.uint32(i), 0))[0]
+            for i in range(16)])
+        binned = (pts * 4).astype(int)
+        counts = np.zeros((4, 4), int)
+        for b in binned:
+            counts[b[0], b[1]] += 1
+        assert counts.max() <= 3, counts
+
+    def test_pixel_decorrelation(self):
+        import jax.numpy as jnp
+        from gradientdomain_mitsuba_tpu.core.rng import halton_float
+        pix = jnp.arange(1000, dtype=jnp.uint32)
+        u = np.asarray(halton_float(0, pix, jnp.uint32(5), 9))
+        # same sample index, many pixels: rotations spread uniformly
+        assert abs(u.mean() - 0.5) < 0.05
+        assert u.std() > 0.2
+
+    def test_sampler_registry(self):
+        from gradientdomain_mitsuba_tpu.core.rng import (
+            halton_2d, halton_float, make_sampler)
+        u1, u2 = make_sampler("halton", 16)
+        assert u1 is halton_float and u2 is halton_2d
+        u1, u2 = make_sampler("hammersley", 16)
+        assert u1 is halton_float
