@@ -18,6 +18,7 @@ import numpy as np
 
 TEX_BITMAP = 0
 TEX_CHECKERBOARD = 1
+TEX_GRID = 2
 
 
 class TextureTable(NamedTuple):
@@ -31,6 +32,7 @@ class TextureTable(NamedTuple):
     lvl_off: np.ndarray    # [T, L, 2] (y, x) atlas offset per level
     lvl_size: np.ndarray   # [T, L, 2] (h, w) per level
     n_levels: np.ndarray   # [T] i32
+    grid_width: np.ndarray  # [T] gridtexture line width
 
 
 def _lvl_dummy(t=1):
@@ -48,7 +50,8 @@ def empty_table() -> TextureTable:
         uv_offset=np.zeros((1, 2), np.float32),
         image=np.ones((1, 1, 1, 3), np.float32),
         img_size=np.ones((1, 2), np.int32),
-        lvl_off=lo, lvl_size=ls, n_levels=nl)
+        lvl_off=lo, lvl_size=ls, n_levels=nl,
+        grid_width=np.full(1, 0.01, np.float32))
 
 
 def _downsample2(img):
@@ -102,6 +105,7 @@ def build_table(nodes, base_dir) -> TextureTable:
         return empty_table()
     kinds, c0s, c1s, scales, offsets = [], [], [], [], []
     slabs, lvl_offs, lvl_sizes, sizes0 = [], [], [], []
+    grid_widths = {}
     for node in nodes:
         us = float(node.get("uscale", 1.0))
         vs = float(node.get("vscale", 1.0))
@@ -109,9 +113,18 @@ def build_table(nodes, base_dir) -> TextureTable:
         vo = float(node.get("voffset", 0.0))
         scales.append((us, vs))
         offsets.append((uo, vo))
+        mul = np.ones(3, np.float32)
+        if node.type == "scale":
+            # scale wrapper (src/textures/scale.cpp): multiply the
+            # nested texture; fold the factor into the color/scale
+            # columns at build time
+            mul = spectrum_value(node.get("value"), (1.0,) * 3)
+            nested = [ch for ch in node.children if ch.kind == "texture"]
+            if nested:
+                node = nested[0]
         if node.type == "bitmap":
             kinds.append(TEX_BITMAP)
-            c0s.append(np.ones(3, np.float32))  # scale
+            c0s.append(mul)  # bitmap scale
             c1s.append(np.zeros(3, np.float32))
             path = os.path.join(base_dir, node.get("filename"))
             if path.lower().endswith(".exr"):
@@ -131,8 +144,21 @@ def build_table(nodes, base_dir) -> TextureTable:
         else:
             if node.type == "checkerboard":
                 kinds.append(TEX_CHECKERBOARD)
-                c0s.append(spectrum_value(node.get("color0"), (0.4,) * 3))
-                c1s.append(spectrum_value(node.get("color1"), (0.2,) * 3))
+                c0s.append(mul * spectrum_value(node.get("color0"),
+                                                (0.4,) * 3))
+                c1s.append(mul * spectrum_value(node.get("color1"),
+                                                (0.2,) * 3))
+            elif node.type == "gridtexture":
+                kinds.append(TEX_GRID)
+                # color0 = background, color1 = grid lines; lineWidth
+                # rides the unused color1 alpha... stored in offsets? no:
+                # keep it in color0's companion scalar table via c1 w
+                c0s.append(mul * spectrum_value(node.get("color0"),
+                                                (0.4,) * 3))
+                c1s.append(mul * spectrum_value(node.get("color1"),
+                                                (0.2,) * 3))
+                grid_widths[len(kinds) - 1] = float(
+                    node.get("lineWidth", 0.01))
             else:
                 # unsupported texture type: constant grey stand-in
                 kinds.append(TEX_CHECKERBOARD)
@@ -169,7 +195,9 @@ def build_table(nodes, base_dir) -> TextureTable:
         uv_scale=np.asarray(scales, np.float32),
         uv_offset=np.asarray(offsets, np.float32),
         image=stack, img_size=np.asarray(sizes0, np.int32),
-        lvl_off=lo, lvl_size=ls, n_levels=nl)
+        lvl_off=lo, lvl_size=ls, n_levels=nl,
+        grid_width=np.asarray(
+            [grid_widths.get(i, 0.01) for i in range(T)], np.float32))
 
 
 def _bilinear(tex: TextureTable, tid, lvl, u, v):
@@ -237,8 +265,19 @@ def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None):
                _bilinear(tex, tid, l1, u, v) * fl)
     bmp = bmp * tex.color0[tid]
 
-    return jnp.where((tex.kind[tid] == TEX_CHECKERBOARD)[..., None],
-                     checker, bmp)
+    # gridtexture (src/textures/gridtexture.cpp): lines of color1 at
+    # integer uv boundaries over a color0 background
+    lw = tex.grid_width[tid]
+    fu = u % 1.0
+    fv = v % 1.0
+    on_line = ((fu < lw) | (fu > 1.0 - lw) |
+               (fv < lw) | (fv > 1.0 - lw))
+    grid = jnp.where(on_line[..., None], tex.color1[tid],
+                     tex.color0[tid])
+
+    kind = tex.kind[tid]
+    return jnp.where((kind == TEX_CHECKERBOARD)[..., None], checker,
+                     jnp.where((kind == TEX_GRID)[..., None], grid, bmp))
 
 
 def resolve_opacity(scene, mid, uv):

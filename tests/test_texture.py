@@ -45,7 +45,8 @@ def _table_from_image(img):
         image=slab[None], img_size=np.array([img.shape[:2]], np.int32),
         lvl_off=np.array([offs], np.int32),
         lvl_size=np.array([szs], np.int32),
-        n_levels=np.array([L], np.int32))
+        n_levels=np.array([L], np.int32),
+        grid_width=np.full(T, 0.01, np.float32))
 
 
 def test_trilinear_levels():
@@ -117,3 +118,30 @@ def test_bitmap_scene_renders_with_lod(tmp_path):
     img = path_mod.PathTracer(scene, st).render(scene, seed=0, spp=4)
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_gridtexture_and_scale():
+    import jax.numpy as jnp
+    from gradientdomain_mitsuba_tpu.ops import texture as tx
+    from gradientdomain_mitsuba_tpu.scene.ir import Plugin
+    grid = Plugin(kind="texture", type="gridtexture", props={
+        "color0": np.array([0.4, 0.4, 0.4], np.float32),
+        "color1": np.array([1.0, 0.0, 0.0], np.float32),
+        "lineWidth": 0.1})
+    nested = Plugin(kind="texture", type="checkerboard", props={
+        "color0": np.array([1.0, 1.0, 1.0], np.float32),
+        "color1": np.array([0.5, 0.5, 0.5], np.float32)})
+    scale = Plugin(kind="texture", type="scale", props={
+        "value": np.array([2.0, 2.0, 2.0], np.float32)},
+        children=[nested])
+    table = tx.build_table([grid, scale], ".")
+    # grid: uv in the cell interior -> background, near boundary -> line
+    uv = jnp.asarray(np.array([[0.5, 0.5], [0.02, 0.5]], np.float32))
+    out = np.asarray(tx.eval_texture(table, jnp.asarray([0, 0]), uv))
+    np.testing.assert_allclose(out[0], [0.4, 0.4, 0.4], atol=1e-6)
+    np.testing.assert_allclose(out[1], [1.0, 0.0, 0.0], atol=1e-6)
+    # scale wrapper: checkerboard colors doubled
+    out2 = np.asarray(tx.eval_texture(
+        table, jnp.asarray([1, 1]),
+        jnp.asarray(np.array([[0.25, 0.25], [0.75, 0.25]], np.float32))))
+    assert set(np.round(out2.flatten(), 3)) <= {2.0, 1.0}
