@@ -41,6 +41,15 @@ def sample_ray(camera, width, height, pos_film, u_aperture):
     o_cam = jnp.where(use_lens, o_lens, o_cam)
     d_cam = jnp.where(use_lens, d_lens, d_cam)
 
+    # orthographic (src/sensors/orthographic.cpp): origin on the film
+    # plane, direction along +z; world extent comes from toWorld scale
+    is_ortho = camera.ortho > 0.0
+    o_ortho = jnp.concatenate(
+        [near[..., 0:2], jnp.zeros_like(near[..., 2:3])], axis=-1)
+    d_ortho = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), d_cam.shape)
+    o_cam = jnp.where(is_ortho, o_ortho, o_cam)
+    d_cam = jnp.where(is_ortho, d_ortho, d_cam)
+
     o_w = m.transform_point(camera.to_world, o_cam)
     d_w = m.normalize(m.transform_vector(camera.to_world, d_cam))
     return o_w, d_w
@@ -75,4 +84,13 @@ def importance_sample_direct(camera, width, height, p_world):
     image_area = jnp.abs((x1[..., 0] - x0[..., 0]) *
                          (x1[..., 1] - x0[..., 1]))
     we = 1.0 / jnp.maximum(image_area * cos_theta ** 4, 1e-12)
+    # orthographic: parallel projection, constant importance per area
+    x0o = m.transform_point(camera.sample_to_camera,
+                            jnp.array([0.0, 0.0, 0.0]))
+    x1o = m.transform_point(camera.sample_to_camera,
+                            jnp.array([1.0, 1.0, 0.0]))
+    area_o = jnp.abs((x1o[..., 0] - x0o[..., 0]) *
+                     (x1o[..., 1] - x0o[..., 1]))
+    we = jnp.where(camera.ortho > 0.0,
+                   1.0 / jnp.maximum(area_o, 1e-12), we)
     return film, jnp.where(in_frustum, we, 0.0), in_frustum

@@ -83,6 +83,7 @@ class Camera(NamedTuple):
     camera_to_sample: np.ndarray  # [4, 4]
     aperture_radius: np.ndarray   # scalar
     focus_distance: np.ndarray    # scalar
+    ortho: np.ndarray             # scalar flag: orthographic projection
 
 
 class SceneData(NamedTuple):
@@ -571,6 +572,7 @@ def _build_sensor(desc):
     fov = 45.0
     near, far = 1e-2, 1e4
     aperture, focus = 0.0, 1.0
+    ortho = False
     if sensor is not None:
         to_world = np.asarray(sensor.get("toWorld", np.eye(4)), np.float64)
         film = sensor.child("film")
@@ -592,17 +594,26 @@ def _build_sensor(desc):
             if sensor.type == "thinlens":
                 aperture = float(sensor.get("apertureRadius", 0.0))
                 focus = float(sensor.get("focusDistance", 1.0))
+        elif sensor.type == "orthographic":
+            ortho = True
         elif sensor.type is not None and sensor.type != "":
             raise ValueError(f"sensor '{sensor.type}' not yet supported")
     settings.fov_x_deg = fov
 
     aspect = settings.width / settings.height
+    if ortho:
+        # src/sensors/orthographic.cpp: parallel projection, the world
+        # extent of the film comes entirely from toWorld's scale
+        proj = np.eye(4)
+        proj[2, 2] = 1.0 / (far - near)
+        proj[2, 3] = -near / (far - near)
+    else:
+        proj = cm.np_perspective(fov, near, far)
     # Mitsuba perspective.cpp: cameraToSample =
-    #   scale(-0.5, -0.5*aspect, 1) * translate(-1, -1/aspect, 0) * perspective
-    persp = cm.np_perspective(fov, near, far)
+    #   scale(-0.5, -0.5*aspect, 1) * translate(-1, -1/aspect, 0) * proj
     cam_to_sample = (cm.np_scale([-0.5, -0.5 * aspect, 1.0])
                      @ cm.np_translate([-1.0, -1.0 / aspect, 0.0])
-                     @ persp)
+                     @ proj)
     sample_to_cam = np.linalg.inv(cam_to_sample)
     camera = Camera(
         to_world=to_world.astype(np.float32),
@@ -610,7 +621,8 @@ def _build_sensor(desc):
         sample_to_camera=sample_to_cam.astype(np.float32),
         camera_to_sample=cam_to_sample.astype(np.float32),
         aperture_radius=np.float32(aperture),
-        focus_distance=np.float32(focus))
+        focus_distance=np.float32(focus),
+        ortho=np.float32(1.0 if ortho else 0.0))
     return camera, settings
 
 

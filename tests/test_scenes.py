@@ -83,3 +83,41 @@ def test_field_integrator_aovs():
         img = np.asarray(f.render(scene, seed=0, spp=1, chunk=1))
         assert np.isfinite(img).all(), field
         assert check(img), (field, img.min(), img.max())
+
+
+def test_orthographic_sensor():
+    """Orthographic rays are parallel and the film extent comes from the
+    toWorld scale (src/sensors/orthographic.cpp)."""
+    import numpy as np
+    import tempfile, os
+    import jax.numpy as jnp
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    from gradientdomain_mitsuba_tpu.ops import sensor as sensor_ops
+    xml = """<scene version="0.5.0">
+      <integrator type="path"/>
+      <sensor type="orthographic">
+        <transform name="toWorld">
+          <scale x="2" y="2" z="1"/>
+          <lookat origin="0,0,-5" target="0,0,0" up="0,1,0"/>
+        </transform>
+        <film type="hdrfilm">
+          <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+      </sensor>
+      <shape type="rectangle"><bsdf type="diffuse"/></shape>
+    </scene>"""
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "ortho.xml")
+    open(path, "w").write(xml)
+    scene, st = sc.load_scene(path)
+    pos = jnp.asarray(np.array([[0.0, 0.0], [7.0, 7.0], [4.0, 4.0]],
+                               np.float32))
+    o, dd = sensor_ops.sample_ray(scene.camera, 8, 8, pos,
+                                  jnp.zeros((3, 2)))
+    dd = np.asarray(dd)
+    # all directions identical (parallel), pointing toward the target
+    np.testing.assert_allclose(dd[0], dd[1], atol=1e-6)
+    np.testing.assert_allclose(dd[0], [0, 0, 1], atol=1e-5)
+    o = np.asarray(o)
+    # origins spread across the scaled film plane, distinct per pixel
+    assert np.linalg.norm(o[0] - o[1]) > 1.0
