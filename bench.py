@@ -11,11 +11,20 @@ anecdotal 1-10 Mrays/s for 8-core CPU Mitsuba plain PT (the repo publishes
 no numbers; see BASELINE.md provenance caveat).  XLA compile time is
 excluded (warm-up pass first; the persistent compilation cache makes
 subsequent processes start warm).
+
+Robustness (VERDICT.md round-1 weak #1): backend init is retried with
+backoff; if the accelerator backend never comes up, the benchmark falls
+back to the CPU backend at reduced size so the driver still records a
+parseable number (flagged by a "_cpufallback" metric suffix and a
+"backend" field); any other failure emits a JSON line with an "error"
+field instead of a raw traceback.  Progress goes to stderr — stdout
+carries exactly one JSON line.
 """
 import json
 import os
 import sys
 import time
+import traceback
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
@@ -27,6 +36,16 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", "256"))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", "256"))
 SPP = int(os.environ.get("BENCH_SPP", "64"))
 MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "6"))
+INIT_RETRIES = int(os.environ.get("BENCH_INIT_RETRIES", "2"))
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "90"))
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
 
 
 def count_rays_per_sample(max_depth):
@@ -37,35 +56,108 @@ def count_rays_per_sample(max_depth):
     return 5 + bounces * (1 + 1 + 4 + 4)
 
 
-def main():
-    from gradientdomain_mitsuba_tpu.models.gpt import GPTracer
-    from gradientdomain_mitsuba_tpu.models import poisson
-    from gradientdomain_mitsuba_tpu.scene import scene as sc
+def probe_backend_subprocess(timeout_s=PROBE_TIMEOUT_S):
+    """Probe accelerator init in a THROWAWAY subprocess so a wedged TPU
+    runtime (which HANGS rather than raising — round-1 failure mode)
+    cannot wedge the benchmark process itself."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d=jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        log(f"probe rc={r.returncode}: {r.stderr.strip()[-500:]}")
+        return None
+    except subprocess.TimeoutExpired:
+        log(f"probe timed out after {timeout_s}s (wedged backend)")
+        return None
 
-    scene, st = sc.load_scene(CBOX, {
-        "width": str(WIDTH), "height": str(HEIGHT), "spp": str(SPP),
-        "maxDepth": str(MAXDEPTH), "integrator": "gpt"})
-    tracer = GPTracer(scene, st)
 
-    # warm-up: compile (excluded per BASELINE.md measurement protocol)
+def init_backend():
+    """Decide on a backend BEFORE touching jax in this process: probe the
+    accelerator in a subprocess with a timeout, retrying with backoff;
+    fall back to CPU if it never comes up.  Returns (backend_name, devices).
+    """
+    delay = 15.0
+    platform = None
+    for attempt in range(1, INIT_RETRIES + 1):
+        platform = probe_backend_subprocess()
+        if platform is not None:
+            log(f"accelerator probe OK on attempt {attempt}: {platform}")
+            break
+        log(f"backend probe attempt {attempt}/{INIT_RETRIES} failed")
+        if attempt < INIT_RETRIES:
+            time.sleep(delay)
+            delay *= 2
     import jax
+    if platform is None or platform == "cpu":
+        log("falling back to CPU backend")
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu_fallback", jax.devices("cpu")
+    devs = jax.devices()
+    return devs[0].platform, devs
+
+
+def run(width, height, spp, max_depth, backend):
+    from gradientdomain_mitsuba_tpu.models.gpt import GPTracer
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    import jax
+
+    log(f"loading scene {width}x{height} spp={spp} maxDepth={max_depth}")
+    scene, st = sc.load_scene(CBOX, {
+        "width": str(width), "height": str(height), "spp": str(spp),
+        "maxDepth": str(max_depth), "integrator": "gpt"})
+    tracer = GPTracer(scene, st)
     scene = jax.device_put(scene)
-    final, _ = tracer.render_final(scene, 0, SPP, alpha=0.2, mode="L1")
+
+    log("warm-up (compile, excluded from timing)...")
+    t0 = time.time()
+    final, _ = tracer.render_final(scene, 0, spp, alpha=0.2, mode="L1")
     final.block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s; timing run...")
 
     t0 = time.time()
-    final, _ = tracer.render_final(scene, 1, SPP, alpha=0.2, mode="L1")
+    final, _ = tracer.render_final(scene, 1, spp, alpha=0.2, mode="L1")
     final.block_until_ready()
     wall = time.time() - t0
+    log(f"timed render+reconstruct: {wall:.3f}s")
 
-    rays = WIDTH * HEIGHT * SPP * count_rays_per_sample(MAXDEPTH)
+    rays = width * height * spp * count_rays_per_sample(max_depth)
     mrays = rays / wall / 1e6
-    print(json.dumps({
-        "metric": f"gpt_cbox_{WIDTH}x{HEIGHT}_{SPP}spp_render+reconstruct_mrays_per_sec",
+    suffix = "_cpufallback" if backend == "cpu_fallback" else ""
+    emit({
+        "metric": (f"gpt_cbox_{width}x{height}_{spp}spp_"
+                   f"render+reconstruct_mrays_per_sec{suffix}"),
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+        "backend": backend,
+        "wall_s": round(wall, 3),
+    })
+
+
+def main():
+    try:
+        backend, _ = init_backend()
+        if backend == "cpu_fallback":
+            # keep the CPU fallback cheap so it finishes in minutes
+            run(min(WIDTH, 128), min(HEIGHT, 128), min(SPP, 8),
+                min(MAXDEPTH, 4), backend)
+        else:
+            run(WIDTH, HEIGHT, SPP, MAXDEPTH, backend)
+    except Exception as e:
+        log(traceback.format_exc())
+        emit({
+            "metric": f"gpt_cbox_{WIDTH}x{HEIGHT}_{SPP}spp_"
+                      "render+reconstruct_mrays_per_sec",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        })
+        sys.exit(0)  # parseable output was produced; don't fail the driver
 
 
 if __name__ == "__main__":

@@ -26,7 +26,8 @@ libbidir is semantically equivalent):
     position, cosine-weighted emission) — matches Mitsuba area.cpp;
   - no Russian roulette inside subpaths: depth bounded by maxDepth (or
     MAX_BDPT_DEPTH when maxDepth=-1);
-  - shading-normal transport asymmetry correction not yet applied (TODO).
+  - shading-normal transport asymmetry correction IS applied on the
+    adjoint (light) walk — see _random_walk(adjoint=True).
 """
 from __future__ import annotations
 

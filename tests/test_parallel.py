@@ -58,3 +58,57 @@ def test_dist_poisson_matches_local():
     dist = dist_poisson.solve_l2_sharded(mesh, P, gx, gy, alpha=0.25,
                                          iters=150)
     np.testing.assert_allclose(dist, local, atol=2e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Elastic tile queue (parallel/tile_queue.py): idempotent redispatch.
+# Mitsuba aborts the job when a worker drops (sched_remote.cpp); here a
+# dropped tile is simply re-rendered — SURVEY.md §6.3.
+# ---------------------------------------------------------------------------
+
+def test_tile_queue_fault_injection_bit_identical(cbox):
+    from gradientdomain_mitsuba_tpu.parallel import tile_queue
+    scene, st = cbox
+    g = gpt_mod.GPTracer(scene, st)
+
+    clean = tile_queue.render_tiles_queued(g, scene, seed=3, n_samples=2,
+                                           tile_rows=8)
+    faults = []
+
+    def hook(idx, attempt):
+        if idx == 1 and attempt == 0:
+            faults.append(idx)
+            raise RuntimeError("injected: chip lost tile 1")
+
+    faulty = tile_queue.render_tiles_queued(g, scene, seed=3, n_samples=2,
+                                            tile_rows=8, fail_hook=hook)
+    assert faults == [1]
+    for k in clean:
+        np.testing.assert_array_equal(clean[k], faulty[k], err_msg=k)
+
+
+def test_tile_queue_matches_monolithic(cbox):
+    from gradientdomain_mitsuba_tpu.parallel import tile_queue
+    scene, st = cbox
+    g = gpt_mod.GPTracer(scene, st)
+    single = g.render(scene, seed=3, spp=2, chunk=2)
+    queued = tile_queue.render_tiles_queued(g, scene, seed=3, n_samples=2,
+                                            tile_rows=8)
+    for k in single:
+        np.testing.assert_allclose(queued[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
+def test_tile_queue_gives_up_after_max_retries(cbox):
+    from gradientdomain_mitsuba_tpu.parallel import tile_queue
+    scene, st = cbox
+    g = gpt_mod.GPTracer(scene, st)
+
+    def always_fail(idx, attempt):
+        if idx == 0:
+            raise RuntimeError("injected: permanently dead tile")
+
+    with pytest.raises(tile_queue.TileRenderError):
+        tile_queue.render_tiles_queued(g, scene, seed=3, n_samples=1,
+                                       tile_rows=8, max_retries=2,
+                                       fail_hook=always_fail)
