@@ -122,10 +122,18 @@ class BDPTracer:
         self.env_kind = settings.env_kind
         self.n_delta = settings.n_delta
         self.aux_nee = (settings.env_kind != 0) or (settings.n_delta > 0)
+        # G-BDPT replaces the embedded aux family with a dedicated
+        # aux-only G-PT pass whose gradients are estimated (gbdpt.py);
+        # when set, the eye walk skips aux collection entirely
+        self.aux_via_gpt = False
         n_tris = int(scene.geom.indices.shape[0])
-        self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris,
-            int(scene.geom.clusters.offset.shape[0]))
+        self.closest, self.occluded = common.instrument_intersectors(
+            self, *common.choose_intersector(
+                settings, n_tris,
+                int(scene.geom.clusters.offset.shape[0])))
+        self.count_rays = False  # set True BEFORE first render
+        self.ray_tally = None
+        self.last_ray_count = None
         md = settings.max_depth
         self.depth = md if md > 0 else MAX_BDPT_DEPTH  # max path edges
         self.TE = self.depth                 # eye surface vertices stored
@@ -336,7 +344,8 @@ class BDPTracer:
         pdf_dir = 1.0 / (a_img * cos_cam ** 3)
         sp, _, aux_L = self._random_walk(
             scene, seed, sample_idx, pixel_id, o, d,
-            jnp.ones((N, 3)), pdf_dir, 0, self.TE, collect_aux=True)
+            jnp.ones((N, 3)), pdf_dir, 0, self.TE,
+            collect_aux=not self.aux_via_gpt)
         return pos_film, sp, aux_L
 
     def _gen_light_path(self, scene, seed, sample_idx, pixel_id):
@@ -682,14 +691,20 @@ class BDPTracer:
         li = jnp.zeros((H, W, 3))
 
         def body(i, carry):
-            fb, wb, li = carry
+            fb, wb, li, rays = carry
+            if self.count_rays:
+                self.ray_tally = []
             pos, L, spos, sval = self.trace_pass(scene, seed,
                                                  sample_start + i)
+            if self.count_rays:
+                rays = rays + sum(self.ray_tally)
+                self.ray_tally = None
             fb, wb = film_ops.splat(fb, wb, pos, L, self.filter_kind)
             li = film_ops.splat_unfiltered(li, spos, sval)
-            return fb, wb, li
+            return fb, wb, li, rays
 
-        return jax.lax.fori_loop(0, n_samples, body, (fb, wb, li))
+        return jax.lax.fori_loop(0, n_samples, body,
+                                 (fb, wb, li, jnp.zeros(())))
 
     def finalize(self, state, spp):
         img = state["0"] / np.maximum(state["1"], 1e-12)[..., None]
@@ -703,4 +718,6 @@ class BDPTracer:
             self, scene, seed, spp, chunk,
             checkpoint_path=checkpoint_path, resume=resume,
             progress=progress)
+        if self.count_rays and "3" in state:
+            self.last_ray_count = float(np.asarray(state["3"]))
         return self.finalize(state, spp)

@@ -161,19 +161,32 @@ class GPTracer:
     primal-parity test: with gradients ignored, primal+very_direct == path).
     """
 
-    def __init__(self, scene, settings):
+    def __init__(self, scene, settings, aux_only=False):
+        """aux_only=True restricts the estimator to the ENV/DELTA-LIGHT
+        family (NEE over {point/spot/directional, envmap} + env escape;
+        area-emitter contributions zeroed): G-BDPT embeds this restricted
+        tracer to estimate gradients for the family its (s,t) strategies
+        do not cover (models/gbdpt.py; reference analog: bdpt.cpp's
+        infinite/degenerate-emitter handling, differentiated)."""
         self.kinds = bsdf_ops.scene_kinds(scene)
         self._beval = functools.partial(bsdf_ops.eval, kinds=self.kinds)
         self._bpdf = functools.partial(bsdf_ops.pdf, kinds=self.kinds)
         self._bsample = functools.partial(bsdf_ops.sample, kinds=self.kinds)
         self.settings = settings
+        self.aux_only = bool(aux_only)
         self.n_area = int((np.asarray(scene.emitters.tri_count) > 0).sum())
+        if self.aux_only:
+            self.n_area = 0  # NEE selection + MIS densities skip area
         self.env_kind = settings.env_kind
         self.has_env = settings.env_kind != 0
         n_tris = int(scene.geom.indices.shape[0])
-        self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris,
-            int(scene.geom.clusters.offset.shape[0]))
+        self.closest, self.occluded = common.instrument_intersectors(
+            self, *common.choose_intersector(
+                settings, n_tris,
+                int(scene.geom.clusters.offset.shape[0])))
+        self.count_rays = False  # set True BEFORE first render
+        self.ray_tally = None
+        self.last_ray_count = None
         md = settings.max_depth
         self.n_bounces = (md - 1 if md > 0 else MAX_BOUNCES_UNLIMITED)
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
@@ -247,11 +260,12 @@ class GPTracer:
 
         # ---- very direct (depth 1): main only, excluded from gradients ----
         very = jnp.zeros((N, 3))
-        cosf = m.dot(its_m.ns, -d_m)
-        is_em = its_m.valid & (its_m.emitter_id >= 0) & (cosf > 0)
-        rad = common.fast_row_gather(scene.emitters.radiance,
-                                     jnp.maximum(its_m.emitter_id, 0))
-        very = very + jnp.where(_b3(is_em), rad, 0.0)
+        if not self.aux_only:
+            cosf = m.dot(its_m.ns, -d_m)
+            is_em = its_m.valid & (its_m.emitter_id >= 0) & (cosf > 0)
+            rad = common.fast_row_gather(scene.emitters.radiance,
+                                         jnp.maximum(its_m.emitter_id, 0))
+            very = very + jnp.where(_b3(is_em), rad, 0.0)
         if self.has_env:
             very = very + jnp.where(
                 _b3(~its_m.valid),
@@ -515,6 +529,8 @@ class GPTracer:
         # emission seen by the main path at the new vertex
         cosf_n = m.dot(its_n.ns, -wo_w)
         hit_em = its_n.valid & (its_n.emitter_id >= 0) & (cosf_n > 0)
+        if self.aux_only:  # area-emitter hits belong to the (s,t) family
+            hit_em = jnp.zeros_like(hit_em)
         rad_n = common.fast_row_gather(scene.emitters.radiance,
                                        jnp.maximum(its_n.emitter_id, 0))
         n_tot = self.n_area + self.n_delta + (1 if self.has_env else 0)
@@ -753,6 +769,8 @@ class GPTracer:
         cosf_o = m.dot(its_n.ns[None], -dir_in)
         hit_em_o = (its_n.valid[None] & (its_n.emitter_id[None] >= 0) &
                     (cosf_o > 0))
+        if self.aux_only:
+            hit_em_o = jnp.zeros_like(hit_em_o)
         rad_np = common.fast_row_gather(scene.emitters.radiance,
                                         jnp.maximum(its_n.emitter_id, 0))
         if self.has_env:
@@ -779,6 +797,8 @@ class GPTracer:
         cosf_hv = m.dot(its_hv.ns, -wo_hv_w)
         hit_em_hv = (its_hv.valid & (its_hv.emitter_id >= 0) &
                      (cosf_hv > 0))
+        if self.aux_only:
+            hit_em_hv = jnp.zeros_like(hit_em_hv)
         rad_hv = common.fast_row_gather(scene.emitters.radiance,
                                         jnp.maximum(its_hv.emitter_id, 0))
         if self.has_env:
@@ -874,12 +894,20 @@ class GPTracer:
         zero = lambda: jnp.zeros((H, W, 3))
         bufs = dict(primal=zero(), dx=zero(), dy=zero(),
                     very_direct=zero(), wsum=jnp.zeros((H, W)))
+        if self.count_rays:
+            bufs["rays"] = jnp.zeros(())
 
         def body(i, bufs):
+            if self.count_rays:
+                self.ray_tally = []
             sidx = (sample_start + i * spb +
                     jnp.repeat(jnp.arange(spb, dtype=jnp.uint32), N))
             pos, primal, very, grad = self.trace_pass(
                 scene, seed, sidx, pixel_id=ids)
+            rays_acc = None
+            if self.count_rays:
+                rays_acc = bufs["rays"] + sum(self.ray_tally)
+                self.ray_tally = None
             # grid-aligned: dense filtered adds, no scatter
             jit = (pos % 1.0).reshape(spb, N, 2)
             fb, wb = film_ops.splat_grid(bufs["primal"], bufs["wsum"],
@@ -895,11 +923,17 @@ class GPTracer:
             dx = film_ops.add_grid_shifted(dx, -g4[1], -1, 0)
             dy = film_ops.add_grid_shifted(bufs["dy"], g4[2], 0, 0)
             dy = film_ops.add_grid_shifted(dy, -g4[3], 0, -1)
-            return dict(primal=fb, dx=dx, dy=dy, very_direct=vd, wsum=wb)
+            out = dict(primal=fb, dx=dx, dy=dy, very_direct=vd, wsum=wb)
+            if rays_acc is not None:
+                out["rays"] = rays_acc
+            return out
 
         return jax.lax.fori_loop(0, n_samples // spb, body, bufs)
 
     def finalize(self, state, spp):
+        if self.count_rays and "rays" in state:
+            self.last_ray_count = float(np.asarray(state["rays"]))
+        state = {k: v for k, v in state.items() if k != "rays"}
         w = np.maximum(state["wsum"], 1e-12)[..., None]
         return {
             "primal": state["primal"] / w,
@@ -939,6 +973,8 @@ class GPTracer:
             "dx": state["dx"] / spp,
             "dy": state["dy"] / spp,
         }
+        if "rays" in state:  # measured device-side counter (count_rays)
+            bufs["rays"] = state["rays"]
         if mode.upper() == "L2":
             rec = poisson.solve_l2(bufs["primal"], bufs["dx"], bufs["dy"],
                                    alpha=alpha, iters=l2_iters)

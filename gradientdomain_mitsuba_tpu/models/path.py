@@ -51,9 +51,13 @@ class PathTracer:
         self.has_env = settings.has_env
         self.env_kind = settings.env_kind
         n_tris = int(scene.geom.indices.shape[0])
-        self.closest, self.occluded = common.choose_intersector(
-            settings, n_tris,
-            int(scene.geom.clusters.offset.shape[0]))
+        self.closest, self.occluded = common.instrument_intersectors(
+            self, *common.choose_intersector(
+                settings, n_tris,
+                int(scene.geom.clusters.offset.shape[0])))
+        self.count_rays = False  # set True BEFORE first render
+        self.ray_tally = None
+        self.last_ray_count = None
         self.n_bounces = (settings.max_depth if settings.max_depth > 0
                           else MAX_BOUNCES_UNLIMITED)
         self.has_textures = settings.has_textures
@@ -258,17 +262,24 @@ class PathTracer:
         ids = jnp.tile(base_ids, spb)
 
         def body(i, carry):
-            fb, wb = carry
+            fb, wb, rays = carry
+            if self.count_rays:
+                self.ray_tally = []
             sidx = (sample_start + i * spb +
                     jnp.repeat(jnp.arange(spb, dtype=jnp.uint32), N))
             pos, L = self.trace_pass(scene, seed, sidx, pixel_id=ids)
+            if self.count_rays:
+                rays = rays + sum(self.ray_tally)
+                self.ray_tally = None
             # samples are grid-aligned: dense filtered adds, no scatter
             jit = pos % 1.0
-            return film_ops.splat_grid(fb, wb, jit.reshape(spb, N, 2),
-                                       L.reshape(spb, N, 3),
-                                       self.filter_kind)
+            fb, wb = film_ops.splat_grid(fb, wb, jit.reshape(spb, N, 2),
+                                         L.reshape(spb, N, 3),
+                                         self.filter_kind)
+            return fb, wb, rays
 
-        return jax.lax.fori_loop(0, n_samples // spb, body, (fb, wb))
+        return jax.lax.fori_loop(0, n_samples // spb, body,
+                                 (fb, wb, jnp.zeros(())))
 
     def finalize(self, state, spp):
         fb, wb = state["0"], state["1"]
@@ -282,6 +293,8 @@ class PathTracer:
             self, scene, seed, spp, chunk,
             checkpoint_path=checkpoint_path, resume=resume,
             progress=progress)
+        if self.count_rays and "2" in state:
+            self.last_ray_count = float(np.asarray(state["2"]))
         return self.finalize(state, spp)
 
 

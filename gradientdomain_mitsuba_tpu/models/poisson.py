@@ -62,16 +62,20 @@ def _mask_gradients(gx, gy):
 
 
 def _cg(A, b, x0, iters, tol=1e-7):
-    """Batched conjugate gradient over leading axes (channels)."""
+    """Batched conjugate gradient over leading axes (channels).  Returns
+    (x, residual_norms [iters]) — the per-iteration L2 residual curve is
+    the solver observability the reference's Solver.cpp prints per sweep
+    (SURVEY.md §6.5; surfaced via reconstruct(..., return_stats=True))."""
     def dot(a, c):
         return jnp.sum(a * c, axis=(-2, -1), keepdims=True)
 
     r = b - A(x0)
     p = r
     rs = dot(r, r)
+    res = jnp.zeros(iters)
 
-    def body(_, st):
-        x, r, p, rs = st
+    def body(i, st):
+        x, r, p, rs, res = st
         Ap = A(p)
         denom = dot(p, Ap)
         alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
@@ -80,15 +84,18 @@ def _cg(A, b, x0, iters, tol=1e-7):
         rs_new = dot(r, r)
         beta = jnp.where(rs > 0, rs_new / jnp.maximum(rs, 1e-30), 0.0)
         p = r + beta * p
-        return x, r, p, rs_new
+        res = res.at[i].set(jnp.sqrt(jnp.sum(rs_new)))
+        return x, r, p, rs_new, res
 
-    x, r, p, rs = jax.lax.fori_loop(0, iters, body, (x0, r, p, rs))
-    return x
+    x, r, p, rs, res = jax.lax.fori_loop(0, iters, body,
+                                         (x0, r, p, rs, res))
+    return x, res
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def solve_l2(primal, gx, gy, alpha=0.2, iters=100):
-    """L2 screened-Poisson solve. All inputs [H, W, 3]; returns [H, W, 3]."""
+@functools.partial(jax.jit, static_argnames=("iters", "return_residuals"))
+def solve_l2(primal, gx, gy, alpha=0.2, iters=100, return_residuals=False):
+    """L2 screened-Poisson solve. All inputs [H, W, 3]; returns [H, W, 3]
+    (plus the CG residual curve when return_residuals)."""
     P = jnp.moveaxis(primal, -1, 0)  # [3, H, W]
     GX = jnp.moveaxis(gx, -1, 0)
     GY = jnp.moveaxis(gy, -1, 0)
@@ -99,14 +106,16 @@ def solve_l2(primal, gx, gy, alpha=0.2, iters=100):
         return _dxT(_dx(x)) + _dyT(_dy(x)) + a2 * x
 
     b = _dxT(GX) + _dyT(GY) + a2 * P
-    x = _cg(A, b, P, iters)
-    return jnp.moveaxis(x, 0, -1)
+    x, res = _cg(A, b, P, iters)
+    out = jnp.moveaxis(x, 0, -1)
+    return (out, res) if return_residuals else out
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("outer_iters", "inner_iters"))
+                   static_argnames=("outer_iters", "inner_iters",
+                                    "return_residuals"))
 def solve_l1(primal, gx, gy, alpha=0.2, outer_iters=8, inner_iters=40,
-             irls_eps=1e-4):
+             irls_eps=1e-4, return_residuals=False):
     """L1 reconstruction via IRLS: reweighted L2 solves (Solver.cpp L1 mode,
     `reconstructL1=true` default in gpt.cpp)."""
     P = jnp.moveaxis(primal, -1, 0)
@@ -115,7 +124,8 @@ def solve_l1(primal, gx, gy, alpha=0.2, outer_iters=8, inner_iters=40,
     GX, GY = _mask_gradients(GX, GY)
     a2 = alpha * alpha
 
-    def outer(_, x):
+    def outer(i, carry):
+        x, res_all = carry
         rx = _dx(x) - GX
         ry = _dy(x) - GY
         rp = x - P
@@ -127,25 +137,35 @@ def solve_l1(primal, gx, gy, alpha=0.2, outer_iters=8, inner_iters=40,
             return (_dxT(wx * _dx(v)) + _dyT(wy * _dy(v)) + a2 * wp * v)
 
         b = _dxT(wx * GX) + _dyT(wy * GY) + a2 * wp * P
-        return _cg(A, b, x, inner_iters)
+        x, res = _cg(A, b, x, inner_iters)
+        return x, res_all.at[i].set(res)
 
-    x = jax.lax.fori_loop(0, outer_iters, outer, P)
-    return jnp.moveaxis(x, 0, -1)
+    x, res_all = jax.lax.fori_loop(
+        0, outer_iters, outer,
+        (P, jnp.zeros((outer_iters, inner_iters))))
+    out = jnp.moveaxis(x, 0, -1)
+    return (out, res_all.reshape(-1)) if return_residuals else out
 
 
 def reconstruct(buffers, alpha=0.2, mode="L1", l2_iters=100,
-                l1_outer=8, l1_inner=40):
+                l1_outer=8, l1_inner=40, return_stats=False):
     """Full gpt/gbdpt post-pass: solve + re-add very direct.
 
     buffers: dict with primal/dx/dy/very_direct [H, W, 3] (sample-normalized
-    as produced by GPTracer.render).  Returns the final image.
-    """
+    as produced by GPTracer.render).  Returns the final image, or
+    (final, {"cg_residuals": [iters]}) with return_stats."""
     primal = jnp.asarray(buffers["primal"])
     gx = jnp.asarray(buffers["dx"])
     gy = jnp.asarray(buffers["dy"])
     if mode.upper() == "L2":
-        rec = solve_l2(primal, gx, gy, alpha=alpha, iters=l2_iters)
+        out = solve_l2(primal, gx, gy, alpha=alpha, iters=l2_iters,
+                       return_residuals=return_stats)
     else:
-        rec = solve_l1(primal, gx, gy, alpha=alpha, outer_iters=l1_outer,
-                       inner_iters=l1_inner)
-    return rec + jnp.asarray(buffers["very_direct"])
+        out = solve_l1(primal, gx, gy, alpha=alpha, outer_iters=l1_outer,
+                       inner_iters=l1_inner, return_residuals=return_stats)
+    if return_stats:
+        rec, res = out
+        final = rec + jnp.asarray(buffers["very_direct"])
+        import numpy as np
+        return final, {"cg_residuals": np.asarray(res)}
+    return out + jnp.asarray(buffers["very_direct"])

@@ -27,9 +27,9 @@ import jax.numpy as jnp
 from ..core import warp
 from ..core.math import reflect_local
 from ..core.spectrum import luminance
-from ..scene.materials import (CONDUCTOR, DIELECTRIC, DIFFUSE, DIST_GGX,
-                               FLAG_TWOSIDED, NULL_BSDF, PHONG, PLASTIC,
-                               ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
+from ..scene.materials import (BLEND, CONDUCTOR, DIELECTRIC, DIFFUSE,
+                               DIST_GGX, FLAG_TWOSIDED, NULL_BSDF, PHONG,
+                               PLASTIC, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
                                ROUGH_DIFFUSE, ROUGH_PLASTIC,
                                THIN_DIELECTRIC, WARD)
 
@@ -51,6 +51,12 @@ class MatParams(NamedTuple):
     spec_weight: jnp.ndarray   # [N] specular sampling weight (plastic/phong)
     alpha_v: jnp.ndarray       # [N] second roughness (ward anisotropy)
     opacity: jnp.ndarray       # [N] mask wrapper opacity (1 = no mask)
+    child0: jnp.ndarray = None  # [N] i32 blend child row (BLEND rows)
+    child1: jnp.ndarray = None  # [N] i32
+    blend_w: jnp.ndarray = None  # [N] second-child weight (0 = no blend)
+    blend: "MatParams" = None   # resolved second-child params (lanes where
+    #                             kind==BLEND; common.material_params fills
+    #                             this when the scene contains blends)
 
 
 def gather_params(materials, mid, albedo_override=None,
@@ -79,7 +85,10 @@ def gather_params(materials, mid, albedo_override=None,
         alpha=row[..., 11], eta=row[..., 12:15], k=row[..., 15:18],
         dist=row[..., 18].astype(jnp.int32), fdr_int=row[..., 19],
         spec_weight=s_lum / jnp.maximum(s_lum + d_lum, 1e-9),
-        alpha_v=row[..., 21], opacity=opacity)
+        alpha_v=row[..., 21], opacity=opacity,
+        child0=row[..., 24].astype(jnp.int32),
+        child1=row[..., 25].astype(jnp.int32),
+        blend_w=row[..., 26])
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +485,13 @@ def eval(p: MatParams, wi, wo, kinds=None):
     `kinds` (an optional static frozenset of material enums present in
     the scene) prunes absent models at trace time — a large compile-time
     and VPU saving for typical scenes."""
+    if p.blend is not None:
+        # blendbsdf.cpp: f = (1-w) f_child0 + w f_child1.  Lanes whose
+        # material is not a blend carry w = 0 and child0 = own row.
+        w = p.blend_w[..., None]
+        f0 = eval(p._replace(blend=None), wi, wo, kinds)
+        f1 = eval(p.blend, wi, wo, kinds)
+        return (1.0 - w) * f0 + w * f1
     sign, _ = _flip_frame(p, wi)
     wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
@@ -523,6 +539,11 @@ def _plastic_eval_diffuse(p, wi, wo):
 
 def pdf(p: MatParams, wi, wo, kinds=None):
     """Solid-angle pdf of sample() restricted to smooth components."""
+    if p.blend is not None:
+        w = p.blend_w
+        p0 = pdf(p._replace(blend=None), wi, wo, kinds)
+        p1 = pdf(p.blend, wi, wo, kinds)
+        return (1.0 - w) * p0 + w * p1
     sign, _ = _flip_frame(p, wi)
     wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
@@ -596,6 +617,39 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
     """Sample an outgoing direction. u2: [N,2], u_comp: [N].
 
     `kinds` statically prunes material models absent from the scene."""
+    if p.blend is not None:
+        # blendbsdf: pick a child with probability (1-w, w), sample it,
+        # then weight by the one-sample-MIS estimator f_mix/pdf_mix
+        # (the mixture pdf already accounts for the pick probability).
+        # Delta children: the pick probability cancels against the
+        # mixture's lobe weight, so the child's own weight is exact.
+        w = jnp.clip(p.blend_w, 0.0, 1.0)
+        pick1 = u_comp < w
+        u_re = jnp.clip(jnp.where(pick1,
+                                  u_comp / jnp.maximum(w, 1e-9),
+                                  (u_comp - w) /
+                                  jnp.maximum(1.0 - w, 1e-9)), 0.0, 1.0)
+        s0 = sample(p._replace(blend=None), wi, u2, u_re, kinds)
+        s1 = sample(p.blend, wi, u2, u_re, kinds)
+        pick3 = pick1[..., None]
+        wo = jnp.where(pick3, s1.wo, s0.wo)
+        is_delta = jnp.where(pick1, s1.is_delta, s0.is_delta)
+        eta = jnp.where(pick1, s1.eta, s0.eta)
+        valid = jnp.where(pick1, s1.valid, s0.valid)
+        w_pick = jnp.where(pick1, w, 1.0 - w)
+        f_mix = eval(p, wi, wo, kinds)
+        pdf_mix = pdf(p, wi, wo, kinds)
+        weight = jnp.where(
+            is_delta[..., None],
+            jnp.where(pick3, s1.weight, s0.weight),
+            f_mix / jnp.maximum(pdf_mix, 1e-12)[..., None])
+        pdf_out = jnp.where(is_delta,
+                            w_pick * jnp.where(pick1, s1.pdf, s0.pdf),
+                            pdf_mix)
+        return BSDFSample(wo=wo, weight=jnp.where(valid[..., None],
+                                                  weight, 0.0),
+                          pdf=pdf_out, is_delta=is_delta, eta=eta,
+                          valid=valid)
     sign, _ = _flip_frame(p, wi)
     sign3 = jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wif = wi * sign3
@@ -849,5 +903,8 @@ def roughness(materials, mid):
     r = jnp.where((kind == CONDUCTOR) | (kind == DIELECTRIC) |
                   (kind == THIN_DIELECTRIC), 0.0, r)
     r = jnp.where((kind == ROUGH_CONDUCTOR) | (kind == ROUGH_DIELECTRIC) |
-                  (kind == ROUGH_PLASTIC) | (kind == WARD), alpha, r)
+                  (kind == ROUGH_PLASTIC) | (kind == WARD) |
+                  (kind == BLEND), alpha, r)
+    # BLEND rows store min(children roughness) at build time
+    # (MaterialBuilder.add_blend) so part-specular blends classify specular
     return r

@@ -79,6 +79,32 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
     return closest, occl
 
 
+def instrument_intersectors(tracer, closest, occluded):
+    """Wrap the intersectors with a DEVICE-SIDE ray counter (SURVEY.md
+    §6.1: measured counters, not formulas — replaces StatsCounter's
+    'Rays traced').  When `tracer.ray_tally` is a list, every traversal
+    call appends the popcount of lanes with positive extent (maxt > 0 —
+    dead wavefront lanes are masked with maxt = -1 by every call site);
+    render_chunk sums the tally into a 'rays' accumulation buffer.  The
+    tally only exists DURING tracing, so the instrumentation costs
+    nothing when tracer.count_rays is off."""
+    import jax.numpy as jnp
+
+    def closest_w(o, d, mint, maxt, geom):
+        tally = getattr(tracer, "ray_tally", None)
+        if tally is not None:
+            tally.append(jnp.sum((maxt > 0).astype(jnp.float32)))
+        return closest(o, d, mint, maxt, geom)
+
+    def occluded_w(o, d, mint, maxt, geom):
+        tally = getattr(tracer, "ray_tally", None)
+        if tally is not None:
+            tally.append(jnp.sum((maxt > 0).astype(jnp.float32)))
+        return occluded(o, d, mint, maxt, geom)
+
+    return closest_w, occluded_w
+
+
 ONEHOT_GATHER_MAX_ROWS = 4096
 
 
@@ -130,6 +156,12 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     bsdf_id = row[..., 18].astype(jnp.int32)
     emitter_id = row[..., 19].astype(jnp.int32)
     shape_id = row[..., 20].astype(jnp.int32)
+
+    if scene.materials.packed.shape[1] >= 32:
+        # bumpmap/normalmap shading-normal perturbation (src/bsdfs/
+        # {bumpmap,normalmap}.cpp): STATICALLY compiled in only when a
+        # perturbing material exists (packed width 32 is the marker).
+        ns = _perturb_normal(scene, row, bsdf_id, uv, ns)
     return Intersection(
         valid=hit.valid,
         t=hit.t,
@@ -144,24 +176,94 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     )
 
 
+def _perturb_normal(scene, row, bsdf_id, uv, ns):
+    """Shading-normal perturbation for bumpmap/normalmap materials.
+
+    row: the tri_shade gather (cols 23:26 = dp/du, 26:29 = dp/dv).
+    Normal maps rotate the tangent-space normal into the UV-aligned TBN
+    frame; bump maps displace the tangents by the finite-differenced
+    height gradient and re-cross (bumpmap.cpp getFrame semantics)."""
+    from ..core import math as m
+    from ..core.spectrum import luminance
+    from .texture import eval_texture
+
+    mrow = fast_row_gather(scene.materials.packed,
+                           jnp.maximum(bsdf_id, 0))
+    mode = mrow[..., 28].astype(jnp.int32)
+    ptex = jnp.maximum(mrow[..., 29].astype(jnp.int32), 0)
+    scale = mrow[..., 30]
+
+    dpdu = row[..., 23:26]
+    dpdv = row[..., 26:29]
+    ok_tb = (m.squared_length(dpdu) > 1e-20) & \
+            (m.squared_length(dpdv) > 1e-20)
+
+    # normalmap: ns' = TBN * (2*rgb - 1)
+    tval = 2.0 * eval_texture(scene.textures, ptex, uv) - 1.0
+    su_raw = dpdu - ns * m.dot(ns, dpdu, keepdims=True)
+    su = m.normalize(jnp.where(ok_tb[..., None], su_raw, ns))
+    sv = jnp.cross(ns, su)
+    n_nm = m.normalize(su * tval[..., 0:1] + sv * tval[..., 1:2] +
+                       ns * jnp.maximum(tval[..., 2:3], 1e-3))
+
+    # bumpmap: displaced tangents, FD height gradient
+    e = jnp.float32(5e-4)
+    h0 = luminance(eval_texture(scene.textures, ptex, uv))
+    eu = jnp.stack([jnp.full_like(h0, e), jnp.zeros_like(h0)], -1)
+    ev = jnp.stack([jnp.zeros_like(h0), jnp.full_like(h0, e)], -1)
+    hu = luminance(eval_texture(scene.textures, ptex, uv + eu))
+    hv = luminance(eval_texture(scene.textures, ptex, uv + ev))
+    dhdu = (hu - h0) / e * scale
+    dhdv = (hv - h0) / e * scale
+    n_bm = jnp.cross(dpdu + ns * dhdu[..., None],
+                     dpdv + ns * dhdv[..., None])
+    n_bm = m.normalize(n_bm)
+    n_bm = n_bm * jnp.sign(m.dot(n_bm, ns, keepdims=True))
+
+    use_nm = ((mode == 2) & ok_tb)[..., None]
+    use_bm = ((mode == 1) & ok_tb)[..., None]
+    return jnp.where(use_nm, n_nm, jnp.where(use_bm, n_bm, ns))
+
+
 def material_params(scene, has_textures: bool, bsdf_id, uv,
                     uv_footprint=None):
-    """Gather BSDF params, resolving reflectance textures when present
-    (has_textures is STATIC so untextured scenes skip the gathers).
-    uv_footprint selects the mipmap level pair at primary hits
-    (ops/texture.py eval_texture)."""
+    """Gather BSDF params, resolving reflectance textures when present.
+
+    has_textures is a STATIC bitmask (scene.compile_scene): bit 0 = any
+    textures bound, bit 1 = textured mask opacity, bit 2 = blend BSDFs
+    present.  Untextured/blend-free scenes skip all the extra gathers."""
     from . import bsdf as bsdf_ops
+    bits = int(has_textures)
     mid = jnp.maximum(bsdf_id, 0)
-    if has_textures:
-        from .texture import resolve_albedo, resolve_opacity
-        op = None
-        if int(has_textures) & 2:  # bit 1: textured mask opacity present
-            op = resolve_opacity(scene, mid, uv)
-        return bsdf_ops.gather_params(scene.materials, mid,
-                                      albedo_override=resolve_albedo(
-                                          scene, mid, uv, uv_footprint),
+
+    def gather(ids):
+        albedo = op = None
+        if bits & 1:
+            from .texture import resolve_albedo
+            albedo = resolve_albedo(scene, ids, uv, uv_footprint)
+        if bits & 2:
+            from .texture import resolve_opacity
+            op = resolve_opacity(scene, ids, uv)
+        return bsdf_ops.gather_params(scene.materials, ids,
+                                      albedo_override=albedo,
                                       opacity_override=op)
-    return bsdf_ops.gather_params(scene.materials, mid)
+
+    p = gather(mid)
+    if bits & 4:
+        # blend BSDFs: resolve BOTH child rows so eval/pdf/sample can
+        # recurse one level (blendbsdf/mixturebsdf; materials.BLEND)
+        from ..scene.materials import BLEND
+        is_b = p.kind == BLEND
+        c0 = jnp.where(is_b, p.child0, mid)
+        c1 = jnp.where(is_b, p.child1, mid)
+        pa = gather(c0)
+        pb = gather(c1)
+        w = jnp.where(is_b, p.blend_w, 0.0)
+        if bits & 8:  # textured blend weight
+            from .texture import resolve_blend_weight
+            w = jnp.where(is_b, resolve_blend_weight(scene, mid, uv), w)
+        return pa._replace(blend=pb, blend_w=w)
+    return p
 
 
 def primary_uv_footprint(scene, W, H, d, its):

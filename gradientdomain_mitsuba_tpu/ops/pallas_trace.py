@@ -290,11 +290,17 @@ def build_mt_slabs(linC: np.ndarray, window: int) -> np.ndarray:
     return slabs
 
 
+WL_CHUNK = 128          # worklist entries per SMEM chunk (one per column)
+DENSE_WORKLIST_MAX_K = 2048  # above this, the per-ray all-pairs worklist
+#                              build is replaced by the block-conservative
+#                              interval build (scales to ~100k clusters)
+
+
 def _mt_kernel(window, n_clusters, any_hit):
     W = window
 
-    def kernel(cb_ref, rays_ref, slab_hbm, work_hbm,
-               out_ref, prim_ref, slab_vmem, sem, work_smem, wsem):
+    def kernel(counts_ref, rays_ref, slab_hbm, work_hbm,
+               out_ref, prim_ref, slab_vmem, sem, wl_smem, wsem):
         ox = rays_ref[:, 0:1]
         oy = rays_ref[:, 1:2]
         oz = rays_ref[:, 2:3]
@@ -316,20 +322,20 @@ def _mt_kernel(window, n_clusters, any_hit):
         out_ref[:, 3:4] = zeros
         prim_ref[:] = jnp.full(mint.shape, -1, jnp.int32)
         blk = pl.program_id(0)
-        wcp = pltpu.make_async_copy(work_hbm.at[blk], work_smem, wsem)
-        wcp.start()
-        wcp.wait()
+        count = counts_ref[blk]
 
-        def cluster_body(s, _):
-            e = 1 + s
-            k = work_smem[e % 8, e // 8]
+        def cluster_body(j, _):
+            # worklist entries carry their own cluster bounds (rows 1-6)
+            # so no [K, 6] table has to sit resident in SMEM — the layout
+            # that capped the flat design at ~2k clusters
+            k = wl_smem[0, j].astype(jnp.int32)
             t_b = out_ref[:, 0:1]
-            tx0 = (cb_ref[k, 0] - ox) * ix
-            tx1 = (cb_ref[k, 3] - ox) * ix
-            ty0 = (cb_ref[k, 1] - oy) * iy
-            ty1 = (cb_ref[k, 4] - oy) * iy
-            tz0 = (cb_ref[k, 2] - oz) * iz
-            tz1 = (cb_ref[k, 5] - oz) * iz
+            tx0 = (wl_smem[1, j] - ox) * ix
+            tx1 = (wl_smem[4, j] - ox) * ix
+            ty0 = (wl_smem[2, j] - oy) * iy
+            ty1 = (wl_smem[5, j] - oy) * iy
+            tz0 = (wl_smem[3, j] - oz) * iz
+            tz1 = (wl_smem[6, j] - oz) * iz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                          jnp.minimum(ty0, ty1)),
                              jnp.minimum(tz0, tz1))
@@ -384,9 +390,121 @@ def _mt_kernel(window, n_clusters, any_hit):
 
             return 0
 
-        jax.lax.fori_loop(0, work_smem[0, 0], cluster_body, 0)
+        def chunk_body(c, _):
+            wcp = pltpu.make_async_copy(work_hbm.at[blk, c], wl_smem,
+                                        wsem)
+            wcp.start()
+            wcp.wait()
+            in_chunk = jnp.minimum(count - c * WL_CHUNK, WL_CHUNK)
+            jax.lax.fori_loop(0, in_chunk, cluster_body, 0)
+            return 0
+
+        n_chunks = (count + WL_CHUNK - 1) // WL_CHUNK
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
     return kernel
+
+
+def _assemble_worklists(order, counts, cbounds):
+    """Pack per-block sorted cluster ids + their bounds into DMA chunks.
+
+    order: [G, K] int32 (pending-first, near-to-far); counts: [G] int32.
+    Returns work [G, NCH, 8, WL_CHUNK] f32 — entry j of chunk c sits in
+    column j: row 0 = cluster id (as f32; exact below 2^24), rows 1-3 =
+    bbox min, rows 4-6 = bbox max, row 7 = padding."""
+    G, K = order.shape
+    ob = cbounds[order]                                  # [G, K, 6]
+    entries = jnp.concatenate(
+        [order.astype(jnp.float32)[..., None], ob,
+         jnp.zeros((G, K, 1), jnp.float32)], axis=-1)    # [G, K, 8]
+    Kp = -(-K // WL_CHUNK) * WL_CHUNK
+    if Kp != K:
+        entries = jnp.concatenate(
+            [entries, jnp.zeros((G, Kp - K, 8), jnp.float32)], axis=1)
+    NCH = Kp // WL_CHUNK
+    work = entries.reshape(G, NCH, WL_CHUNK, 8).transpose(0, 1, 3, 2)
+    return counts.astype(jnp.int32), work
+
+
+def _dense_worklists(rays, G, RBLK, cbounds):
+    """Exact per-ray all-pairs worklist build (v3): dense fused
+    [G, RBLK, K] AABB reduce on full VPU tiles.  Memory scales with
+    G*RBLK*K — use below DENSE_WORKLIST_MAX_K only."""
+    K = cbounds.shape[0]
+    ob = rays[:, 0:3].reshape(G, RBLK, 1, 3)
+    db = rays[:, 3:6].reshape(G, RBLK, 1, 3)
+    mintb = rays[:, 6].reshape(G, RBLK, 1)
+    maxtb = rays[:, 7].reshape(G, RBLK, 1)
+    invd = jnp.where(jnp.abs(db) > 1e-12, 1.0 / db, 1e30)
+    t0b = (cbounds[None, None, :, 0:3] - ob) * invd
+    t1b = (cbounds[None, None, :, 3:6] - ob) * invd
+    tn = jnp.max(jnp.minimum(t0b, t1b), axis=-1)
+    tf = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+    pend = (tn <= tf) & (tf >= mintb) & (tn <= maxtb)
+    tn_blk = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), F32_MAX),
+                     axis=1)                             # [G, K]
+    counts = jnp.sum(jnp.any(pend, axis=1), axis=1, dtype=jnp.int32)
+    order = jnp.argsort(tn_blk, axis=1).astype(jnp.int32)
+    return _assemble_worklists(order, counts, cbounds)
+
+
+def _blockwise_worklists(rays, G, RBLK, cbounds):
+    """Block-conservative worklist build: O(G*K) interval-arithmetic
+    slab tests instead of O(G*RBLK*K) per-ray tests — the path that
+    scales the traversal past ~2k clusters (multi-million-triangle
+    scenes; VERDICT r1 missing #3 / SURVEY §8.3 hard-part #1).
+
+    Each ray block (Morton/octant-sorted, so tight) is summarized by an
+    origin box [olo, ohi], per-axis direction interval [dlo, dhi] and
+    max ray length; a cluster AABB is enqueued iff SOME ray within those
+    intervals could hit it (lower-bound entry tn_lb <= upper-bound exit
+    tf_ub).  False positives only cost the kernel's per-ray AABB
+    recheck — no DMA is issued unless a real ray still pends."""
+    K = cbounds.shape[0]
+    o = rays[:, 0:3].reshape(G, RBLK, 3)
+    d = rays[:, 3:6].reshape(G, RBLK, 3)
+    maxt = rays[:, 7].reshape(G, RBLK)
+    valid = (maxt >= 0.0)[..., None]
+    big = jnp.float32(F32_MAX)
+    olo = jnp.min(jnp.where(valid, o, big), axis=1)      # [G, 3]
+    ohi = jnp.max(jnp.where(valid, o, -big), axis=1)
+    dlo = jnp.min(jnp.where(valid, d, big), axis=1)
+    dhi = jnp.max(jnp.where(valid, d, -big), axis=1)
+    tmax = jnp.max(jnp.where(valid[..., 0], maxt, 0.0), axis=1)  # [G]
+    any_valid = jnp.any(valid[..., 0], axis=1)
+
+    blo = cbounds[None, :, 0:3]                          # [1, K, 3]
+    bhi = cbounds[None, :, 3:6]
+    gpos = blo - ohi[:, None]                            # [G, K, 3]
+    gneg = olo[:, None] - bhi
+    eps = jnp.float32(1e-30)
+    # earliest possible entry along each axis: a positive gap g ahead in
+    # +axis needs d > 0; fastest closure rate is dhi (if <= 0: no ray
+    # can close it -> +inf)
+    dhi_e = dhi[:, None]
+    dlo_e = dlo[:, None]
+    tn_pos = jnp.where(gpos > 0,
+                       jnp.where(dhi_e > eps, gpos / jnp.maximum(
+                           dhi_e, eps), big), 0.0)
+    tn_neg = jnp.where(gneg > 0,
+                       jnp.where(dlo_e < -eps, gneg / jnp.maximum(
+                           -dlo_e, eps), big), 0.0)
+    tn_lb = jnp.max(jnp.maximum(tn_pos, tn_neg), axis=-1)  # [G, K]
+    # latest possible exit along each axis: only bounded when the whole
+    # block moves one way (dlo > 0 or dhi < 0); span over slowest rate
+    span_pos = bhi - olo[:, None]
+    span_neg = ohi[:, None] - blo
+    tf_pos = jnp.where(dlo_e > eps, span_pos / jnp.maximum(dlo_e, eps),
+                       big)
+    tf_neg = jnp.where(dhi_e < -eps, span_neg / jnp.maximum(-dhi_e, eps),
+                       big)
+    tf_ub = jnp.min(jnp.minimum(tf_pos, tf_neg), axis=-1)  # [G, K]
+    pend = (any_valid[:, None] & (tn_lb <= tf_ub) & (tf_ub >= 0.0) &
+            (tn_lb <= tmax[:, None]) & (tn_lb < big))
+    key = jnp.where(pend, tn_lb, big)
+    counts = jnp.sum(pend, axis=1, dtype=jnp.int32)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    return _assemble_worklists(order, counts, cbounds)
 
 
 def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
@@ -404,28 +522,11 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
              jnp.zeros((pad, 1)), jnp.full((pad, 1), -1.0)], axis=1)
         rays = jnp.concatenate([rays, filler.astype(jnp.float32)], axis=0)
 
-    # per-block near-to-far worklists (same dense build as v2 _run)
     K = cbounds.shape[0]
-    ob = rays[:, 0:3].reshape(G, RBLK, 1, 3)
-    db = rays[:, 3:6].reshape(G, RBLK, 1, 3)
-    mintb = rays[:, 6].reshape(G, RBLK, 1)
-    maxtb = rays[:, 7].reshape(G, RBLK, 1)
-    invd = jnp.where(jnp.abs(db) > 1e-12, 1.0 / db, 1e30)
-    t0b = (cbounds[None, None, :, 0:3] - ob) * invd
-    t1b = (cbounds[None, None, :, 3:6] - ob) * invd
-    tn = jnp.max(jnp.minimum(t0b, t1b), axis=-1)
-    tf = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
-    pend = (tn <= tf) & (tf >= mintb) & (tn <= maxtb)
-    tn_blk = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), F32_MAX),
-                     axis=1)
-    pend_blk = jnp.any(pend, axis=1)
-    order = jnp.argsort(tn_blk, axis=1).astype(jnp.int32)
-    count = jnp.sum(pend_blk, axis=1, dtype=jnp.int32)[:, None]
-    Kp = 1 + K + ((-(1 + K)) % 1024)
-    W8 = Kp // 8
-    flat = jnp.concatenate(
-        [count, order, jnp.zeros((G, Kp - 1 - K), jnp.int32)], axis=1)
-    work = flat.reshape(G, W8, 8).transpose(0, 2, 1)
+    if K <= DENSE_WORKLIST_MAX_K:
+        counts, work = _dense_worklists(rays, G, RBLK, cbounds)
+    else:
+        counts, work = _blockwise_worklists(rays, G, RBLK, cbounds)
 
     ray_spec = pl.BlockSpec((RBLK, 8), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -445,12 +546,12 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
             scratch_shapes=[
                 pltpu.VMEM((16, 4 * window), jnp.float32),
                 pltpu.SemaphoreType.DMA,
-                pltpu.SMEM((8, W8), jnp.int32),
+                pltpu.SMEM((8, WL_CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]),
         out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
                    jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
-    )(cbounds, rays, slabs, work)
+    )(counts, rays, slabs, work)
     return (out[:N, 0], out[:N, 1], out[:N, 2], prim[:N, 0])
 
 

@@ -301,3 +301,16 @@ def resolve_albedo(scene, mid, uv, uv_footprint=None):
     has_tex = tex_id >= 0
     tex_val = eval_texture(scene.textures, tex_id, uv, uv_footprint)
     return jnp.where(has_tex[..., None], tex_val, refl)
+
+
+def resolve_blend_weight(scene, mid, uv):
+    """blendbsdf textured weight (luminance of the weight texture where
+    bound, else the scalar weight — blendbsdf.cpp semantics)."""
+    from ..core.spectrum import luminance
+    from .common import fast_row_gather
+    row = fast_row_gather(scene.materials.packed, mid)
+    w = row[..., 26]
+    tex_id = row[..., 27].astype(jnp.int32)
+    tex_val = eval_texture(scene.textures, tex_id, uv)
+    return jnp.clip(jnp.where(tex_id >= 0, luminance(tex_val), w),
+                    0.0, 1.0)

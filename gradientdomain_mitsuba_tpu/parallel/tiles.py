@@ -36,6 +36,20 @@ def padded_rows(H, n_dev):
     return -(-H // n_dev) * n_dev
 
 
+def _gather_host(v, H):
+    """Materialize a (possibly multi-process) row-sharded film buffer on
+    the host and crop the padding rows.  With a single-process mesh this
+    is a plain device->host copy; with a multi-host mesh (multihost.py)
+    the remote shards are fetched with process_allgather over DCN — the
+    film gather that ends Mitsuba's cluster render (Film::put of
+    deserialized remote blocks, sched_remote.cpp)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        v = multihost_utils.process_allgather(v, tiled=True)
+    return np.asarray(v)[:H]
+
+
 def _halo_exchange_add(fb, B, axis=AXIS):
     """fb: [rows_local + 2B, W, ...] accumulated with halo borders.
     Sends the top halo to the previous shard and the bottom halo to the
@@ -119,7 +133,7 @@ def render_tiles_gpt(tracer, scene, mesh, seed, n_samples: int):
                    out_specs=P(AXIS),    # row-sharded buffers
                    check_rep=False)
     out = fn(scene)
-    out = {k: np.asarray(v)[:H] for k, v in out.items()}
+    out = {k: _gather_host(v, H) for k, v in out.items()}
     w = np.maximum(out.pop("wsum"), 1e-12)[..., None]
     return {
         "primal": out["primal"] / w,
@@ -163,6 +177,6 @@ def render_tiles_path(tracer, scene, mesh, seed, n_samples: int):
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
                    out_specs=(P(AXIS), P(AXIS)), check_rep=False)
     fb, wb = fn(scene)
-    fb = np.asarray(fb)[:H]
-    wb = np.asarray(wb)[:H]
+    fb = _gather_host(fb, H)
+    wb = _gather_host(wb, H)
     return fb / np.maximum(wb, 1e-12)[..., None]

@@ -248,6 +248,52 @@ def build_python(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVH:
         depth=max_depth[0])
 
 
+def _leaf_se(codes):
+    """Vectorized (start, end) of leaf codes (end=start for empty leaves,
+    start pushed to +inf so min() reductions ignore them)."""
+    raw = -codes.astype(np.int64) - 1
+    off = raw >> LEAF_BITS
+    cnt = raw & ((1 << LEAF_BITS) - 1)
+    s = np.where(cnt > 0, off, np.int64(1) << 60)
+    e = np.where(cnt > 0, off + cnt, np.int64(0))
+    return s, e
+
+
+def subtree_ranges(tree: BVH):
+    """(start [N], end [N]) prim range covered by each node's subtree.
+
+    Iterative bottom-up sweep (O(depth) vectorized rounds) — the Python
+    recursion this replaces was O(N) calls per query and dominated the
+    scene build beyond ~1M tris."""
+    c0 = tree.child0
+    c1 = tree.child1
+    n = len(c0)
+    start = np.full(n, np.int64(1) << 60)
+    end = np.zeros(n, np.int64)
+    resolved = np.zeros(n, bool)
+    l0s, l0e = _leaf_se(c0)
+    l1s, l1e = _leaf_se(c1)
+    i0 = np.maximum(c0, 0)
+    i1 = np.maximum(c1, 0)
+    for _ in range(max(tree.depth + 2, 2)):
+        if resolved.all():
+            break
+        r0 = (c0 < 0) | resolved[i0]
+        r1 = (c1 < 0) | resolved[i1]
+        now = ~resolved & r0 & r1
+        if not now.any():
+            break
+        s0 = np.where(c0 < 0, l0s, start[i0])
+        e0 = np.where(c0 < 0, l0e, end[i0])
+        s1 = np.where(c1 < 0, l1s, start[i1])
+        e1 = np.where(c1 < 0, l1e, end[i1])
+        start[now] = np.minimum(s0, s1)[now]
+        end[now] = np.maximum(e0, e1)[now]
+        resolved |= now
+    assert resolved.all(), "BVH contains an unreachable cycle?"
+    return start, end
+
+
 def extract_clusters(tree: BVH, target: int):
     """Cut the BVH into clusters of <= target contiguous prims.
 
@@ -257,29 +303,23 @@ def extract_clusters(tree: BVH, target: int):
     hit cluster's prim window as ONE contiguous block — the TPU-native
     answer to per-lane pointer chasing."""
     offsets, counts, bmins, bmaxs = [], [], [], []
+    sub_s, sub_e = subtree_ranges(tree)
 
     def leaf_range(code):
-        raw = -code - 1
+        raw = -int(code) - 1
         return raw >> LEAF_BITS, raw & ((1 << LEAF_BITS) - 1)
 
-    def subtree_range(code):
-        """(start, count) covered by a child code."""
+    def code_range(code):
         if code < 0:
             return leaf_range(code)
-        s0, c0 = subtree_range(tree.child0[code])
-        s1, c1 = subtree_range(tree.child1[code])
-        if c0 == 0:
-            return s1, c1
-        if c1 == 0:
-            return s0, c0
-        lo = min(s0, s1)
-        return lo, max(s0 + c0, s1 + c1) - lo
-
-    import sys
-    sys.setrecursionlimit(100000)
+        s = int(sub_s[code])
+        e = int(sub_e[code])
+        if e <= s:
+            return 0, 0
+        return s, e - s
 
     def emit(code, bmin, bmax):
-        start, cnt = subtree_range(code)
+        start, cnt = code_range(code)
         if cnt == 0:
             return
         offsets.append(start)
@@ -287,25 +327,23 @@ def extract_clusters(tree: BVH, target: int):
         bmins.append(bmin)
         bmaxs.append(bmax)
 
-    def walk(node, bmin, bmax):
-        start, cnt = subtree_range(node) if node >= 0 else leaf_range(node)
-        if cnt <= target or node < 0:
-            emit(node, bmin, bmax) if node < 0 else (
-                offsets.append(start), counts.append(cnt),
-                bmins.append(bmin), bmaxs.append(bmax))
-            return
+    root_lo = np.minimum(tree.child0_min[0], tree.child1_min[0])
+    root_hi = np.maximum(tree.child0_max[0], tree.child1_max[0])
+    stack = [(0, root_lo, root_hi)]
+    while stack:
+        node, bmin, bmax = stack.pop()
+        start, cnt = code_range(node)
+        if cnt <= target:
+            emit(node, bmin, bmax)
+            continue
         for code, lo, hi in (
                 (tree.child0[node], tree.child0_min[node],
                  tree.child0_max[node]),
                 (tree.child1[node], tree.child1_min[node],
                  tree.child1_max[node])):
             if code >= 0:
-                walk(code, lo, hi)
+                stack.append((int(code), lo, hi))
             else:
                 emit(code, lo, hi)
-
-    root_lo = np.minimum(tree.child0_min[0], tree.child1_min[0])
-    root_hi = np.maximum(tree.child0_max[0], tree.child1_max[0])
-    walk(0, root_lo, root_hi)
     return (np.asarray(offsets, np.int32), np.asarray(counts, np.int32),
             np.asarray(bmins, np.float32), np.asarray(bmaxs, np.float32))

@@ -24,6 +24,8 @@ ROUGH_DIFFUSE = 8      # Oren-Nayar
 PHONG = 9
 WARD = 10
 NULL_BSDF = 11
+BLEND = 12             # weight-blend of two child rows (blendbsdf.cpp);
+#                        mixturebsdf folds into a binary tree of these
 
 KIND_NAMES = {
     "diffuse": DIFFUSE, "conductor": CONDUCTOR, "dielectric": DIELECTRIC,
@@ -70,13 +72,17 @@ CONDUCTOR_PRESETS = {
 class Materials(NamedTuple):
     """SoA table over M materials (device arrays after compile).
 
-    `packed` mirrors the scalar/vector fields as one [M, 24] f32 row so the
+    `packed` mirrors the scalar/vector fields as one [M, 32] f32 row so the
     per-interaction parameter fetch is a single gather (ops/bsdf.py):
     [0] kind, [1] flags, [2:5] reflectance, [5:8] specular,
     [8:11] transmittance, [11] alpha, [12:15] eta, [15:18] k, [18] dist,
-    [19] fdr_int, [20] tex_reflectance.
+    [19] fdr_int, [20] tex_reflectance, [21] alpha_v, [22] opacity,
+    [23] tex_opacity, [24] blend child0, [25] blend child1,
+    [26] blend weight, [27] blend weight texture,
+    [28] normal-perturb mode (0/1=bump/2=normal), [29] perturb texture,
+    [30] perturb scale.
     """
-    packed: np.ndarray        # [M, 24] f32
+    packed: np.ndarray        # [M, 28] f32 (32 when perturbation bound)
     kind: np.ndarray          # [M] i32
     flags: np.ndarray         # [M] i32 (FLAG_* bits)
     reflectance: np.ndarray   # [M, 3] diffuse albedo / specular tint
@@ -122,6 +128,10 @@ class MaterialBuilder:
         self.rows = []
         self.by_node = {}
         self.texture_nodes = []   # texture plugin nodes, resolved later
+        # bumpmap/normalmap: material id -> (mode 1|2, tex id, scale);
+        # consumed by the shading-normal perturbation in
+        # ops/common.fill_intersection (src/bsdfs/{bumpmap,normalmap}.cpp)
+        self.perturb = {}
 
     def default_id(self):
         """Material used for shapes with no BSDF (Mitsuba default: diffuse 0.5)."""
@@ -131,7 +141,8 @@ class MaterialBuilder:
                 specular=(1, 1, 1), transmittance=(1, 1, 1), alpha=0.1,
                 eta=(1.5046, 1.5046, 1.5046), k=(0, 0, 0), dist=DIST_BECKMANN,
                 tex_reflectance=-1, fdr_int=0.0, alpha_v=None,
-                opacity=1.0, tex_opacity=-1):
+                opacity=1.0, tex_opacity=-1, child0=-1, child1=-1,
+                blend_w=0.5, tex_blend=-1):
         self.rows.append(dict(
             kind=kind, flags=flags, reflectance=np.asarray(reflectance, np.float32),
             specular=np.asarray(specular, np.float32),
@@ -140,8 +151,31 @@ class MaterialBuilder:
             k=np.asarray(k, np.float32), dist=dist,
             tex_reflectance=tex_reflectance, fdr_int=float(fdr_int),
             alpha_v=float(alpha if alpha_v is None else alpha_v),
-            opacity=float(opacity), tex_opacity=tex_opacity))
+            opacity=float(opacity), tex_opacity=tex_opacity,
+            child0=int(child0), child1=int(child1),
+            blend_w=float(blend_w), tex_blend=int(tex_blend)))
         return len(self.rows) - 1
+
+    def _row_roughness(self, rid):
+        """Host-side shift-classification roughness of a built row
+        (mirrors ops/bsdf.roughness)."""
+        r = self.rows[rid]
+        kind = r["kind"]
+        if kind in (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC):
+            return 0.0
+        if kind in (ROUGH_CONDUCTOR, ROUGH_DIELECTRIC, ROUGH_PLASTIC,
+                    WARD, BLEND):
+            return r["alpha"]
+        return np.inf
+
+    def add_blend(self, c0, c1, weight, tex_blend=-1):
+        """BLEND row over two existing rows.  The row's alpha stores the
+        MIN of the children's classification roughness so the shift
+        machinery treats a part-specular blend as specular."""
+        rough = min(self._row_roughness(c0), self._row_roughness(c1))
+        return self.add_row(kind=BLEND, alpha=min(rough, 1e30),
+                            child0=c0, child1=c1, blend_w=weight,
+                            tex_blend=tex_blend)
 
     def add_texture(self, node) -> int:
         self.texture_nodes.append(node)
@@ -199,13 +233,60 @@ class MaterialBuilder:
             row["tex_opacity"] = optex
             self.rows.append(row)
             return len(self.rows) - 1
-        if t in ("bumpmap", "normalmap", "coating", "roughcoating",
-                 "mixturebsdf", "blendbsdf"):
-            # unsupported wrappers: fall through to the first nested BSDF
-            inner = node.child("bsdf")
-            if inner is not None:
-                return self._build(inner, flags)
-            raise ValueError(f"BSDF wrapper '{t}' without nested BSDF")
+        if t in ("blendbsdf", "mixturebsdf"):
+            kids = node.children_of("bsdf") + [
+                v for v in node.props.values()
+                if hasattr(v, "kind") and v.kind == "bsdf"]
+            if len(kids) < 2:
+                raise ValueError(f"'{t}' needs >= 2 nested BSDFs")
+            rids = [self._build(c, flags) for c in kids]
+            if t == "blendbsdf":
+                # blendbsdf.cpp: weight w blends child0 (1-w) with child1
+                wprop = node.props.get("weight", 0.5)
+                if hasattr(wprop, "kind"):  # textured weight
+                    return self.add_blend(rids[0], rids[1], 0.5,
+                                          tex_blend=self.add_texture(wprop))
+                w = float(np.mean(np.asarray(wprop, np.float32)))
+                return self.add_blend(rids[0], rids[1], w)
+            # mixturebsdf.cpp: N weighted children -> fold into a binary
+            # tree of BLEND rows (left fold; weights normalized)
+            wstr = node.get("weights")
+            ws = ([float(x) for x in str(wstr).replace(",", " ").split()]
+                  if wstr is not None else [1.0] * len(rids))
+            if len(ws) != len(rids):
+                raise ValueError("mixturebsdf: weights/children mismatch")
+            tot = sum(ws) or 1.0
+            ws = [w / tot for w in ws]
+            acc, wacc = rids[0], ws[0]
+            for rid, w in zip(rids[1:], ws[1:]):
+                denom = wacc + w
+                acc = self.add_blend(acc, rid, w / max(denom, 1e-9))
+                wacc = denom
+            return acc
+        if t in ("bumpmap", "normalmap", "coating", "roughcoating"):
+            # coating: not yet implemented -> nested BSDF.  bumpmap /
+            # normalmap: perturbation handled geometrically
+            # (ops/common.fill_intersection); the nested BSDF is the
+            # scattering model.
+            inner = node.child("bsdf") or next(
+                (v for v in node.props.values() if hasattr(v, "kind")
+                 and v.kind == "bsdf"), None)
+            if inner is None:
+                raise ValueError(f"BSDF wrapper '{t}' without nested BSDF")
+            rid = self._build(inner, flags)
+            if t in ("bumpmap", "normalmap"):
+                tex = next((v for v in node.props.values()
+                            if hasattr(v, "kind") and v.kind == "texture"),
+                           None) or node.child("texture")
+                if tex is not None:
+                    import copy as _copy
+                    row = _copy.deepcopy(self.rows[rid])
+                    self.rows.append(row)
+                    rid = len(self.rows) - 1
+                    self.perturb[rid] = (
+                        1 if t == "bumpmap" else 2, self.add_texture(tex),
+                        float(node.get("scale", 1.0)))
+            return rid
         if t not in KIND_NAMES:
             raise ValueError(f"unsupported BSDF type '{t}'")
         kind = KIND_NAMES[t]
@@ -281,7 +362,13 @@ class MaterialBuilder:
             self.default_id()
         g = lambda k: np.stack([np.asarray(r[k]) for r in self.rows])
         M = len(self.rows)
-        packed = np.zeros((M, 24), np.float32)
+        # 32 columns (with perturbation cols 28-30) ONLY when a bumpmap/
+        # normalmap exists: ops/common.fill_intersection uses the STATIC
+        # packed width as the compile-time gate for the perturbation code
+        ncols = 32 if self.perturb else 28
+        packed = np.zeros((M, ncols), np.float32)
+        if self.perturb:
+            packed[:, 29] = -1.0  # no perturbation texture
         packed[:, 0] = g("kind")
         packed[:, 1] = g("flags")
         packed[:, 2:5] = g("reflectance")
@@ -296,6 +383,15 @@ class MaterialBuilder:
         packed[:, 21] = g("alpha_v")
         packed[:, 22] = g("opacity")
         packed[:, 23] = g("tex_opacity")
+        packed[:, 24] = g("child0")
+        packed[:, 25] = g("child1")
+        packed[:, 26] = g("blend_w")
+        packed[:, 27] = g("tex_blend")
+        # bumpmap/normalmap perturbation columns
+        for rid, (mode, tex, scale) in self.perturb.items():
+            packed[rid, 28] = mode
+            packed[rid, 29] = tex
+            packed[rid, 30] = scale
         return Materials(
             packed=packed,
             kind=g("kind").astype(np.int32),

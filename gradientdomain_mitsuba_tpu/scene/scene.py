@@ -279,7 +279,13 @@ def compile_scene(desc: SceneDesc,
     if _tgt:
         target = int(_tgt)
     else:
-        target = int(np.clip(-(-T // 1024), 64, 4096)) if T > 64 \
+        # window capped at 256: beyond that the in-kernel [RBLK, 4W]
+        # matmul epilogue exceeds the VMEM budget.  Large scenes instead
+        # grow K; past DENSE_WORKLIST_MAX_K clusters the traversal
+        # switches to the block-conservative worklist build
+        # (ops/pallas_trace.py), which is O(G*K) and scales to
+        # multi-million-triangle scenes.
+        target = int(np.clip(-(-T // 1024), 64, 256)) if T > 64 \
             else max(T, 1)
     c_off, c_cnt, c_min, c_max = bvh_mod.extract_clusters(tree, target)
     window = int(c_cnt.max()) if len(c_cnt) else 1
@@ -345,7 +351,7 @@ def compile_scene(desc: SceneDesc,
     area2 = np.linalg.norm(ng_all, axis=-1)        # 2x world area
     ng_all /= np.maximum(area2[..., None], 1e-20)
     shape_of_tri = tri_shape
-    tri_shade = np.zeros((len(indices), 23), np.float32)
+    tri_shade = np.zeros((len(indices), 29), np.float32)
     tri_shade[:, 0:3] = ng_all
     tri_shade[:, 3:6] = normals[indices[:, 0]]
     tri_shade[:, 6:9] = normals[indices[:, 1]]
@@ -366,6 +372,17 @@ def compile_scene(desc: SceneDesc,
     e2uv = uvs[indices[:, 2]] - uv0
     uv_area2 = np.abs(e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0])
     tri_shade[:, 22] = uv_area2 / np.maximum(area2, 1e-20)
+    # [23:26] dp/du, [26:29] dp/dv — UV-aligned tangents (bumpmap/
+    # normalmap perturbation + EWA anisotropy; zero when UVs degenerate)
+    det_uv = e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0]
+    ok_uv = np.abs(det_uv) > 1e-12
+    inv_det = np.where(ok_uv, 1.0 / np.where(ok_uv, det_uv, 1.0), 0.0)
+    e1w = p1 - p0
+    e2w = p2 - p0
+    tri_shade[:, 23:26] = (e2uv[:, 1:2] * e1w - e1uv[:, 1:2] * e2w) * \
+        inv_det[:, None]
+    tri_shade[:, 26:29] = (-e2uv[:, 0:1] * e1w + e1uv[:, 0:1] * e2w) * \
+        inv_det[:, None]
     tri_shade = tri_shade[order][psel]
     tri_shade[~valid_slot] = 0.0
     tri_shade[~valid_slot, 18:20] = -1.0  # bsdf/emitter ids
@@ -430,11 +447,15 @@ def compile_scene(desc: SceneDesc,
 
     extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
     textures = build_table(mb.texture_nodes, desc.base_dir)
-    # bitmask: bit 0 = any textures bound; bit 1 = textured mask opacity
-    # (ops/common.material_params gates the extra opacity lookup on it)
+    # bitmask: bit 0 = any textures bound; bit 1 = textured mask opacity;
+    # bit 2 = blend BSDFs present; bit 3 = textured blend weight
+    # (ops/common.material_params gates the extra gathers on these)
+    from .materials import BLEND as _BLEND
     settings.has_textures = (
         (1 if mb.texture_nodes else 0) |
-        (2 if any(r.get("tex_opacity", -1) >= 0 for r in mb.rows) else 0))
+        (2 if any(r.get("tex_opacity", -1) >= 0 for r in mb.rows) else 0) |
+        (4 if any(r["kind"] == _BLEND for r in mb.rows) else 0) |
+        (8 if any(r.get("tex_blend", -1) >= 0 for r in mb.rows) else 0))
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
         textures=textures,

@@ -93,6 +93,9 @@ def build_parser():
     p.add_argument("--relmse", default=None, metavar="REF.exr",
                    help="compute relMSE of the final image against a "
                         "reference EXR (BASELINE.md protocol)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into "
+                        "DIR (view with TensorBoard)")
     # Reference-CLI compatibility; the device owns its parallelism.
     p.add_argument("-p", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("-b", type=int, default=None, help=argparse.SUPPRESS)
@@ -140,6 +143,12 @@ def _render_scene(args, scene_path, variables, log):
             log(f"[tpurender] partial flush at {done}/{st.spp} spp -> {out}")
         return flush
 
+    import contextlib
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile)
+
     if st.integrator in ("gpt", "gbdpt"):
         if st.integrator == "gpt":
             from ..models.gpt import GPTracer
@@ -147,33 +156,48 @@ def _render_scene(args, scene_path, variables, log):
         else:
             from ..models.gbdpt import GBDPTracer
             tracer = GBDPTracer(scene, st)
+        # measured device-side ray counter (must be set BEFORE the first
+        # render so the compiled program includes the popcounts)
+        tracer.count_rays = bool(args.verbose or args.stats_json)
         p = st.integrator_props
         mode = "L2" if bool(p.get("reconstructL2", False)) and not bool(
             p.get("reconstructL1", True)) else "L1"
         alpha = float(p.get("reconstructAlpha", 0.2))
         import numpy as np
+        want_stats = bool(args.verbose or args.stats_json)
         if (st.integrator == "gpt" and not args.checkpoint
-                and not args.refresh):
+                and not args.refresh and not want_stats):
             # fused single-dispatch render + reconstruction (the host
             # round trip between the two costs ~0.4 s/dispatch through
-            # the remote tunnel); checkpoint/periodic-flush runs take
-            # the chunked path below
+            # the remote tunnel); checkpoint/flush/observability runs
+            # take the chunked path below
             import jax
-            final_d, bufs_d = tracer.render_final(
-                jax.device_put(scene), args.seed, st.spp,
-                alpha=alpha, mode=mode)
-            final = np.asarray(final_d)
+            with profile_cm:
+                final_d, bufs_d = tracer.render_final(
+                    jax.device_put(scene), args.seed, st.spp,
+                    alpha=alpha, mode=mode)
+                final = np.asarray(final_d)
             bufs = {k: np.asarray(v) for k, v in bufs_d.items()}
+            bufs.pop("rays", None)
             t_render = t_rec = time.time()
         else:
-            bufs = tracer.render(scene, seed=args.seed, spp=st.spp,
-                                 checkpoint_path=args.checkpoint,
-                                 resume=args.resume,
-                                 progress=make_flusher(tracer, True))
-            t_render = time.time()
             from ..models import poisson
-            final = np.asarray(
-                poisson.reconstruct(bufs, alpha=alpha, mode=mode))
+            with profile_cm:
+                bufs = tracer.render(scene, seed=args.seed, spp=st.spp,
+                                     checkpoint_path=args.checkpoint,
+                                     resume=args.resume,
+                                     progress=make_flusher(tracer, True))
+                t_render = time.time()
+                rec = poisson.reconstruct(bufs, alpha=alpha, mode=mode,
+                                          return_stats=want_stats)
+            if want_stats:
+                final_d, solver_stats = rec
+                final = np.asarray(final_d)
+                res = solver_stats["cg_residuals"]
+                stats["cg_residual_final"] = float(res[-1])
+                stats["cg_residuals"] = [float(x) for x in res]
+            else:
+                final = np.asarray(rec)
             t_rec = time.time()
         aux_ext = ext if ext.lower() == ".exr" else ".exr"
         exr.write(base + "-primal" + aux_ext,
@@ -206,10 +230,13 @@ def _render_scene(args, scene_path, variables, log):
         else:
             from ..models.path import PathTracer
             tracer = PathTracer(scene, st)
-        img = tracer.render(scene, seed=args.seed, spp=st.spp,
-                            checkpoint_path=args.checkpoint,
-                            resume=args.resume,
-                            progress=make_flusher(tracer, False))
+        if hasattr(tracer, "count_rays"):
+            tracer.count_rays = bool(args.verbose or args.stats_json)
+        with profile_cm:
+            img = tracer.render(scene, seed=args.seed, spp=st.spp,
+                                checkpoint_path=args.checkpoint,
+                                resume=args.resume,
+                                progress=make_flusher(tracer, False))
         final = img
         t_render = time.time()
         write_image(exr, out, img)
@@ -228,15 +255,27 @@ def _render_scene(args, scene_path, variables, log):
         rs.phases["render"] = stats["render_s"]
         if "reconstruct_s" in stats:
             rs.phases["reconstruct"] = stats["reconstruct_s"]
-        rays_fn = {"gpt": RenderStats.rays_gpt, "gbdpt": RenderStats.rays_bdpt,
-                   "bdpt": RenderStats.rays_bdpt}.get(
-            st.integrator, RenderStats.rays_path)
-        depth = st.max_depth if st.max_depth > 0 else 8
-        rays = rays_fn(st.width, st.height, st.spp, depth)
-        rs.set("rays traced (approx)", rays)
+        measured = getattr(tracer, "last_ray_count", None)
+        if measured is not None:
+            # device-side popcount of traversal lanes with positive extent
+            # (ops/common.instrument_intersectors) — a MEASURED counter,
+            # the StatsCounter analog the round-1 formula stood in for
+            rays = measured
+            rs.set("rays traced (counted)", rays)
+        else:
+            rays_fn = {"gpt": RenderStats.rays_gpt,
+                       "gbdpt": RenderStats.rays_bdpt,
+                       "bdpt": RenderStats.rays_bdpt}.get(
+                st.integrator, RenderStats.rays_path)
+            depth = st.max_depth if st.max_depth > 0 else 8
+            rays = rays_fn(st.width, st.height, st.spp, depth)
+            rs.set("rays traced (approx)", rays)
         rs.set("Mrays/sec", rays / max(stats["render_s"], 1e-9) / 1e6)
+        if "cg_residual_final" in stats:
+            rs.set("CG residual (final)", stats["cg_residual_final"])
         log(rs.table())
         stats["rays"] = rays
+        stats["rays_measured"] = measured is not None
     return stats
 
 

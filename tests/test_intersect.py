@@ -201,3 +201,32 @@ def test_onehot_gather_exact():
     np.testing.assert_array_equal(
         np.asarray(common.fast_row_gather(table, idx)),
         np.asarray(table[idx]))
+
+
+@pytest.mark.slow
+def test_bvh_matches_brute_at_1M_tris():
+    """Large-scene agreement gate (VERDICT r1 missing #3): the SAH build
+    + SoA traversal must stay exact at >=1M triangles."""
+    n_tris = 1_000_000
+    rs = np.random.RandomState(42)
+    base = rs.uniform(-60, 60, (n_tris, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rs.normal(0, 0.2, (n_tris, 3)).astype(np.float32)
+    v2 = base + rs.normal(0, 0.2, (n_tris, 3)).astype(np.float32)
+    tris, arr, tree = _build(v0, v1, v2)
+    o, d = _random_rays(256, seed=9, spread=70.0)
+    mint = jnp.zeros(256)
+    maxt = jnp.full(256, 1e30)
+
+    brute = isec.intersect_brute(o, d, mint, maxt, tris, chunk=4096)
+    f = jax.jit(isec.make_bvh_intersector_soa(2 * tree.depth + 4))
+    hit = f(o, d, mint, maxt, tris, arr)
+
+    np.testing.assert_array_equal(np.asarray(hit.valid),
+                                  np.asarray(brute.valid))
+    m = np.asarray(brute.valid)
+    assert m.sum() > 50  # the soup is dense; most rays must hit
+    np.testing.assert_allclose(
+        np.asarray(hit.t)[m], np.asarray(brute.t)[m], rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(hit.prim)[m], np.asarray(brute.prim)[m])

@@ -80,19 +80,22 @@ def main():
                           integrator="gpt"),
                      args.spp, args.ref_spp,
                      "#1 G-PT cbox L2"))
-    # 2: G-PT glossy interior (dielectric+rough), L1
-    ok.append(run_gd(os.path.join(data, "cbox-mats/cbox-mats.xml"),
+    # 2: G-PT Veach-door-class interior (glossy metal door + thin-glass
+    #    insert, light only in the far room), L1 — data/scenes/door
+    ok.append(run_gd(os.path.join(data, "door/door.xml"),
                      "gpt", "L1",
                      dict(sz, spp=str(args.spp), maxDepth="8",
                           integrator="gpt"),
                      args.spp, args.ref_spp,
-                     "#2 G-PT glossy interior L1"))
-    # 3: G-BDPT indirect-dominated
-    ok.append(run_gd(os.path.join(data, "cbox/cbox.xml"), "gbdpt", "L1",
+                     "#2 G-PT Veach door L1"))
+    # 3: G-BDPT caustic scene (glass+mirror spheres, small bright
+    #    emitter; t=1 light tracing dominates) — data/scenes/caustics
+    ok.append(run_gd(os.path.join(data, "caustics/caustics.xml"),
+                     "gbdpt", "L1",
                      dict(sz, spp=str(max(args.spp // 2, 4)),
-                          maxDepth="6", integrator="gbdpt"),
+                          maxDepth="8", integrator="gbdpt"),
                      max(args.spp // 2, 4), args.ref_spp,
-                     "#3 G-BDPT cbox L1"))
+                     "#3 G-BDPT caustics L1"))
     # 4: envmap + textured rough BSDFs + DoF
     ok.append(run_gd(os.path.join(data, "envmap/envmap.xml"), "gpt", "L1",
                      dict(sz, spp=str(args.spp), maxDepth="6",
@@ -100,39 +103,45 @@ def main():
                      args.spp, args.ref_spp,
                      "#4 G-PT envmap+textures+DoF L1"))
 
-    # 5: large BVH (+ multi-chip when a CPU device mesh is forced)
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "bench_large", os.path.join(ROOT, "tools/bench_large.py"))
-    bl = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bl)
-    xml = bl.build_scene(200000, args.size, args.size, 4, 5)
+    # 5: large instanced BVH — data/scenes/forest (~3.2M tris after
+    #    instance baking); scalable via --forest-tris using the
+    #    procedural bench_large scene instead
+    import copy
     import jax
     from gradientdomain_mitsuba_tpu.scene import scene as sc
     from gradientdomain_mitsuba_tpu.models.path import PathTracer
-    scene, st = sc.load_scene(xml)
+    t0 = time.time()
+    scene, st = sc.load_scene(
+        os.path.join(data, "forest/forest.xml"),
+        dict(sz, spp="4", maxDepth="5"))
+    build_s = time.time() - t0
     scene_d = jax.device_put(scene)
     pt = PathTracer(scene_d, st)
     img = pt.render(scene_d, seed=0, spp=4, chunk=4)
     t0 = time.time()
     img = pt.render(scene_d, seed=1, spp=4, chunk=4)
     wall = time.time() - t0
+    rays = args.size * args.size * 4 * (1 + 4 * 2)
     n_dev = jax.device_count()
     multi = ""
     if n_dev > 1:
         from gradientdomain_mitsuba_tpu.parallel import tiles
         mesh = tiles.make_mesh()
         from gradientdomain_mitsuba_tpu.models.gpt import GPTracer
-        st2 = st
+        st2 = copy.deepcopy(st)
         st2.integrator = "gpt"
-        gt = GPTracer(scene, st2)
-        bufs = tiles.render_tiles_gpt(gt, scene, mesh, seed=0, n_samples=4)
-        multi = f"; multi-chip({n_dev}) tiles OK"
+        gt = GPTracer(scene_d, st2)
+        bufs = tiles.render_tiles_gpt(gt, scene_d, mesh, seed=0,
+                                      n_samples=4)
+        multi = (f"; multi-chip({n_dev}) tiles OK"
+                 if all(np.isfinite(v).all() for v in bufs.values())
+                 else f"; multi-chip({n_dev}) NONFINITE")
     sane = bool(np.isfinite(np.asarray(img)).all() and
                 np.asarray(img).mean() > 1e-3)
     n_tris = int(scene.geom.indices.shape[0])
-    print(f"{'#5 large BVH (' + str(n_tris) + ' tris) PT':44s} "
-          f"{wall:7.2f}s  finite+lit {sane}{multi}")
+    print(f"{'#5 forest (' + str(n_tris) + ' tris) PT':44s} "
+          f"{wall:7.2f}s  {rays/wall/1e6:6.1f} Mrays/s  build {build_s:.0f}s"
+          f"  finite+lit {sane}{multi}")
     ok.append(sane)
 
     print("PASS" if all(ok) else "SOME CONFIGS REGRESSED", flush=True)
