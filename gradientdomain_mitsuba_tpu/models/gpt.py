@@ -294,6 +294,11 @@ class GPTracer:
         if self.has_textures and self.n_bounces > 0:
             fp_m = common.primary_uv_footprint(scene, W, H, d_m, its_m)
             fp_o = common.primary_uv_footprint(scene, W, H, d_o, its_o)
+            if getattr(self.settings, "has_ewa", False):
+                fp_m = (fp_m, common.primary_uv_jacobian(
+                    scene, W, H, d_m, its_m))
+                fp_o = (fp_o, common.primary_uv_jacobian(
+                    scene, W, H, d_o, its_o))
 
         if self.n_bounces > 0:
             state = self._bounce(scene, state, 0, seed, sample_idx,

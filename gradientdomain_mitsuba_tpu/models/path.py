@@ -211,6 +211,9 @@ class PathTracer:
             if self.has_textures:
                 fp0 = common.primary_uv_footprint(
                     scene, st.width, st.height, d, its)
+                if getattr(self.settings, "has_ewa", False):
+                    fp0 = (fp0, common.primary_uv_jacobian(
+                        scene, st.width, st.height, d, its))
             state = bounce(0, state, fp0)
             state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
 

@@ -16,9 +16,45 @@ from . import intersect as isec
 
 BRUTE_FORCE_MAX_TRIS = 2048
 
+# prim-id namespace for analytic spheres (above any padded triangle count)
+SPHERE_PRIM_BASE = 1 << 28
+
+
+def add_sphere_intersections(closest_tri, occl_tri):
+    """Merge analytic-sphere hits (ops/intersect.intersect_spheres) into
+    the triangle traversal by closest t.  Scenes without analytic spheres
+    (geom.sph_center.shape[0] == 0, a STATIC shape) compile this away."""
+    from . import intersect as isec_mod
+
+    def closest(o, d, mint, maxt, geom):
+        hit = closest_tri(o, d, mint, maxt, geom)
+        if geom.sph_center.shape[0] == 0:
+            return hit
+        tri_t = jnp.where(hit.valid, hit.t, maxt)
+        ts, sid = isec_mod.intersect_spheres(
+            o, d, mint, tri_t, geom.sph_center, geom.sph_radius)
+        sph = sid >= 0
+        return isec_mod.Hit(
+            t=jnp.where(sph, ts, hit.t),
+            u=jnp.where(sph, 0.0, hit.u),
+            v=jnp.where(sph, 0.0, hit.v),
+            prim=jnp.where(sph, SPHERE_PRIM_BASE + sid, hit.prim),
+            valid=hit.valid | sph)
+
+    def occluded(o, d, mint, maxt, geom):
+        occ = occl_tri(o, d, mint, maxt, geom)
+        if geom.sph_center.shape[0] == 0:
+            return occ
+        return occ | isec_mod.occluded_spheres(
+            o, d, mint, maxt, geom.sph_center, geom.sph_radius)
+
+    return closest, occluded
+
 
 def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
-    """Returns (closest, occluded) with signature (o, d, mint, maxt, geom).
+    """Returns (closest, occluded) with signature (o, d, mint, maxt, geom),
+    with analytic-sphere merging layered on top (add_sphere_intersections;
+    compiles away when the scene has no analytic spheres).  Triangle path:
 
     On TPU, small scenes (padded tris <= MATMUL_MAX_TRIS) use the
     linear-MT matmul sweep (intersect_matmul): the per-pair
@@ -39,7 +75,7 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
 
             def occl(o, d, mint, maxt, geom):
                 return isec.occluded_matmul(o, d, mint, maxt, geom.linC)
-            return closest, occl
+            return add_sphere_intersections(closest, occl)
         chunk = min(1024, max(64, n_tris))
 
         def closest(o, d, mint, maxt, geom):
@@ -49,7 +85,7 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
         def occl(o, d, mint, maxt, geom):
             return isec.occluded_brute(o, d, mint, maxt, geom.tris,
                                        chunk=chunk)
-        return closest, occl
+        return add_sphere_intersections(closest, occl)
     if n_clusters > 0 and not on_cpu:
         # v3: sorted rays + per-cluster linear-MT matmul sweeps on the
         # MXU (pallas_trace.py); v2 (make_pallas_intersector) kept for
@@ -66,7 +102,7 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
 
         def occl(o, d, mint, maxt, geom):
             return occl_p(o, d, mint, maxt, geom.mt_slabs, geom.cbounds)
-        return closest, occl
+        return add_sphere_intersections(closest, occl)
 
     closest_c = isec.make_cluster_intersector(settings.cluster_window)
     occl_c = isec.make_cluster_occluder(settings.cluster_window)
@@ -76,7 +112,7 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
 
     def occl(o, d, mint, maxt, geom):
         return occl_c(o, d, mint, maxt, geom.tris, geom.clusters)
-    return closest, occl
+    return add_sphere_intersections(closest, occl)
 
 
 def instrument_intersectors(tracer, closest, occluded):
@@ -130,13 +166,15 @@ def fast_row_gather(table, idx):
 def fill_intersection(scene, o, d, hit) -> Intersection:
     """Shading data for Hit records via ONE packed-row gather.
 
-    hit.prim indexes the BVH-ordered tri_shade table (see scene.Geometry):
-    a single [N, 23] gather replaces the 13-gather dependent chain through
-    indices/positions/normals/uvs/per-shape tables — TPU gathers were the
-    wavefront's dominant cost (measured 2.9 ms of a 4.6 ms bounce)."""
+    hit.prim indexes the BVH-ordered tri_shade table (see scene.Geometry);
+    prim >= SPHERE_PRIM_BASE designates an analytic sphere whose shading
+    data is computed in closed form.  A single packed-row gather replaces
+    the 13-gather dependent chain through indices/positions/normals/uvs/
+    per-shape tables — TPU gathers were the wavefront's dominant cost
+    (measured 2.9 ms of a 4.6 ms bounce)."""
     g = scene.geom
-    prim = jnp.maximum(hit.prim, 0)
-    row = fast_row_gather(g.tri_shade, prim)     # [N, 23]
+    prim = jnp.clip(hit.prim, 0, g.tri_shade.shape[0] - 1)
+    row = fast_row_gather(g.tri_shade, prim)     # [N, 29]
 
     u = hit.u[..., None]
     v = hit.v[..., None]
@@ -156,6 +194,32 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
     bsdf_id = row[..., 18].astype(jnp.int32)
     emitter_id = row[..., 19].astype(jnp.int32)
     shape_id = row[..., 20].astype(jnp.int32)
+
+    if g.sph_center.shape[0] > 0:
+        # analytic-sphere lanes: exact quadric normals + lat-long uv
+        # (z-up, matching meshes.make_sphere / sphere.cpp)
+        is_sph = hit.prim >= SPHERE_PRIM_BASE
+        sid = jnp.clip(hit.prim - SPHERE_PRIM_BASE, 0,
+                       g.sph_center.shape[0] - 1)
+        cen = g.sph_center[sid]
+        rad = g.sph_radius[sid]
+        n_s = (p - cen) / jnp.maximum(rad, 1e-12)[..., None]
+        n_s = m.normalize(n_s)
+        theta = jnp.arccos(jnp.clip(n_s[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(n_s[..., 1], n_s[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        uv_s = jnp.stack([phi / (2 * jnp.pi), 1.0 - theta / jnp.pi], -1)
+        s3 = is_sph[..., None]
+        # sphere lanes must not inherit the clamped tri row's tangents
+        # (normal perturbation / EWA read row cols 23:29)
+        keep = (jnp.arange(row.shape[-1]) < 23).astype(row.dtype)
+        row = jnp.where(s3, row * keep, row)
+        ng = jnp.where(s3, n_s, ng)
+        ns = jnp.where(s3, n_s, ns)
+        uv = jnp.where(s3, uv_s, uv)
+        bsdf_id = jnp.where(is_sph, g.sph_bsdf[sid], bsdf_id)
+        emitter_id = jnp.where(is_sph, -1, emitter_id)
+        shape_id = jnp.where(is_sph, g.sph_shape[sid], shape_id)
 
     if scene.materials.packed.shape[1] >= 32:
         # bumpmap/normalmap shading-normal perturbation (src/bsdfs/
@@ -287,8 +351,70 @@ def primary_uv_footprint(scene, W, H, d, its):
     omega = (a_img / (W * H)) * cos_cam ** 3
     cos_hit = jnp.maximum(jnp.abs(m.dot(its.ng, d)), 1e-4)
     area = jnp.where(its.valid, its.t, 0.0) ** 2 * omega / cos_hit
-    uvd = scene.geom.tri_shade[jnp.maximum(its.prim_id, 0), 22]
+    prim = jnp.clip(its.prim_id, 0, scene.geom.tri_shade.shape[0] - 1)
+    uvd = scene.geom.tri_shade[prim, 22]
+    # analytic-sphere lanes: no uv-density row; sample the finest level
+    uvd = jnp.where(its.prim_id >= SPHERE_PRIM_BASE, 0.0, uvd)
     return area * uvd
+
+
+def primary_uv_jacobian(scene, W, H, d, its):
+    """Footprint ellipse axes in UV space at primary hits — the input to
+    the anisotropic (EWA-class) texture filter (ops/texture.py).
+
+    The pixel's solid-angle disk is projected onto the hit tangent
+    plane: major axis along the in-plane projection of the view ray
+    (1/|cos| grazing elongation), minor axis perpendicular — the two
+    dominant anisotropy sources (grazing incidence + UV stretch, via the
+    dual basis of the triangle's dp/du, dp/dv).  Deviation from the
+    reference's ray-differential EWA (mipmap.h): perspective divergence
+    anisotropy within a pixel is ignored (it is O(pixel/film) and the
+    fixed-tap filter clamps anisotropy at 8 anyway)."""
+    cam = scene.camera
+    fwd = cam.to_world[:3, 2]
+    x0 = m.transform_point(cam.sample_to_camera,
+                           jnp.array([0.0, 0.0, 0.0]))
+    x1 = m.transform_point(cam.sample_to_camera,
+                           jnp.array([1.0, 1.0, 0.0]))
+    a_img = jnp.abs((x1[0] / x1[2] - x0[0] / x0[2]) *
+                    (x1[1] / x1[2] - x0[1] / x0[2]))
+    cos_cam = jnp.maximum(m.dot(d, jnp.broadcast_to(fwd, d.shape)), 1e-6)
+    omega = (a_img / (W * H)) * cos_cam ** 3
+    cos_hit = jnp.maximum(jnp.abs(m.dot(its.ng, d)), 1e-2)
+    area_w = jnp.where(its.valid, its.t, 0.0) ** 2 * omega / cos_hit
+    r = jnp.sqrt(area_w * cos_hit / jnp.pi)
+
+    ng = its.ng
+    dir_t = d - ng * m.dot(ng, d, keepdims=True)
+    lt = jnp.sqrt(m.squared_length(dir_t))
+    # normal incidence: any tangent direction works
+    fallback = m.build_frame(ng)[0]
+    dir_maj = jnp.where((lt > 1e-6)[..., None],
+                        dir_t / jnp.maximum(lt, 1e-6)[..., None], fallback)
+    a1 = dir_maj * (r / cos_hit)[..., None]           # [N, 3]
+    a2 = jnp.cross(ng, dir_maj) * r[..., None]
+
+    row = fast_row_gather(scene.geom.tri_shade,
+                          jnp.clip(its.prim_id, 0,
+                                   scene.geom.tri_shade.shape[0] - 1))
+    dpdu = row[..., 23:26]
+    dpdv = row[..., 26:29]
+    E = m.dot(dpdu, dpdu)
+    F = m.dot(dpdu, dpdv)
+    G2 = m.dot(dpdv, dpdv)
+    det = E * G2 - F * F
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+
+    def to_uv(a):
+        bu = m.dot(dpdu, a)
+        bv = m.dot(dpdv, a)
+        return ((G2 * bu - F * bv) * inv_det,
+                (E * bv - F * bu) * inv_det)
+
+    du1, dv1 = to_uv(a1)
+    du2, dv2 = to_uv(a2)
+    return jnp.stack([jnp.stack([du1, du2], -1),
+                      jnp.stack([dv1, dv2], -1)], -2)  # [N, 2, 2]
 
 
 def offset_ray_origin(p, ng, d, eps):

@@ -33,6 +33,8 @@ class TextureTable(NamedTuple):
     lvl_size: np.ndarray   # [T, L, 2] (h, w) per level
     n_levels: np.ndarray   # [T] i32
     grid_width: np.ndarray  # [T] gridtexture line width
+    filter_ewa: np.ndarray  # [T] i32: anisotropic (EWA-class) filtering
+    #                         (bitmap filterType, Mitsuba default "ewa")
 
 
 def _lvl_dummy(t=1):
@@ -51,7 +53,8 @@ def empty_table() -> TextureTable:
         image=np.ones((1, 1, 1, 3), np.float32),
         img_size=np.ones((1, 2), np.int32),
         lvl_off=lo, lvl_size=ls, n_levels=nl,
-        grid_width=np.full(1, 0.01, np.float32))
+        grid_width=np.full(1, 0.01, np.float32),
+        filter_ewa=np.zeros(1, np.int32))
 
 
 def _downsample2(img):
@@ -106,6 +109,7 @@ def build_table(nodes, base_dir) -> TextureTable:
     kinds, c0s, c1s, scales, offsets = [], [], [], [], []
     slabs, lvl_offs, lvl_sizes, sizes0 = [], [], [], []
     grid_widths = {}
+    ewas = []
     for node in nodes:
         us = float(node.get("uscale", 1.0))
         vs = float(node.get("vscale", 1.0))
@@ -122,6 +126,8 @@ def build_table(nodes, base_dir) -> TextureTable:
             nested = [ch for ch in node.children if ch.kind == "texture"]
             if nested:
                 node = nested[0]
+        ewas.append(1 if (node.type == "bitmap" and str(
+            node.get("filterType", "ewa")).lower() == "ewa") else 0)
         if node.type == "bitmap":
             kinds.append(TEX_BITMAP)
             c0s.append(mul)  # bitmap scale
@@ -197,7 +203,8 @@ def build_table(nodes, base_dir) -> TextureTable:
         image=stack, img_size=np.asarray(sizes0, np.int32),
         lvl_off=lo, lvl_size=ls, n_levels=nl,
         grid_width=np.asarray(
-            [grid_widths.get(i, 0.01) for i in range(T)], np.float32))
+            [grid_widths.get(i, 0.01) for i in range(T)], np.float32),
+        filter_ewa=np.asarray(ewas, np.int32))
 
 
 def _bilinear(tex: TextureTable, tid, lvl, u, v):
@@ -229,12 +236,62 @@ def _bilinear(tex: TextureTable, tid, lvl, u, v):
             c10 * (1 - fx) * fy + c11 * fx * fy)
 
 
+N_ANISO_TAPS = 8   # fixed tap count: static shapes for XLA
+MAX_ANISO = 8.0
+
+
+def _aniso_sample(tex, tid, u, v, jac):
+    """Anisotropic (EWA-class) filtering: mip level from the footprint
+    ellipse's MINOR axis, N_ANISO_TAPS Gaussian-weighted trilinear taps
+    spread along the MAJOR axis (mipmap.h EWA lookup, realized as the
+    bounded fixed-tap form that keeps shapes static for XLA).
+
+    jac: [N, 2, 2] with columns = the footprint ellipse's two axes in
+    SCALED uv space ([du1 du2] / [dv1 dv2])."""
+    h0 = tex.img_size[tid, 0].astype(jnp.float32)
+    w0 = tex.img_size[tid, 1].astype(jnp.float32)
+    # axis lengths in texel units
+    ax = jac[..., 0] * jnp.stack([w0, h0], -1)   # [N, 2]
+    ay = jac[..., 1] * jnp.stack([w0, h0], -1)
+    la = jnp.sqrt(jnp.sum(ax * ax, -1) + 1e-20)
+    lb = jnp.sqrt(jnp.sum(ay * ay, -1) + 1e-20)
+    swap = lb > la
+    major_uv = jnp.where(swap[..., None], jac[..., 1], jac[..., 0])
+    l_maj = jnp.maximum(la, lb)
+    l_min = jnp.minimum(la, lb)
+    # clamp anisotropy; widen the minor axis if the ellipse is too thin
+    l_min = jnp.maximum(l_min, l_maj / MAX_ANISO)
+    lod = jnp.log2(jnp.maximum(l_min, 1e-6))
+    lod = jnp.clip(lod, 0.0, (tex.n_levels[tid] - 1).astype(jnp.float32))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, tex.n_levels[tid] - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+
+    acc = 0.0
+    wsum = 0.0
+    for i in range(N_ANISO_TAPS):
+        t = (i + 0.5) / N_ANISO_TAPS - 0.5          # in (-0.5, 0.5)
+        w = float(np.exp(-2.0 * (2.0 * t) ** 2))     # Gaussian falloff
+        du = major_uv[..., 0] * t
+        dv = major_uv[..., 1] * t
+        tap = (_bilinear(tex, tid, l0, u + du, v + dv) * (1 - fl) +
+               _bilinear(tex, tid, l1, u + du, v + dv) * fl)
+        acc = acc + w * tap
+        wsum = wsum + w
+    return acc / wsum
+
+
 def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None):
     """Evaluate textures for a batch: tex_id [N] (>=0), uv [N, 2].
 
-    uv_footprint (optional, [N]): UV-space area covered by the sample's
-    pixel footprint; selects the mip level pair for trilinear filtering
-    (None == finest level, the behavior for secondary bounces)."""
+    uv_footprint (optional): either the scalar UV-space footprint area
+    [N] (trilinear level selection), or a tuple (area [N], jac [N,2,2])
+    where jac's columns are the footprint ellipse axes in UV space —
+    textures flagged filter_ewa then use anisotropic filtering.
+    (None == finest level, the behavior for secondary bounces.)"""
+    uv_jac = None
+    if isinstance(uv_footprint, tuple):
+        uv_footprint, uv_jac = uv_footprint
     tid = jnp.maximum(tex_id, 0)
     scale = tex.uv_scale[tid]
     off = tex.uv_offset[tid]
@@ -263,6 +320,13 @@ def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None):
         fl = (lod - l0.astype(jnp.float32))[..., None]
         bmp = (_bilinear(tex, tid, l0, u, v) * (1 - fl) +
                _bilinear(tex, tid, l1, u, v) * fl)
+        if uv_jac is not None:
+            # ellipse axes into SCALED uv space: row 0 (du) by uscale,
+            # row 1 (dv) by vscale
+            jac_s = uv_jac * scale[..., :, None]
+            aniso = _aniso_sample(tex, tid, u, v, jac_s)
+            use = (tex.filter_ewa[tid] > 0)[..., None]
+            bmp = jnp.where(use, aniso, bmp)
     bmp = bmp * tex.color0[tid]
 
     # gridtexture (src/textures/gridtexture.cpp): lines of color1 at

@@ -47,6 +47,14 @@ class Geometry(NamedTuple):
     shape_bsdf: np.ndarray   # [S] i32
     shape_emitter: np.ndarray  # [S] i32 (-1 = not an emitter)
     shape_use_face_normals: np.ndarray  # [S] bool
+    # analytic spheres (src/shapes/sphere.cpp quadric path): merged into
+    # every traversal by ops/common.add_sphere_intersections; exact
+    # normals.  Emissive spheres stay tessellated (triangle-based emitter
+    # sampling) — a documented deviation.
+    sph_center: np.ndarray   # [A, 3]
+    sph_radius: np.ndarray   # [A]
+    sph_bsdf: np.ndarray     # [A] i32
+    sph_shape: np.ndarray    # [A] i32
 
 
 class EmitterTable(NamedTuple):
@@ -113,6 +121,7 @@ class RenderSettings:
     has_env: bool = False
     env_kind: int = 0
     has_textures: bool = False
+    has_ewa: bool = False
     n_delta: int = 0
     cluster_window: int = 64
     fov_x_deg: float = 45.0
@@ -202,9 +211,64 @@ def compile_scene(desc: SceneDesc,
     all_pos, all_nrm, all_uv, all_idx = [], [], [], []
     tri_shape, shape_bsdf, shape_emitter, shape_face_n = [], [], [], []
     area_emitters = []  # (shape_id, radiance rgb)
+    ana_spheres = []    # (center, radius, material id, shape id)
     v_off = 0
 
-    for s_id, shape in enumerate(_expand_instances(desc.shapes)):
+    def _shape_bsdf_node(shape):
+        node = shape.child("bsdf")
+        if node is None:
+            for v in shape.props.values():
+                if isinstance(v, Plugin) and v.kind == "bsdf":
+                    return v
+        return node
+
+    def _shape_emitter_node(shape):
+        node = shape.child("emitter")
+        if node is None:
+            for v in shape.props.values():
+                if isinstance(v, Plugin) and v.kind == "emitter":
+                    return v
+        return node
+
+    def _similarity_scale(tw):
+        """Uniform scale of a similarity transform, or None."""
+        R = np.asarray(tw, np.float64)[:3, :3]
+        s = abs(np.linalg.det(R)) ** (1.0 / 3.0)
+        if s < 1e-12:
+            return None
+        Q = R / s
+        if np.max(np.abs(Q @ Q.T - np.eye(3))) > 1e-4:
+            return None
+        return s
+
+    expanded = _expand_instances(desc.shapes)
+
+    def _is_analytic_sphere(shape):
+        return (shape.type == "sphere" and
+                _shape_emitter_node(shape) is None and
+                _similarity_scale(shape.get("toWorld", np.eye(4)))
+                is not None)
+
+    # analytic spheres need triangle geometry to exist alongside them
+    # (film/BVH plumbing assumes a non-empty soup); all-sphere scenes
+    # fall back to tessellation
+    any_tris = any(not _is_analytic_sphere(s) for s in expanded)
+
+    for s_id, shape in enumerate(expanded):
+        if any_tris and _is_analytic_sphere(shape):
+            tw = np.asarray(shape.get("toWorld", np.eye(4)), np.float64)
+            c = np.asarray(shape.get("center", np.zeros(3)), np.float64)
+            c = cm.transform_point(tw, c[None])[0]
+            r = float(shape.get("radius", 1.0)) * _similarity_scale(tw)
+            bnode = _shape_bsdf_node(shape)
+            mid = mb.from_plugin(bnode) if bnode is not None \
+                else mb.default_id()
+            ana_spheres.append((c.astype(np.float32), np.float32(r),
+                                mid, s_id))
+            shape_bsdf.append(mid)
+            shape_emitter.append(-1)
+            shape_face_n.append(False)
+            continue
         mesh = _shape_mesh(shape, desc.base_dir)
         to_world = shape.get("toWorld", np.eye(4))
         pos = cm.transform_point(
@@ -408,6 +472,17 @@ def compile_scene(desc: SceneDesc,
         mt_slabs = build_mt_slabs(linC_full, window)
         linC = np.zeros((10, 4), np.float32)
 
+    if ana_spheres:
+        sph_center = np.stack([a[0] for a in ana_spheres])
+        sph_radius = np.asarray([a[1] for a in ana_spheres], np.float32)
+        sph_bsdf = np.asarray([a[2] for a in ana_spheres], np.int32)
+        sph_shape = np.asarray([a[3] for a in ana_spheres], np.int32)
+    else:
+        sph_center = np.zeros((0, 3), np.float32)
+        sph_radius = np.zeros(0, np.float32)
+        sph_bsdf = np.zeros(0, np.int32)
+        sph_shape = np.zeros(0, np.int32)
+
     geom = Geometry(
         tris=tris, bvh=bvh_arrays, clusters=clusters,
         tri9=tri9, cbounds=pack_cluster_bounds(clusters),
@@ -417,7 +492,9 @@ def compile_scene(desc: SceneDesc,
         uvs=uvs, indices=indices, tri_shape=tri_shape,
         shape_bsdf=np.asarray(shape_bsdf, np.int32),
         shape_emitter=np.asarray(shape_emitter, np.int32),
-        shape_use_face_normals=np.asarray(shape_face_n, bool))
+        shape_use_face_normals=np.asarray(shape_face_n, bool),
+        sph_center=sph_center, sph_radius=sph_radius,
+        sph_bsdf=sph_bsdf, sph_shape=sph_shape)
 
     # --- emitter tables ----------------------------------------------------
     emitters = _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2)
@@ -443,6 +520,11 @@ def compile_scene(desc: SceneDesc,
 
     if overrides:
         for k, v in overrides.items():
+            # coerce to the field's declared type so string values (CLI,
+            # tests) cannot poison static shapes downstream
+            cur = getattr(settings, k, None)
+            if cur is not None and not isinstance(v, type(cur)):
+                v = type(cur)(v)
             setattr(settings, k, v)
 
     extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
@@ -456,6 +538,12 @@ def compile_scene(desc: SceneDesc,
         (2 if any(r.get("tex_opacity", -1) >= 0 for r in mb.rows) else 0) |
         (4 if any(r["kind"] == _BLEND for r in mb.rows) else 0) |
         (8 if any(r.get("tex_blend", -1) >= 0 for r in mb.rows) else 0))
+    # anisotropic texture filtering (bitmap filterType "ewa", the
+    # Mitsuba default): primary hits carry a footprint ellipse
+    settings.has_ewa = any(
+        n.type == "bitmap" and
+        str(n.get("filterType", "ewa")).lower() == "ewa"
+        for n in mb.texture_nodes)
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
         textures=textures,
