@@ -110,21 +110,27 @@ def run(width, height, spp, max_depth, backend):
         "width": str(width), "height": str(height), "spp": str(spp),
         "maxDepth": str(max_depth), "integrator": "gpt"})
     tracer = GPTracer(scene, st)
+    tracer.count_rays = True  # measured device-side counter (round 2)
     scene = jax.device_put(scene)
 
     log("warm-up (compile, excluded from timing)...")
     t0 = time.time()
-    final, _ = tracer.render_final(scene, 0, spp, alpha=0.2, mode="L1")
+    final, bufs = tracer.render_final(scene, 0, spp, alpha=0.2, mode="L1")
     final.block_until_ready()
     log(f"compile+first run: {time.time() - t0:.1f}s; timing run...")
 
     t0 = time.time()
-    final, _ = tracer.render_final(scene, 1, spp, alpha=0.2, mode="L1")
+    final, bufs = tracer.render_final(scene, 1, spp, alpha=0.2, mode="L1")
     final.block_until_ready()
     wall = time.time() - t0
     log(f"timed render+reconstruct: {wall:.3f}s")
 
-    rays = width * height * spp * count_rays_per_sample(max_depth)
+    if "rays" in bufs:
+        rays = float(bufs["rays"])  # counted on device (popcounts)
+        log(f"measured rays: {rays:.0f} (formula would say "
+            f"{width * height * spp * count_rays_per_sample(max_depth)})")
+    else:
+        rays = width * height * spp * count_rays_per_sample(max_depth)
     mrays = rays / wall / 1e6
     suffix = "_cpufallback" if backend == "cpu_fallback" else ""
     emit({
@@ -135,6 +141,7 @@ def run(width, height, spp, max_depth, backend):
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
         "backend": backend,
         "wall_s": round(wall, 3),
+        "rays_measured": "rays" in bufs,
     })
 
 

@@ -47,7 +47,14 @@ from ..ops import common, emitter as em_ops, film as film_ops
 from ..ops import sensor as sensor_ops
 from ..scene.materials import CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC
 
-MAX_BDPT_DEPTH = 8
+import os as _os
+
+# Depth cap used when maxDepth=-1 (unbounded in the reference; bounded
+# here because the (s,t) strategy loop is unrolled into the XLA program
+# — compile time grows ~quadratically with depth).  Override with
+# GDMT_MAX_BDPT_DEPTH for deeper unbounded renders; explicit maxDepth
+# values above 8 are honored as-is.
+MAX_BDPT_DEPTH = int(_os.environ.get("GDMT_MAX_BDPT_DEPTH", "8"))
 LIGHT_DIM_BASE = 4096  # rng dim offset separating the light-path stream
 
 

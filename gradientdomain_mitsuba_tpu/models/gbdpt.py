@@ -36,7 +36,14 @@ forward" and "sampled at the neighbor, shifted back":
          = |J| * prod_i pdf_fwd_offset(z_i) / pdf_fwd_base(z_i),
 
 where c_* are the raw strategy contributions f/p and w_st(ybar) uses the
-technique sum evaluated on the SHIFTED view.  Unlike the fully-coupled
+technique sum evaluated on the SHIFTED view.
+
+The environment/delta-light family (not expressible as (s,t) strategies
+over area-emitter subpaths) is estimated WITH gradients by an embedded
+aux-only G-PT pass (gpt.GPTracer(aux_only=True)): its estimator is
+exactly the family's two-technique NEE/escape integral, and its shift
+machinery (reconnection/half-vector/environment) supplies the family's
+dx/dy.  Round-1 routed this family to very_direct undifferentiated.  Unlike the fully-coupled
 heuristic (one denominator over all techniques x {base, offset}), this
 form stays unbiased even when different techniques use DIFFERENT shift
 maps for the same physical path — which they do here: t=1 paths shift in

@@ -27,9 +27,10 @@ import jax.numpy as jnp
 from ..core import warp
 from ..core.math import reflect_local
 from ..core.spectrum import luminance
-from ..scene.materials import (BLEND, CONDUCTOR, DIELECTRIC, DIFFUSE,
-                               DIST_GGX, FLAG_TWOSIDED, NULL_BSDF, PHONG,
-                               PLASTIC, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
+from ..scene.materials import (BLEND, COATING, CONDUCTOR, DIELECTRIC,
+                               DIFFUSE, DIST_GGX, FLAG_TWOSIDED,
+                               NULL_BSDF, PHONG, PLASTIC,
+                               ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
                                ROUGH_DIFFUSE, ROUGH_PLASTIC,
                                THIN_DIELECTRIC, WARD)
 
@@ -57,6 +58,10 @@ class MatParams(NamedTuple):
     blend: "MatParams" = None   # resolved second-child params (lanes where
     #                             kind==BLEND; common.material_params fills
     #                             this when the scene contains blends)
+    coat: jnp.ndarray = None    # [N] bool lane is a COATING wrapper
+    coat_eta: jnp.ndarray = None    # [N] layer relative IOR
+    coat_sigma: jnp.ndarray = None  # [N, 3] sigmaA * thickness
+    coat_spec: jnp.ndarray = None   # [N, 3] layer specularReflectance
 
 
 def gather_params(materials, mid, albedo_override=None,
@@ -479,6 +484,129 @@ def _has(kinds, k):
     return kinds is None or k in kinds
 
 
+# ---------------------------------------------------------------------------
+# Smooth coating layer (src/bsdfs/coating.cpp): a dielectric slab with
+# absorption over a nested BSDF.  Directions are refracted into the layer
+# before the inner dispatch; the layer adds a delta reflection lobe.
+# ---------------------------------------------------------------------------
+
+def _coat_in(w, inv_eta):
+    """Refract a local direction INTO the (denser) layer, hemisphere
+    preserved.  Always succeeds going in."""
+    sin2_t = jnp.clip(1.0 - w[..., 2] ** 2, 0.0, 1.0) * inv_eta ** 2
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    return jnp.stack([w[..., 0] * inv_eta, w[..., 1] * inv_eta,
+                      jnp.sign(w[..., 2]) * cos_t], -1)
+
+
+def _coat_out(w, eta):
+    """Refract a local direction OUT of the layer; (wo, valid) — invalid
+    on total internal reflection."""
+    sin2_t = jnp.clip(1.0 - w[..., 2] ** 2, 0.0, 1.0) * eta ** 2
+    valid = sin2_t < 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wo = jnp.stack([w[..., 0] * eta, w[..., 1] * eta,
+                    jnp.sign(w[..., 2]) * cos_t], -1)
+    from ..core.math import normalize as _norm
+    return _norm(wo), valid
+
+
+def _coat_absorption(p, wi_c, wo_c):
+    tau = (1.0 / jnp.maximum(jnp.abs(wi_c[..., 2:3]), 1e-4) +
+           1.0 / jnp.maximum(jnp.abs(wo_c[..., 2:3]), 1e-4))
+    return jnp.exp(-p.coat_sigma * tau)
+
+
+def _coat_spec_prob(p, wi):
+    """Probability of sampling the layer's delta reflection
+    (specularSamplingWeight semantics, coating.cpp)."""
+    Fi, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), p.coat_eta)
+    s_lum = luminance(p.coat_spec)
+    d_lum = luminance(p.reflectance)
+    sw = s_lum / jnp.maximum(s_lum + d_lum, 1e-9)
+    return Fi, (Fi * sw) / jnp.maximum(Fi * sw + (1 - Fi) * (1 - sw),
+                                       1e-9)
+
+
+def _coating_eval(p, wi, wo, kinds):
+    """f*cos of the coated inner BSDF (the delta reflection lobe is
+    excluded, like every delta lobe in eval)."""
+    inv_eta = 1.0 / p.coat_eta
+    Fi, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), p.coat_eta)
+    Fo, _ = fresnel_dielectric(jnp.abs(wo[..., 2]), p.coat_eta)
+    wi_c = _coat_in(wi, inv_eta)
+    wo_c = _coat_in(wo, inv_eta)
+    f_in = eval(p._replace(blend=None, coat=None), wi_c, wo_c, kinds)
+    comp = (inv_eta ** 2 * jnp.abs(wo[..., 2]) /
+            jnp.maximum(jnp.abs(wo_c[..., 2]), 1e-6))
+    scale = ((1.0 - Fi) * (1.0 - Fo) * comp)[..., None]
+    return f_in * scale * _coat_absorption(p, wi_c, wo_c)
+
+
+def _coating_sample(p, wi, u2, u_comp, kinds):
+    """Sample the coating: delta layer reflection with probability
+    prob_spec, otherwise sample the inner BSDF in the layer and refract
+    back out (TIR kills the sample — unbiased failure)."""
+    from ..core.math import reflect_local
+    inv_eta = 1.0 / p.coat_eta
+    Fi, prob_spec = _coat_spec_prob(p, wi)
+    pick_spec = u_comp < prob_spec
+    u_re = jnp.clip(jnp.where(pick_spec,
+                              u_comp / jnp.maximum(prob_spec, 1e-9),
+                              (u_comp - prob_spec) /
+                              jnp.maximum(1.0 - prob_spec, 1e-9)),
+                    0.0, 1.0)
+
+    # nested lobe: sample the inner BSDF with the refracted incoming
+    wi_c = _coat_in(wi, inv_eta)
+    s_in = sample(p._replace(blend=None, coat=None), wi_c, u2, u_re,
+                  kinds)
+    wo_out, out_ok = _coat_out(s_in.wo, p.coat_eta)
+    Fo, _ = fresnel_dielectric(jnp.abs(wo_out[..., 2]), p.coat_eta)
+    absorp = _coat_absorption(p, wi_c, s_in.wo)
+    nested_valid = s_in.valid & out_ok
+    # smooth inner samples: one-sample-MIS weight from the coating's own
+    # eval/pdf (verified math above); delta inner (coated mirror): keep
+    # the inner weight scaled by the crossing terms, pdf picks up the
+    # component probability
+    f_c = _coating_eval(p, wi, wo_out, kinds)
+    pdf_c = _coating_pdf(p, wi, wo_out, kinds)
+    w_smooth = f_c / jnp.maximum(pdf_c, 1e-12)[..., None]
+    w_delta_in = (s_in.weight * absorp *
+                  ((1.0 - Fi) * (1.0 - Fo) /
+                   jnp.maximum(1.0 - prob_spec, 1e-9))[..., None])
+    nested_w = jnp.where(s_in.is_delta[..., None], w_delta_in, w_smooth)
+    nested_pdf = jnp.where(s_in.is_delta,
+                           (1.0 - prob_spec) * s_in.pdf, pdf_c)
+
+    # delta layer reflection
+    wo_spec = reflect_local(wi)
+    w_spec = p.coat_spec * (Fi / jnp.maximum(prob_spec, 1e-9))[..., None]
+
+    pk3 = pick_spec[..., None]
+    wo = jnp.where(pk3, wo_spec, wo_out)
+    weight = jnp.where(pk3, w_spec, nested_w)
+    valid = jnp.where(pick_spec, prob_spec > 0, nested_valid)
+    return BSDFSample(
+        wo=wo,
+        weight=jnp.where(valid[..., None], weight, 0.0),
+        pdf=jnp.where(pick_spec, prob_spec, nested_pdf),
+        is_delta=jnp.where(pick_spec, True, s_in.is_delta),
+        eta=jnp.ones_like(Fi),
+        valid=valid)
+
+
+def _coating_pdf(p, wi, wo, kinds):
+    inv_eta = 1.0 / p.coat_eta
+    _, prob_spec = _coat_spec_prob(p, wi)
+    wi_c = _coat_in(wi, inv_eta)
+    wo_c = _coat_in(wo, inv_eta)
+    pdf_in = pdf(p._replace(blend=None, coat=None), wi_c, wo_c, kinds)
+    comp = (inv_eta ** 2 * jnp.abs(wo[..., 2]) /
+            jnp.maximum(jnp.abs(wo_c[..., 2]), 1e-6))
+    return (1.0 - prob_spec) * pdf_in * comp
+
+
 def eval(p: MatParams, wi, wo, kinds=None):
     """f(wi,wo)*|cos_o| for the SMOOTH components; zero for delta lobes.
 
@@ -489,9 +617,13 @@ def eval(p: MatParams, wi, wo, kinds=None):
         # blendbsdf.cpp: f = (1-w) f_child0 + w f_child1.  Lanes whose
         # material is not a blend carry w = 0 and child0 = own row.
         w = p.blend_w[..., None]
-        f0 = eval(p._replace(blend=None), wi, wo, kinds)
+        f0 = eval(p._replace(blend=None, coat=None), wi, wo, kinds)
         f1 = eval(p.blend, wi, wo, kinds)
-        return (1.0 - w) * f0 + w * f1
+        f = (1.0 - w) * f0 + w * f1
+        if p.coat is not None:
+            f = jnp.where(p.coat[..., None],
+                          _coating_eval(p, wi, wo, kinds), f)
+        return f
     sign, _ = _flip_frame(p, wi)
     wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
@@ -541,9 +673,12 @@ def pdf(p: MatParams, wi, wo, kinds=None):
     """Solid-angle pdf of sample() restricted to smooth components."""
     if p.blend is not None:
         w = p.blend_w
-        p0 = pdf(p._replace(blend=None), wi, wo, kinds)
+        p0 = pdf(p._replace(blend=None, coat=None), wi, wo, kinds)
         p1 = pdf(p.blend, wi, wo, kinds)
-        return (1.0 - w) * p0 + w * p1
+        out = (1.0 - w) * p0 + w * p1
+        if p.coat is not None:
+            out = jnp.where(p.coat, _coating_pdf(p, wi, wo, kinds), out)
+        return out
     sign, _ = _flip_frame(p, wi)
     wi = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wo = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
@@ -629,7 +764,8 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
                                   u_comp / jnp.maximum(w, 1e-9),
                                   (u_comp - w) /
                                   jnp.maximum(1.0 - w, 1e-9)), 0.0, 1.0)
-        s0 = sample(p._replace(blend=None), wi, u2, u_re, kinds)
+        s0 = sample(p._replace(blend=None, coat=None), wi, u2, u_re,
+                    kinds)
         s1 = sample(p.blend, wi, u2, u_re, kinds)
         pick3 = pick1[..., None]
         wo = jnp.where(pick3, s1.wo, s0.wo)
@@ -646,10 +782,21 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
         pdf_out = jnp.where(is_delta,
                             w_pick * jnp.where(pick1, s1.pdf, s0.pdf),
                             pdf_mix)
-        return BSDFSample(wo=wo, weight=jnp.where(valid[..., None],
-                                                  weight, 0.0),
-                          pdf=pdf_out, is_delta=is_delta, eta=eta,
-                          valid=valid)
+        out = BSDFSample(wo=wo, weight=jnp.where(valid[..., None],
+                                                 weight, 0.0),
+                         pdf=pdf_out, is_delta=is_delta, eta=eta,
+                         valid=valid)
+        if p.coat is not None:
+            sc_ = _coating_sample(p, wi, u2, u_comp, kinds)
+            c3 = p.coat[..., None]
+            out = BSDFSample(
+                wo=jnp.where(c3, sc_.wo, out.wo),
+                weight=jnp.where(c3, sc_.weight, out.weight),
+                pdf=jnp.where(p.coat, sc_.pdf, out.pdf),
+                is_delta=jnp.where(p.coat, sc_.is_delta, out.is_delta),
+                eta=jnp.where(p.coat, sc_.eta, out.eta),
+                valid=jnp.where(p.coat, sc_.valid, out.valid))
+        return out
     sign, _ = _flip_frame(p, wi)
     sign3 = jnp.stack([jnp.ones_like(sign)] * 2 + [sign], -1)
     wif = wi * sign3
@@ -884,7 +1031,8 @@ def any_specular(materials, shift_threshold):
     kinds = np.asarray(materials.kind)
     alphas = np.asarray(materials.alpha)
     rough = np.where(
-        np.isin(kinds, (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC)), 0.0,
+        np.isin(kinds, (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC,
+                        COATING)), 0.0,  # coating: delta layer lobe
         np.where(np.isin(kinds, (ROUGH_CONDUCTOR, ROUGH_PLASTIC,
                                  ROUGH_DIELECTRIC, WARD)), alphas,
                  np.inf))
@@ -904,7 +1052,8 @@ def roughness(materials, mid):
                   (kind == THIN_DIELECTRIC), 0.0, r)
     r = jnp.where((kind == ROUGH_CONDUCTOR) | (kind == ROUGH_DIELECTRIC) |
                   (kind == ROUGH_PLASTIC) | (kind == WARD) |
-                  (kind == BLEND), alpha, r)
-    # BLEND rows store min(children roughness) at build time
-    # (MaterialBuilder.add_blend) so part-specular blends classify specular
+                  (kind == BLEND) | (kind == COATING), alpha, r)
+    # BLEND/COATING rows store their children's classification roughness
+    # at build time (MaterialBuilder) so wrappers classify like their
+    # dominant lobes
     return r

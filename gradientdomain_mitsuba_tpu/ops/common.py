@@ -314,11 +314,13 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
 
     p = gather(mid)
     if bits & 4:
-        # blend BSDFs: resolve BOTH child rows so eval/pdf/sample can
-        # recurse one level (blendbsdf/mixturebsdf; materials.BLEND)
-        from ..scene.materials import BLEND
+        # wrapper BSDFs (BLEND / COATING): resolve child rows so
+        # eval/pdf/sample can recurse one level (materials.{BLEND,COATING})
+        from ..scene.materials import BLEND, COATING
         is_b = p.kind == BLEND
-        c0 = jnp.where(is_b, p.child0, mid)
+        is_c = p.kind == COATING
+        wrap = is_b | is_c
+        c0 = jnp.where(wrap, p.child0, mid)
         c1 = jnp.where(is_b, p.child1, mid)
         pa = gather(c0)
         pb = gather(c1)
@@ -326,7 +328,10 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
         if bits & 8:  # textured blend weight
             from .texture import resolve_blend_weight
             w = jnp.where(is_b, resolve_blend_weight(scene, mid, uv), w)
-        return pa._replace(blend=pb, blend_w=w)
+        return pa._replace(blend=pb, blend_w=w, coat=is_c,
+                           coat_eta=jnp.maximum(p.eta[..., 0], 1.0 + 1e-4),
+                           coat_sigma=p.transmittance,
+                           coat_spec=p.specular)
     return p
 
 

@@ -26,6 +26,9 @@ WARD = 10
 NULL_BSDF = 11
 BLEND = 12             # weight-blend of two child rows (blendbsdf.cpp);
 #                        mixturebsdf folds into a binary tree of these
+COATING = 13           # smooth dielectric layer over a child row
+#                        (coating.cpp); roughcoating approximated by the
+#                        same smooth layer (documented deviation)
 
 KIND_NAMES = {
     "diffuse": DIFFUSE, "conductor": CONDUCTOR, "dielectric": DIELECTRIC,
@@ -164,7 +167,7 @@ class MaterialBuilder:
         if kind in (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC):
             return 0.0
         if kind in (ROUGH_CONDUCTOR, ROUGH_DIELECTRIC, ROUGH_PLASTIC,
-                    WARD, BLEND):
+                    WARD, BLEND, COATING):
             return r["alpha"]
         return np.inf
 
@@ -263,9 +266,37 @@ class MaterialBuilder:
                 acc = self.add_blend(acc, rid, w / max(denom, 1e-9))
                 wacc = denom
             return acc
-        if t in ("bumpmap", "normalmap", "coating", "roughcoating"):
-            # coating: not yet implemented -> nested BSDF.  bumpmap /
-            # normalmap: perturbation handled geometrically
+        if t in ("coating", "roughcoating"):
+            # smooth dielectric layer over the nested BSDF (coating.cpp);
+            # roughcoating uses the same smooth layer (deviation: the
+            # layer's microfacet roughness is dropped, the inner BSDF and
+            # Fresnel/absorption terms are kept)
+            inner = node.child("bsdf") or next(
+                (v for v in node.props.values() if hasattr(v, "kind")
+                 and v.kind == "bsdf"), None)
+            if inner is None:
+                raise ValueError(f"'{t}' without nested BSDF")
+            rid = self._build(inner, flags)
+            ext_ior = _lookup_ior(node.get("extIOR"), 1.000277)
+            int_ior = _lookup_ior(node.get("intIOR"), 1.5046)
+            from .ir import spectrum_value as _sv
+            sigma_a = _sv(node.get("sigmaA"), (0.0,) * 3)
+            thickness = float(node.get("thickness", 1.0))
+            spec = _sv(node.get("specularReflectance"), (1.0,) * 3)
+            # shift-classification roughness: inherit the INNER lobe's
+            # (reconnection keeps working on coated-diffuse; a delta-lobe
+            # bounce under a diffuse classification just fails its shift
+            # cleanly).  any_specular() still sees the delta layer.
+            return self.add_row(
+                kind=COATING, flags=flags,
+                alpha=min(self._row_roughness(rid), 1e30),
+                eta=(int_ior / ext_ior,) * 3,
+                specular=spec,
+                transmittance=np.asarray(sigma_a, np.float32) * thickness,
+                reflectance=self.rows[rid]["reflectance"],
+                child0=rid, child1=rid)
+        if t in ("bumpmap", "normalmap"):
+            # perturbation handled geometrically
             # (ops/common.fill_intersection); the nested BSDF is the
             # scattering model.
             inner = node.child("bsdf") or next(

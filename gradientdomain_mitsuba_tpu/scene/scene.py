@@ -532,11 +532,12 @@ def compile_scene(desc: SceneDesc,
     # bitmask: bit 0 = any textures bound; bit 1 = textured mask opacity;
     # bit 2 = blend BSDFs present; bit 3 = textured blend weight
     # (ops/common.material_params gates the extra gathers on these)
-    from .materials import BLEND as _BLEND
+    from .materials import BLEND as _BLEND, COATING as _COATING
     settings.has_textures = (
         (1 if mb.texture_nodes else 0) |
         (2 if any(r.get("tex_opacity", -1) >= 0 for r in mb.rows) else 0) |
-        (4 if any(r["kind"] == _BLEND for r in mb.rows) else 0) |
+        (4 if any(r["kind"] in (_BLEND, _COATING) for r in mb.rows)
+         else 0) |
         (8 if any(r.get("tex_blend", -1) >= 0 for r in mb.rows) else 0))
     # anisotropic texture filtering (bitmap filterType "ewa", the
     # Mitsuba default): primary hits carry a footprint ellipse

@@ -208,3 +208,91 @@ def test_bumpmap_constant_height_is_identity():
     a, _ = _render(plain, spp=8)
     b, _ = _render(bm, spp=8)
     np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# coating (src/bsdfs/coating.cpp): smooth dielectric layer over a child
+# ---------------------------------------------------------------------------
+
+def _coating_params(n, inner_kind=M.DIFFUSE, **inner_kw):
+    mb = M.MaterialBuilder()
+    rid = mb.add_row(kind=inner_kind, **inner_kw)
+    cid = mb.add_row(kind=M.COATING, alpha=mb._row_roughness(rid),
+                     eta=(1.5046,) * 3, specular=(1, 1, 1),
+                     transmittance=(0.0, 0.0, 0.0),
+                     reflectance=mb.rows[rid]["reflectance"],
+                     child0=rid, child1=rid)
+    mats = mb.finalize()
+    mid = jnp.full(n, cid, jnp.int32)
+    p = bsdf.gather_params(mats, mid)
+    pa = bsdf.gather_params(mats, p.child0)
+    pb = bsdf.gather_params(mats, p.child1)
+    is_c = p.kind == M.COATING
+    return pa._replace(blend=pb, blend_w=jnp.zeros(n), coat=is_c,
+                       coat_eta=p.eta[..., 0],
+                       coat_sigma=p.transmittance,
+                       coat_spec=p.specular)
+
+
+def test_coating_chi2_sample_vs_pdf():
+    from test_bsdf import chi2_sphere
+    par = _coating_params(N, reflectance=(0.7, 0.7, 0.7))
+    wi = jnp.asarray(np.float32([0.35, 0.1, 0.93]))
+    wi = wi / jnp.linalg.norm(wi)
+    u2 = rng.uniform_2d(21, jnp.arange(N), 0, 0)
+    uc = rng.uniform_float(21, jnp.arange(N), 0, 2)
+    bs = bsdf.sample(par, jnp.broadcast_to(wi, (N, 3)), u2, uc)
+    # the delta layer-reflection lobe is excluded (like every delta);
+    # chi2_sphere compares valid-count vs pdf integral, so mask the
+    # delta lanes out of `valid` (the pdf covers only smooth lobes)
+    bs = bs._replace(valid=bs.valid & ~bs.is_delta)
+    chi2_sphere(jax.tree.map(lambda a: a[:1], par), wi, bs)
+
+
+def test_coating_weight_matches_eval_over_pdf():
+    par = _coating_params(N, reflectance=(0.6, 0.5, 0.4))
+    wi = jnp.asarray(np.float32([0.2, -0.3, 0.93]))
+    wi = wi / jnp.linalg.norm(wi)
+    u2 = rng.uniform_2d(9, jnp.arange(N), 0, 0)
+    uc = rng.uniform_float(9, jnp.arange(N), 0, 2)
+    bs = bsdf.sample(par, jnp.broadcast_to(wi, (N, 3)), u2, uc)
+    sel = np.asarray(bs.valid & ~bs.is_delta & (bs.pdf > 1e-5))
+    # inner cosine samples outside the layer's escape cone are TIR-killed
+    # (coating.cpp semantics): survival = sin^2(theta_c) ~ 1/eta^2 ~ 0.44
+    assert sel.mean() > 0.35
+    f = np.asarray(bsdf.eval(par, jnp.broadcast_to(wi, (N, 3)), bs.wo))
+    expect = f[sel] / np.asarray(bs.pdf)[sel][:, None]
+    got = np.asarray(bs.weight)[sel]
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-5)
+
+
+def test_coating_energy_conservation():
+    """Coated white diffuse must not create energy: sum of sampled
+    weights (incl. the delta lobe) stays <= 1 in expectation."""
+    par = _coating_params(N, reflectance=(1.0, 1.0, 1.0))
+    wi = jnp.asarray(np.float32([0.3, 0.0, 0.954]))
+    wi = wi / jnp.linalg.norm(wi)
+    u2 = rng.uniform_2d(4, jnp.arange(N), 0, 0)
+    uc = rng.uniform_float(4, jnp.arange(N), 0, 2)
+    bs = bsdf.sample(par, jnp.broadcast_to(wi, (N, 3)), u2, uc)
+    w = np.asarray(jnp.where(bs.valid[..., None], bs.weight, 0.0))
+    assert w.mean() <= 1.02, w.mean()
+    # coating.cpp's model loses the TIR-trapped fraction (no internal
+    # multiple scattering): E[w] ~ Fi + (1-Fi) * sin^2(theta_c) * E[1-Fo]
+    # ~ 0.43 for eta=1.5 over white diffuse.  >0.35 guards against
+    # accidental double-counting of the transmission terms.
+    assert w.mean() > 0.35
+
+
+def test_coating_scene_end_to_end():
+    coat = """
+      <bsdf type="coating" id="floor">
+        <float name="intIOR" value="1.5"/>
+        <rgb name="sigmaA" value="0.05 0.1 0.05"/>
+        <float name="thickness" value="1"/>
+        <bsdf type="diffuse"><rgb name="reflectance" value="0.5 0.2 0.1"/></bsdf>
+      </bsdf>"""
+    img, scene = _render(coat, spp=8)
+    assert (np.asarray(scene.materials.kind) == M.COATING).any()
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3
