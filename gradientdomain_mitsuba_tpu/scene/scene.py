@@ -55,6 +55,10 @@ class Geometry(NamedTuple):
     sph_radius: np.ndarray   # [A]
     sph_bsdf: np.ndarray     # [A] i32
     sph_shape: np.ndarray    # [A] i32
+    # participating media attachment (scene/media.py): per-shape medium
+    # ids, -1 = vacuum (Shape::{get,set}{Interior,Exterior}Medium)
+    shape_interior: np.ndarray = np.zeros(0, np.int32)  # [S] i32
+    shape_exterior: np.ndarray = np.zeros(0, np.int32)  # [S] i32
 
 
 class EmitterTable(NamedTuple):
@@ -102,6 +106,7 @@ class SceneData(NamedTuple):
     camera: Camera
     textures: TextureTable
     ray_eps: np.ndarray  # scalar: min-t epsilon scaled to scene extent
+    media: Any = None    # MediumTable (scene/media.py); None = no media
 
 
 @dataclass
@@ -128,6 +133,8 @@ class RenderSettings:
     banner: bool = False
     output: str = "output.exr"
     strict_normals: bool = False
+    has_media: bool = False      # any medium rows bound to shapes/sensor
+    sensor_medium: int = -1      # camera-ray starting medium id
 
 
 _BSDF_KINDS = ("bsdf",)
@@ -206,10 +213,23 @@ def compile_scene(desc: SceneDesc,
     The caller moves SceneData to device with jax.device_put (replicated
     across the mesh for multi-chip rendering).
     """
+    from .media import MediaBuilder, medium_node, unnamed_medium
     mb = MaterialBuilder()
+    medb = MediaBuilder()
 
     all_pos, all_nrm, all_uv, all_idx = [], [], [], []
     tri_shape, shape_bsdf, shape_emitter, shape_face_n = [], [], [], []
+    shape_interior, shape_exterior = [], []
+
+    def _shape_media(shape):
+        """(interior_mid, exterior_mid) for a shape Plugin, -1 = vacuum."""
+        inner = medium_node(shape, "interior")
+        outer = medium_node(shape, "exterior")
+        if inner is None and outer is None:
+            # unnamed single medium child: Mitsuba binds it as interior
+            inner = unnamed_medium(shape)
+        return (medb.from_plugin(inner) if inner is not None else -1,
+                medb.from_plugin(outer) if outer is not None else -1)
     area_emitters = []  # (shape_id, radiance rgb)
     ana_spheres = []    # (center, radius, material id, shape id)
     v_off = 0
@@ -268,6 +288,9 @@ def compile_scene(desc: SceneDesc,
             shape_bsdf.append(mid)
             shape_emitter.append(-1)
             shape_face_n.append(False)
+            im, em = _shape_media(shape)
+            shape_interior.append(im)
+            shape_exterior.append(em)
             continue
         mesh = _shape_mesh(shape, desc.base_dir)
         to_world = shape.get("toWorld", np.eye(4))
@@ -319,6 +342,9 @@ def compile_scene(desc: SceneDesc,
         shape_bsdf.append(mid)
         shape_emitter.append(e_id)
         shape_face_n.append(use_face_n or bool(shape.get("faceNormals", False)))
+        im, em = _shape_media(shape)
+        shape_interior.append(im)
+        shape_exterior.append(em)
         v_off += len(pos)
 
     if not all_pos:
@@ -494,7 +520,9 @@ def compile_scene(desc: SceneDesc,
         shape_emitter=np.asarray(shape_emitter, np.int32),
         shape_use_face_normals=np.asarray(shape_face_n, bool),
         sph_center=sph_center, sph_radius=sph_radius,
-        sph_bsdf=sph_bsdf, sph_shape=sph_shape)
+        sph_bsdf=sph_bsdf, sph_shape=sph_shape,
+        shape_interior=np.asarray(shape_interior, np.int32),
+        shape_exterior=np.asarray(shape_exterior, np.int32))
 
     # --- emitter tables ----------------------------------------------------
     emitters = _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2)
@@ -545,10 +573,20 @@ def compile_scene(desc: SceneDesc,
         n.type == "bitmap" and
         str(n.get("filterType", "ewa")).lower() == "ewa"
         for n in mb.texture_nodes)
+    # --- participating media ------------------------------------------------
+    if desc.sensor is not None:
+        snode = (medium_node(desc.sensor, "exterior") or
+                 unnamed_medium(desc.sensor))
+        if snode is not None:
+            settings.sensor_medium = medb.from_plugin(snode)
+    media = medb.finalize()
+    settings.has_media = len(medb.rows) > 0
+
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
         textures=textures,
-        ray_eps=np.float32(max(extent, 1e-3) * 1e-4))
+        ray_eps=np.float32(max(extent, 1e-3) * 1e-4),
+        media=media)
     return scene, settings
 
 

@@ -212,10 +212,17 @@ def _render_scene(args, scene_path, variables, log):
         stats.update(render_s=t_render - t_load,
                      reconstruct_s=t_rec - t_render, mode=mode)
     else:
-        if st.integrator not in ("path", "direct", "ao", "bdpt", "field"):
+        if st.integrator not in ("path", "direct", "ao", "bdpt", "field",
+                                 "volpath", "volpath_simple", "pssmlt"):
             log(f"[tpurender] integrator '{st.integrator}' not available; "
                 f"falling back to 'path'")
-        if st.integrator == "bdpt":
+        if st.integrator in ("volpath", "volpath_simple"):
+            from ..models.volpath import VolPathTracer
+            tracer = VolPathTracer(scene, st)
+        elif st.integrator == "pssmlt":
+            from ..models.pssmlt import PSSMLTracer
+            tracer = PSSMLTracer(scene, st)
+        elif st.integrator == "bdpt":
             from ..models.bdpt import BDPTracer
             tracer = BDPTracer(scene, st)
         elif st.integrator == "direct":
