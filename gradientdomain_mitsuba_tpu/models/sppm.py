@@ -28,9 +28,11 @@ passes at fixed radius, ppm = deterministic camera side re-used each
 pass; both subsumed — the sppm estimator is strictly more general).
 
 Photons are emitted from area emitters (uniform pick, area-uniform
-position, cosine direction) and from point/spot delta emitters;
-environment photon emission is not implemented (env-lit scenes should
-use path/bdpt/gpt — documented deviation).
+position, cosine direction) and from point/spot/collimated delta
+emitters; environment and directional photon emission (which need a
+scene-bounding-disk source) are not implemented — such scenes should
+use path/bdpt/gpt (documented deviation; directional photon power is
+zeroed rather than emitted from a bogus origin).
 """
 from __future__ import annotations
 
@@ -212,6 +214,11 @@ class SPPMTracer(PathTracer):
             pdf_delta = jnp.where(
                 is_spot, warp.square_to_uniform_cone_pdf(cos_total),
                 warp.square_to_uniform_sphere_pdf())
+            # collimated beam (kind 3): fixed direction, unit pdf —
+            # photon power is the beam power itself
+            is_coll = dkind == 3
+            d0_delta = jnp.where(is_coll[..., None], ddir, d0_delta)
+            pdf_delta = jnp.where(is_coll, 1.0, pdf_delta)
             # spot falloff factor at the sampled direction
             cos_d = m.dot(d0_delta, ddir)
             cos_fall = em.delta_cos_falloff[de]
@@ -220,6 +227,11 @@ class SPPMTracer(PathTracer):
             spot_fac = jnp.where(is_spot, t, 1.0)
             beta_delta = (dint * (spot_fac / jnp.maximum(pdf_delta, 1e-12)
                                   )[..., None] * total_lights)
+            # directional emitters need scene-bounding-disk emission
+            # (not implemented — see module docstring); zero their power
+            # rather than emit from a bogus origin
+            beta_delta = jnp.where((dkind == 2)[..., None], 0.0,
+                                   beta_delta)
             pos0 = jnp.where(is_area[..., None], pos0, dpos)
             d0 = jnp.where(is_area[..., None], d0_area, d0_delta)
             beta = jnp.where(is_area[..., None], beta_area, beta_delta)

@@ -28,7 +28,7 @@ from ..core import warp
 from ..core.math import reflect_local
 from ..core.spectrum import luminance
 from ..scene.materials import (BLEND, COATING, CONDUCTOR, DIELECTRIC,
-                               DIFFUSE, DIST_GGX, FLAG_TWOSIDED,
+                               DIFFTRANS, DIFFUSE, DIST_GGX, FLAG_TWOSIDED,
                                NULL_BSDF, PHONG, PLASTIC,
                                ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
                                ROUGH_DIFFUSE, ROUGH_PLASTIC,
@@ -203,6 +203,19 @@ def _diffuse_eval(p: MatParams, wi, wo):
 def _diffuse_pdf(p, wi, wo):
     valid = (wi[..., 2] > 0) & (wo[..., 2] > 0)
     return jnp.where(valid, warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+
+
+def _difftrans_eval(p: MatParams, wi, wo):
+    """Diffuse transmitter (difftrans.cpp): Lambertian lobe on the
+    OPPOSITE hemisphere; `reflectance` carries the transmittance."""
+    opposite = wi[..., 2] * wo[..., 2] < 0
+    f = p.reflectance * INV_PI * jnp.abs(wo[..., 2])[..., None]
+    return jnp.where(opposite[..., None], f, 0.0)
+
+
+def _difftrans_pdf(p, wi, wo):
+    opposite = wi[..., 2] * wo[..., 2] < 0
+    return jnp.where(opposite, jnp.abs(wo[..., 2]) * INV_PI, 0.0)
 
 
 def _roughdiffuse_eval(p: MatParams, wi, wo):
@@ -473,7 +486,8 @@ def _flip_frame(p: MatParams, wi):
     from the back AND the material is two-sided (or is a dielectric, which
     handles signed cosines itself)."""
     handles_sign = ((p.kind == DIELECTRIC) | (p.kind == THIN_DIELECTRIC) |
-                    (p.kind == ROUGH_DIELECTRIC) | (p.kind == NULL_BSDF))
+                    (p.kind == ROUGH_DIELECTRIC) | (p.kind == NULL_BSDF) |
+                    (p.kind == DIFFTRANS))
     flip = p.twosided & (wi[..., 2] < 0) & ~handles_sign
     sign = jnp.where(flip, -1.0, 1.0)
     return sign, flip
@@ -649,6 +663,9 @@ def eval(p: MatParams, wi, wo, kinds=None):
     if _has(kinds, ROUGH_DIELECTRIC):
         out = jnp.where((p.kind == ROUGH_DIELECTRIC)[..., None],
                         _roughdielectric_eval(p, wi, wo), out)
+    if _has(kinds, DIFFTRANS):
+        out = jnp.where((p.kind == DIFFTRANS)[..., None],
+                        _difftrans_eval(p, wi, wo), out)
     if _has(kinds, OPACITY):
         out = out * p.opacity[..., None]  # mask: f = opacity * f_nested
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
@@ -698,6 +715,9 @@ def pdf(p: MatParams, wi, wo, kinds=None):
     if _has(kinds, ROUGH_DIELECTRIC):
         out = jnp.where(p.kind == ROUGH_DIELECTRIC,
                         _roughdielectric_pdf(p, wi, wo), out)
+    if _has(kinds, DIFFTRANS):
+        out = jnp.where(p.kind == DIFFTRANS,
+                        _difftrans_pdf(p, wi, wo), out)
     if _has(kinds, OPACITY):
         out = out * p.opacity  # mask: continuous pdf share
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
@@ -980,6 +1000,16 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
         pdf_sel.append((ROUGH_DIELECTRIC, pdf_rd))
         eta_sel.append((ROUGH_DIELECTRIC, eta_rd))
         valid_sel.append((ROUGH_DIELECTRIC, valid_rd))
+
+    if _has(kinds, DIFFTRANS):
+        # cosine hemisphere on the side OPPOSITE wi (difftrans.cpp)
+        flip_dt = jnp.where(wi[..., 2] > 0, -1.0, 1.0)
+        wo_dt = wo_d * jnp.stack([jnp.ones_like(flip_dt)] * 2 +
+                                 [flip_dt], -1)
+        wo_sel.append((DIFFTRANS, wo_dt))
+        w_sel.append((DIFFTRANS, p.reflectance))
+        pdf_sel.append((DIFFTRANS, pdf_d))
+        valid_sel.append((DIFFTRANS, jnp.abs(wi[..., 2]) > 1e-7))
 
     if _has(kinds, NULL_BSDF):
         wo_sel.append((NULL_BSDF, -wi))

@@ -142,6 +142,10 @@ def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos,
         spot_f = jnp.where(kind == 1,
                            jnp.where(cosd > ct, fall, 0.0), 1.0)
         val = val * spot_f[..., None]
+        # collimated (kind 3, src/emitters/collimated.cpp): a zero-radius
+        # beam is doubly delta — surface NEE hits it with probability 0;
+        # it contributes through particle/photon transport only
+        val = jnp.where((kind == 3)[..., None], 0.0, val)
         # discrete pick probability; pdf fields are 'unified discrete' = pick
         out = DirectSample(
             d=jnp.where(is_delta[..., None], dd, out.d),

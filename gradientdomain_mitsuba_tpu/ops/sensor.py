@@ -1,9 +1,18 @@
-"""Sensor (camera) sampling: perspective + thinlens.
+"""Sensor (camera) sampling: perspective, thinlens, orthographic,
+telecentric, spherical, radiancemeter, fluencemeter.
 
-TPU-native replacement for PerspectiveCamera::sampleRayDifferential and
-ThinLens (src/sensors/{perspective,thinlens}.cpp).  Positions are in
-CONTINUOUS film coordinates (pixels); matrices follow Mitsuba's
-cameraToSample convention (built in scene/scene.py _build_sensor).
+TPU-native replacement for the sensor plugin family
+(src/sensors/{perspective,thinlens,orthographic,telecentric,spherical,
+radiancemeter,fluencemeter}.cpp).  Positions are in CONTINUOUS film
+coordinates (pixels); matrices follow Mitsuba's cameraToSample
+convention (built in scene/scene.py _build_sensor).  One branch-free
+kernel covers all projection kinds (camera.kind selects lanes).
+
+Normalization deviation: radiancemeter/fluencemeter films record the
+MEAN sampled radiance (fluence / 4pi for the fluencemeter) rather than
+the reference's integrated W/m^2 — the spp-normalized film is the
+natural estimator in this wavefront design and differs only by the
+constant 4pi (documented here and in tests/test_sensors.py).
 """
 from __future__ import annotations
 
@@ -41,14 +50,45 @@ def sample_ray(camera, width, height, pos_film, u_aperture):
     o_cam = jnp.where(use_lens, o_lens, o_cam)
     d_cam = jnp.where(use_lens, d_lens, d_cam)
 
-    # orthographic (src/sensors/orthographic.cpp): origin on the film
-    # plane, direction along +z; world extent comes from toWorld scale
-    is_ortho = camera.ortho > 0.0
+    # orthographic / telecentric (src/sensors/{orthographic,
+    # telecentric}.cpp): origin on the film plane, direction along +z;
+    # world extent comes from toWorld scale.  Telecentric = orthographic
+    # with a per-pixel lens: offset the origin on the aperture disk and
+    # refocus through the pixel's focal point.
+    is_ortho = camera.kind == 1.0
     o_ortho = jnp.concatenate(
         [near[..., 0:2], jnp.zeros_like(near[..., 2:3])], axis=-1)
     d_ortho = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), d_cam.shape)
+    p_focus_o = o_ortho + jnp.asarray([0.0, 0.0, 1.0]) * camera.focus_distance
+    o_tele = o_ortho + o_lens
+    d_tele = m.normalize(p_focus_o - o_tele)
+    o_ortho = jnp.where(use_lens, o_tele, o_ortho)
+    d_ortho = jnp.where(use_lens, d_tele, d_ortho)
     o_cam = jnp.where(is_ortho, o_ortho, o_cam)
     d_cam = jnp.where(is_ortho, d_ortho, d_cam)
+
+    # spherical (src/sensors/spherical.cpp): lat-long mapping of the film,
+    # d = (sin(phi) sin(theta), cos(theta), -cos(phi) sin(theta)) with
+    # phi = (1 - x/W) 2pi, theta = (y/H) pi
+    phi = (1.0 - pos_film[..., 0] / width) * (2.0 * jnp.pi)
+    theta = (pos_film[..., 1] / height) * jnp.pi
+    st_, ct_ = jnp.sin(theta), jnp.cos(theta)
+    d_sph = jnp.stack([jnp.sin(phi) * st_, ct_, -jnp.cos(phi) * st_], -1)
+    is_sph = camera.kind == 2.0
+    o_cam = jnp.where(is_sph, jnp.zeros_like(o_cam), o_cam)
+    d_cam = jnp.where(is_sph, d_sph, d_cam)
+
+    # radiancemeter: every film sample measures the same (origin, +z) ray;
+    # fluencemeter: uniform-sphere directions from the origin
+    is_rad = camera.kind == 3.0
+    o_cam = jnp.where(is_rad, jnp.zeros_like(o_cam), o_cam)
+    d_cam = jnp.where(is_rad,
+                      jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                       d_cam.shape), d_cam)
+    is_flu = camera.kind == 4.0
+    d_flu = warp.square_to_uniform_sphere(u_aperture)
+    o_cam = jnp.where(is_flu, jnp.zeros_like(o_cam), o_cam)
+    d_cam = jnp.where(is_flu, d_flu, d_cam)
 
     o_w = m.transform_point(camera.to_world, o_cam)
     d_w = m.normalize(m.transform_vector(camera.to_world, d_cam))
@@ -91,6 +131,25 @@ def importance_sample_direct(camera, width, height, p_world):
                             jnp.array([1.0, 1.0, 0.0]))
     area_o = jnp.abs((x1o[..., 0] - x0o[..., 0]) *
                      (x1o[..., 1] - x0o[..., 1]))
-    we = jnp.where(camera.ortho > 0.0,
+    we = jnp.where(camera.kind == 1.0,
                    1.0 / jnp.maximum(area_o, 1e-12), we)
+
+    # spherical: invert the lat-long mapping; We = 1/(2 pi^2 sin(theta))
+    # per unit solid angle (integrates to 1 over the sphere)
+    d_sph = m.normalize(p_cam)
+    theta_s = jnp.arccos(jnp.clip(d_sph[..., 1], -1.0, 1.0))
+    phi_s = jnp.arctan2(d_sph[..., 0], -d_sph[..., 2]) % (2.0 * jnp.pi)
+    fx = (1.0 - phi_s / (2.0 * jnp.pi)) % 1.0
+    fy = theta_s / jnp.pi
+    film_sph = jnp.stack([fx * width, fy * height], axis=-1)
+    sin_t = jnp.maximum(jnp.sin(theta_s), 1e-6)
+    we_sph = 1.0 / (2.0 * jnp.pi ** 2 * sin_t)
+    is_sph = camera.kind == 2.0
+    film = jnp.where(is_sph, film_sph, film)
+    we = jnp.where(is_sph, we_sph, we)
+    in_frustum = in_frustum | (is_sph & (m.squared_length(p_cam) > 1e-12))
+    # radiancemeter/fluencemeter: no meaningful light-tracing connection
+    # to an image plane — mark invalid (matches their delta importance)
+    meter = camera.kind >= 3.0
+    in_frustum = in_frustum & ~meter
     return film, jnp.where(in_frustum, we, 0.0), in_frustum

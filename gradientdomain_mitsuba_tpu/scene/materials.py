@@ -29,6 +29,7 @@ BLEND = 12             # weight-blend of two child rows (blendbsdf.cpp);
 COATING = 13           # smooth dielectric layer over a child row
 #                        (coating.cpp); roughcoating approximated by the
 #                        same smooth layer (documented deviation)
+DIFFTRANS = 14         # diffuse transmitter (difftrans.cpp)
 
 KIND_NAMES = {
     "diffuse": DIFFUSE, "conductor": CONDUCTOR, "dielectric": DIELECTRIC,
@@ -36,6 +37,7 @@ KIND_NAMES = {
     "roughplastic": ROUGH_PLASTIC, "roughdielectric": ROUGH_DIELECTRIC,
     "thindielectric": THIN_DIELECTRIC, "roughdiffuse": ROUGH_DIFFUSE,
     "phong": PHONG, "ward": WARD, "null": NULL_BSDF,
+    "difftrans": DIFFTRANS,
 }
 
 # microfacet distribution enum
@@ -382,6 +384,13 @@ class MaterialBuilder:
                                     node.get("specularReflectance"),
                                     (0.2, 0.2, 0.2)),
                                 alpha=float(node.get("exponent", 30.0)),
+                                tex_reflectance=tex)
+        if kind == DIFFTRANS:
+            # difftrans.cpp: Lambertian transmission through the surface;
+            # 'transmittance' plays the role of the albedo
+            refl, tex = self._spectrum_or_texture(
+                node, ["transmittance"], (0.5, 0.5, 0.5))
+            return self.add_row(kind=kind, flags=flags, reflectance=refl,
                                 tex_reflectance=tex)
         if kind == NULL_BSDF:
             return self.add_row(kind=kind, flags=flags,

@@ -400,3 +400,27 @@ def make_cylinder(p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0,
         tris.append((a, c, b))
         tris.append((b, c, d))
     return Mesh(pos, np.asarray(tris, np.int32), nrm, uv)
+
+
+def make_heightfield(values: np.ndarray, shading_normals=True) -> Mesh:
+    """Displaced grid over [-1,1]^2 in the xy-plane with z = values[y, x]
+    (reference: src/shapes/heightfield.cpp, which ray-marches the bilinear
+    patches directly; tessellating to triangles keeps the single BVH/
+    traversal path of this framework — a documented deviation that
+    converges to the same surface as the grid resolution)."""
+    values = np.asarray(values, np.float32)
+    H, W = values.shape
+    xs = np.linspace(-1.0, 1.0, W, dtype=np.float32)
+    ys = np.linspace(-1.0, 1.0, H, dtype=np.float32)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    pos = np.stack([X, Y, values], -1).reshape(-1, 3).astype(np.float32)
+    uv = np.stack([(X + 1) * 0.5, (Y + 1) * 0.5], -1).reshape(-1, 2)
+    jj, ii = np.meshgrid(np.arange(H - 1), np.arange(W - 1), indexing="ij")
+    a = (jj * W + ii).ravel()
+    b = a + 1
+    c = a + W
+    d = c + 1
+    tris = np.concatenate([np.stack([a, b, d], -1),
+                           np.stack([a, d, c], -1)]).astype(np.int32)
+    nrm = compute_vertex_normals(pos, tris) if shading_normals else None
+    return Mesh(pos, tris, nrm, uv.astype(np.float32))

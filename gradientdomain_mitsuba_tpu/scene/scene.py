@@ -95,7 +95,11 @@ class Camera(NamedTuple):
     camera_to_sample: np.ndarray  # [4, 4]
     aperture_radius: np.ndarray   # scalar
     focus_distance: np.ndarray    # scalar
-    ortho: np.ndarray             # scalar flag: orthographic projection
+    # projection kind (scalar f32): 0=perspective/thinlens,
+    # 1=orthographic/telecentric, 2=spherical (lat-long), 3=radiancemeter,
+    # 4=fluencemeter — covering src/sensors/{perspective,thinlens,
+    # orthographic,telecentric,spherical,radiancemeter,fluencemeter}.cpp
+    kind: np.ndarray
 
 
 class SceneData(NamedTuple):
@@ -171,6 +175,27 @@ def _shape_mesh(shape: Plugin, base_dir: str) -> mesh_mod.Mesh:
             p0=shape.get("p0", np.array([0, 0, 0], np.float32)),
             p1=shape.get("p1", np.array([0, 0, 1], np.float32)),
             radius=float(shape.get("radius", 1.0)))
+    if t == "heightfield":
+        fn_img = shape.get("filename")
+        scale = float(shape.get("scale", 1.0))
+        if fn_img is not None:
+            path = os.path.join(base_dir, fn_img)
+            if path.lower().endswith((".exr", ".pfm")):
+                from ..utils import exr as exr_mod
+                img = exr_mod.read_rgb(path)
+            else:
+                from PIL import Image
+                img = np.asarray(Image.open(path).convert("RGB"),
+                                 np.float32) / 255.0
+            # luminance drives the displacement (heightfield.cpp reads a
+            # single-channel texture; RGB collapses via Rec.709 luma)
+            vals = (img @ np.asarray([0.2126, 0.7152, 0.0722],
+                                     np.float32)) * scale
+        else:
+            res = int(shape.get("resolution", 2))
+            vals = np.zeros((res, res), np.float32)
+        return mesh_mod.make_heightfield(
+            vals, shading_normals=bool(shape.get("shadingNormals", True)))
     raise ValueError(f"unsupported shape type '{t}'")
 
 
@@ -617,6 +642,17 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
     # scene-level delta emitters
     dk, dp, dd, di, dct, dcf = [], [], [], [], [], []
     for em in desc.emitters:
+        if em.type == "collimated":
+            # collimated.cpp: zero-radius beam at toWorld origin along
+            # its +z axis; 'power' is the beam's radiant power
+            to_world = np.asarray(em.get("toWorld", np.eye(4)), np.float64)
+            dk.append(3)
+            dp.append(to_world[:3, 3])
+            dz = to_world[:3, 2]
+            dd.append(dz / np.linalg.norm(dz))
+            di.append(spectrum_value(em.get("power"), (1, 1, 1)))
+            dct.append(-1.0); dcf.append(-1.0)
+            continue
         if em.type in ("point", "spot", "directional"):
             to_world = np.asarray(em.get("toWorld", np.eye(4)), np.float64)
             if em.type == "point":
@@ -675,8 +711,18 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
             env_rad = spectrum_value(em.get("scale", 1.0), (1, 1, 1))
             env_to_world = np.asarray(
                 em.get("toWorld", np.eye(4)), np.float32)
-        elif em.type in ("sun", "sky", "sunsky", "collimated"):
-            raise ValueError(f"emitter '{em.type}' not yet supported")
+        elif em.type in ("sun", "sky", "sunsky"):
+            # Preetham model baked to the standard envmap grid on the
+            # host (scene/sunsky.py); device-side sampling/eval is the
+            # shared envmap path
+            from . import sunsky as sunsky_mod
+            env_kind = 2
+            env_map = sunsky_mod.bake(em.type, em)
+            env_rad = np.ones(3, np.float32)
+            env_to_world = np.asarray(
+                em.get("toWorld", np.eye(4)), np.float32)
+        elif em.type == "collimated":
+            pass  # delta table above
 
     He, We = env_map.shape[:2]
     # luminance-weighted, sin(theta)-weighted 2D CDF for envmap sampling
@@ -721,6 +767,7 @@ def _build_sensor(desc):
     near, far = 1e-2, 1e4
     aperture, focus = 0.0, 1.0
     ortho = False
+    kind = 0.0
     if sensor is not None:
         to_world = np.asarray(sensor.get("toWorld", np.eye(4)), np.float64)
         film = sensor.child("film")
@@ -742,8 +789,14 @@ def _build_sensor(desc):
             if sensor.type == "thinlens":
                 aperture = float(sensor.get("apertureRadius", 0.0))
                 focus = float(sensor.get("focusDistance", 1.0))
-        elif sensor.type == "orthographic":
+        elif sensor.type in ("orthographic", "telecentric"):
             ortho = True
+            if sensor.type == "telecentric":
+                aperture = float(sensor.get("apertureRadius", 0.0))
+                focus = float(sensor.get("focusDistance", 1.0))
+        elif sensor.type in ("spherical", "radiancemeter", "fluencemeter"):
+            kind = {"spherical": 2.0, "radiancemeter": 3.0,
+                    "fluencemeter": 4.0}[sensor.type]
         elif sensor.type is not None and sensor.type != "":
             raise ValueError(f"sensor '{sensor.type}' not yet supported")
     settings.fov_x_deg = fov
@@ -770,7 +823,7 @@ def _build_sensor(desc):
         camera_to_sample=cam_to_sample.astype(np.float32),
         aperture_radius=np.float32(aperture),
         focus_distance=np.float32(focus),
-        ortho=np.float32(1.0 if ortho else 0.0))
+        kind=np.float32(1.0 if ortho else kind))
     return camera, settings
 
 

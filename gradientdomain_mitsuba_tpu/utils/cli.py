@@ -213,10 +213,14 @@ def _render_scene(args, scene_path, variables, log):
                      reconstruct_s=t_rec - t_render, mode=mode)
     else:
         if st.integrator not in ("path", "direct", "ao", "bdpt", "field",
-                                 "volpath", "volpath_simple", "pssmlt"):
+                                 "volpath", "volpath_simple", "pssmlt",
+                                 "sppm", "ppm", "photonmapper"):
             log(f"[tpurender] integrator '{st.integrator}' not available; "
                 f"falling back to 'path'")
-        if st.integrator in ("volpath", "volpath_simple"):
+        if st.integrator in ("sppm", "ppm", "photonmapper"):
+            from ..models.sppm import SPPMTracer
+            tracer = SPPMTracer(scene, st)
+        elif st.integrator in ("volpath", "volpath_simple"):
             from ..models.volpath import VolPathTracer
             tracer = VolPathTracer(scene, st)
         elif st.integrator == "pssmlt":

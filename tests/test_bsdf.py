@@ -94,6 +94,7 @@ CASES = {
                  specular=(0.3,) * 3, alpha=0.2),
     "ward_aniso": dict(kind=M.WARD, reflectance=(0.3,) * 3,
                        specular=(0.4,) * 3, alpha=0.1, alpha_v=0.3),
+    "difftrans": dict(kind=M.DIFFTRANS, reflectance=(0.6, 0.4, 0.2)),
 }
 
 

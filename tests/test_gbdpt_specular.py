@@ -86,13 +86,21 @@ def test_gradient_consistency_through_glass(glass_scene):
     the glass caustics in the t=1 light image are heavy-tailed enough
     that even a 2048-spp finite-difference reference is noise-dominated
     there (their shifts legitimately FAIL at the delta vertex, which is
-    unbiased but leaves caustic noise in both dx and the reference)."""
+    unbiased but leaves caustic noise in both dx and the reference).
+
+    Sample budgets: the ANALYTIC sphere (f44d65e) produces sharper
+    caustics than the old 12x24 tessellation, roughly doubling dx/fd
+    variance on this scene — 96 spp (ratio 0.97) no longer clears a 0.8
+    noise gate that the faceted sphere passed at 0.70.  A/B-verified
+    (2026-08-17) that the regression slope is ~1.08 for BOTH sphere
+    paths, i.e. no estimator bias; the slope gate is the bias signal,
+    the rms gate only bounds noise."""
     scene, st = glass_scene
     import copy
     st2 = copy.deepcopy(st)
     st2.integrator_props["lightImage"] = False
     g = gb_mod.GBDPTracer(scene, st2)
-    out = g.render(scene, seed=0, spp=96, chunk=8)
+    out = g.render(scene, seed=0, spp=256, chunk=8)
     ref = g.render(scene, seed=555, spp=384, chunk=8)
     fd_x = ref["primal"][:, 1:] - ref["primal"][:, :-1]
     dx = out["dx"][:, :-1]
@@ -101,7 +109,7 @@ def test_gradient_consistency_through_glass(glass_scene):
     a, b = dx[mx].ravel(), fd_x[mx].ravel()
     rms_fd = np.sqrt((b ** 2).mean())
     rms_err = np.sqrt(((a - b) ** 2).mean())
-    assert rms_err / rms_fd < 0.8, (rms_err, rms_fd)
+    assert rms_err / rms_fd < 0.85, (rms_err, rms_fd)
     assert np.corrcoef(a, b)[0, 1] > 0.7
     slope = (a * b).sum() / (b * b).sum()
-    assert 0.8 < slope < 1.2, slope  # measured 0.998 at 256/1024 spp
+    assert 0.8 < slope < 1.2, slope  # measured ~1.08 at 256/384 spp
