@@ -99,6 +99,7 @@ class SPPMTracer(PathTracer):
         stored = jnp.zeros(N, bool)
         vp_p = jnp.zeros((N, 3))
         vp_ns = jnp.zeros((N, 3))
+        vp_ng = jnp.zeros((N, 3))
         vp_wi = jnp.zeros((N, 3))
         vp_bsdf = jnp.full(N, -1, jnp.int32)
         vp_uv = jnp.zeros((N, 2))
@@ -125,6 +126,7 @@ class SPPMTracer(PathTracer):
             newly = storable & ~stored
             vp_p = jnp.where(newly[..., None], its.p, vp_p)
             vp_ns = jnp.where(newly[..., None], its.ns, vp_ns)
+            vp_ng = jnp.where(newly[..., None], its.ng, vp_ng)
             vp_wi = jnp.where(newly[..., None], wi_world, vp_wi)
             vp_bsdf = jnp.where(newly, its.bsdf_id, vp_bsdf)
             vp_uv = jnp.where(newly[..., None], its.uv, vp_uv)
@@ -147,7 +149,7 @@ class SPPMTracer(PathTracer):
             d = m.to_world(bs.wo, ss, ts, its.ns)
             o = common.offset_ray_origin(its.p, its.ng, d, eps)
 
-        return pos_film, L, dict(p=vp_p, ns=vp_ns, wi=vp_wi,
+        return pos_film, L, dict(p=vp_p, ns=vp_ns, ng=vp_ng, wi=vp_wi,
                                  bsdf=vp_bsdf, uv=vp_uv, tp=vp_tp,
                                  valid=stored)
 

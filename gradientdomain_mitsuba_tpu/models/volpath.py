@@ -1,4 +1,4 @@
-"""Wavefront volumetric path tracer (homogeneous media).
+"""Wavefront volumetric path tracer (homogeneous + heterogeneous media).
 
 TPU-native replacement for the `volpath` / `volpath_simple` integrators
 (src/integrators/volpath/volpath{,_simple}.cpp): the surface path loop of
@@ -7,6 +7,12 @@ distance sampling, phase-function scattering, and attenuated shadow rays
 that walk through index-matched (null-BSDF) boundaries.  Both reference
 names map to this one tracer (it always applies full NEE+MIS, i.e. the
 `volpath` estimator; `volpath_simple`'s reduced MIS is subsumed).
+
+Heterogeneous (density-grid) media switch the free-flight sample to
+spectral delta tracking and transmittances to ratio tracking against
+the per-medium majorant (ops/medium.py) — the wavefront analog of
+heterogeneous.cpp's Woodcock tracking, with a bounded per-segment step
+budget (`trackingSteps`, default 64) so every lane stays lockstep.
 
 Wavefront semantics per loop iteration (all lanes in lockstep):
   1. free-flight sample in the lane's current medium, bounded by the
@@ -35,6 +41,9 @@ from .path import PathTracer, mis_weight
 MAX_BOUNCES_UNLIMITED = 40
 NULL_SLACK = 4          # extra loop iterations to absorb null crossings
 MEDIA_DIM_BASE = 8192   # rng dim offset for the media sample stream
+TRACK_DIM_BASE = 32768  # free-flight delta-tracking steps
+SHADOW_TRACK_DIM_BASE = 49152   # ratio-tracking shadow segments
+FINAL_TRACK_DIM_BASE = 61440    # last-segment transmittance
 
 
 def _media_dim(bounce, which):
@@ -55,14 +64,22 @@ class VolPathTracer(PathTracer):
         self.max_null_crossings = int(
             settings.integrator_props.get("maxNullCrossings", 2))
         self.sensor_medium = int(getattr(settings, "sensor_medium", -1))
+        # heterogeneous media: delta/ratio tracking with a bounded step
+        # budget per segment (the `trackingSteps` knob; expected steps =
+        # majorant optical depth of the segment)
+        self.has_het = bool(getattr(settings, "has_het_media", False))
+        self.track_steps = int(
+            settings.integrator_props.get("trackingSteps", 64))
         # the loop must out-run per-lane depth + null crossings
         self.n_iters = self.n_bounces + NULL_SLACK
 
     # -- attenuated shadow rays --------------------------------------------
-    def _attenuated_tr(self, scene, o, d, dist, medium, active):
+    def _attenuated_tr(self, scene, o, d, dist, medium, active,
+                       rng=None, bounce=0):
         """Transmittance along (o, d, dist): walks through up to
         max_null_crossings null boundaries, accumulating each segment's
-        homogeneous transmittance; any other surface blocks (returns 0).
+        transmittance (analytic for homogeneous lanes, ratio tracking
+        for density-grid lanes); any other surface blocks (returns 0).
         Mirrors Scene::evalTransmittance + attenuated emitter sampling
         (src/librender/scene.cpp sampleAttenuatedEmitterDirect)."""
         N = o.shape[0]
@@ -73,14 +90,26 @@ class VolPathTracer(PathTracer):
         remaining = dist
         cur_med = medium
         walking = active
-        for _ in range(self.max_null_crossings + 1):
+        for c in range(self.max_null_crossings + 1):
             hit = self.closest(cur_o, d, jnp.zeros(N),
                                jnp.where(walking, remaining, -1.0),
                                scene.geom)
             seg = jnp.where(hit.valid, hit.t, remaining)
             _, sigma_t, _, _ = med_ops.gather(scene.media, cur_med)
-            tr = jnp.where(walking[..., None],
-                           tr * med_ops.transmittance(sigma_t, seg), tr)
+            if self.has_het and rng is not None:
+                seed_r, pid_r, sidx_r = rng
+                K = self.track_steps
+                base = (SHADOW_TRACK_DIM_BASE +
+                        (bounce * (self.max_null_crossings + 1) + c) *
+                        2 * K)
+
+                def u_trk(k, _base=base):
+                    return self._u2(seed_r, pid_r, sidx_r, _base + 2 * k)
+                tr_seg = med_ops.transmittance_tracking(
+                    scene.media, cur_med, cur_o, d, seg, u_trk, K)
+            else:
+                tr_seg = med_ops.transmittance(sigma_t, seg)
+            tr = jnp.where(walking[..., None], tr * tr_seg, tr)
             its = common.fill_intersection(scene, cur_o, d, hit)
             k = kind_tab[jnp.maximum(its.bsdf_id, 0)]
             is_null = hit.valid & (its.bsdf_id >= 0) & (k == NULL_BSDF)
@@ -141,11 +170,22 @@ class VolPathTracer(PathTracer):
             t_surf = jnp.where(its.valid, its.t, inf)
             sigma_s, sigma_t, ph_kind, ph_g = med_ops.gather(
                 scene.media, cur_med)
-            uch = u1(seed, pixel_id, sample_idx,
-                     _media_dim(b, D_MED_CHANNEL))
-            udist = u1(seed, pixel_id, sample_idx, _media_dim(b, D_MED_DIST))
-            ds_med = med_ops.sample_distance(sigma_s, sigma_t, uch, udist,
-                                             t_surf)
+            if self.has_het:
+                K = self.track_steps
+
+                def u_trk(k, _b=b):
+                    return u2(seed, pixel_id, sample_idx,
+                              TRACK_DIM_BASE + _b * 2 * K + 2 * k)
+                ds_med = med_ops.sample_distance_tracking(
+                    scene.media, cur_med, s["o"], s["d"], t_surf,
+                    u_trk, K)
+            else:
+                uch = u1(seed, pixel_id, sample_idx,
+                         _media_dim(b, D_MED_CHANNEL))
+                udist = u1(seed, pixel_id, sample_idx,
+                           _media_dim(b, D_MED_DIST))
+                ds_med = med_ops.sample_distance(sigma_s, sigma_t, uch,
+                                                 udist, t_surf)
             med_event = alive & ds_med.scattered
             tp = jnp.where(alive[..., None], tp * ds_med.weight, tp)
 
@@ -238,8 +278,9 @@ class VolPathTracer(PathTracer):
                 cur_med)
             sh_med = jnp.where(med_event, cur_med, sh_med_surf)
             if self.settings.has_media:
-                tr_sh = self._attenuated_tr(scene, sh_o, ds.d, sh_dist,
-                                            sh_med, nee_possible)
+                tr_sh = self._attenuated_tr(
+                    scene, sh_o, ds.d, sh_dist, sh_med, nee_possible,
+                    rng=(seed, pixel_id, sample_idx), bounce=b)
             else:
                 occl = self.occluded(sh_o, ds.d, jnp.zeros(N), sh_dist,
                                      scene.geom)
@@ -334,8 +375,18 @@ class VolPathTracer(PathTracer):
             _, sigma_t_f, _, _ = med_ops.gather(scene.media,
                                                 state["medium"])
             t_last = jnp.where(state["its"].valid, state["its"].t, 3e38)
-            state["throughput"] = state["throughput"] * \
-                med_ops.transmittance(sigma_t_f, t_last)
+            if self.has_het:
+                K = self.track_steps
+
+                def u_fin(k):
+                    return self._u2(seed, pixel_id, sample_idx,
+                                    FINAL_TRACK_DIM_BASE + 2 * k)
+                tr_f = med_ops.transmittance_tracking(
+                    scene.media, state["medium"], state["o"],
+                    state["d"], t_last, u_fin, K)
+            else:
+                tr_f = med_ops.transmittance(sigma_t_f, t_last)
+            state["throughput"] = state["throughput"] * tr_f
         its = state["its"]
         wi_world = -state["d"]
         cos_front = m.dot(its.ns, wi_world)

@@ -144,3 +144,154 @@ def _sphere_dir(u2):
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     phi = 2.0 * jnp.pi * u2[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous media: trilinear density lookup + spectral delta tracking
+# against the per-row majorant (heterogeneous.cpp Woodcock tracking, made
+# wavefront-shaped: a fixed-trip fori_loop whose lanes mask out once they
+# scatter or escape).
+# ---------------------------------------------------------------------------
+
+import jax
+
+
+def density_at(media, mid, p):
+    """Scalar density at world points p [N, 3] for each lane's medium.
+    Homogeneous rows (het == 0) return 1; points outside the [0,1]^3
+    volume frame return 0 (gridvolume.cpp zero-extension)."""
+    idx = jnp.clip(mid, 0, media.het.shape[0] - 1)
+    w2g = media.world_to_grid[idx]                       # [N, 4, 4]
+    q = (jnp.einsum("nij,nj->ni", w2g[:, :3, :3], p) + w2g[:, :3, 3])
+    res = media.grid_res[idx]                            # [N, 3] (nx,ny,nz)
+    off = media.grid_offset[idx]
+    nx = res[:, 0]
+    ny = res[:, 1]
+    nz = res[:, 2]
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), -1)
+
+    # texel-center coordinates (gridvolume.cpp lookupFloat convention)
+    fx = jnp.clip(q[:, 0] * (nx - 1), 0.0, (nx - 1).astype(jnp.float32))
+    fy = jnp.clip(q[:, 1] * (ny - 1), 0.0, (ny - 1).astype(jnp.float32))
+    fz = jnp.clip(q[:, 2] * (nz - 1), 0.0, (nz - 1).astype(jnp.float32))
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+    tx = fx - x0
+    ty = fy - y0
+    tz = fz - z0
+
+    def at(z, y, x):
+        flat = off + (z * ny + y) * nx + x
+        return media.grid_data[flat]
+
+    d000 = at(z0, y0, x0); d001 = at(z0, y0, x1)
+    d010 = at(z0, y1, x0); d011 = at(z0, y1, x1)
+    d100 = at(z1, y0, x0); d101 = at(z1, y0, x1)
+    d110 = at(z1, y1, x0); d111 = at(z1, y1, x1)
+    c00 = d000 * (1 - tx) + d001 * tx
+    c01 = d010 * (1 - tx) + d011 * tx
+    c10 = d100 * (1 - tx) + d101 * tx
+    c11 = d110 * (1 - tx) + d111 * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    dens = c0 * (1 - tz) + c1 * tz
+    het = media.het[idx] > 0
+    dens = jnp.where(inside, dens, 0.0)
+    return jnp.where(het & (mid >= 0), dens, 1.0)
+
+
+def _majorant(media, mid):
+    """Scalar majorant extinction per lane: max_density * max_c sigma_t."""
+    idx = jnp.clip(mid, 0, media.het.shape[0] - 1)
+    mu = media.max_density[idx] * jnp.max(media.sigma_t[idx], -1)
+    return jnp.where(mid >= 0, mu, 0.0)
+
+
+def sample_distance_tracking(media, mid, o, d, tmax, u_step, n_steps):
+    """Spectral delta tracking (the unbiased 'spectral tracking' history
+    scheme of Kutz et al. 2017) through a density-modulated medium.
+
+    u_step(k) must return [N, 2] fresh uniforms for tracking step k.
+    Returns the same DistanceSample contract as sample_distance: lanes
+    that scatter carry weight sigma_s(p)*Tr/pdf folded into `weight`;
+    escaping lanes carry the transmittance-over-pdf ratio.  Lanes whose
+    loop budget runs out escape with their accumulated weight (bias
+    vanishes as n_steps covers the optical depth; n_steps is the
+    `trackingSteps` knob)."""
+    N = mid.shape[0]
+    idx = jnp.clip(mid, 0, media.het.shape[0] - 1)
+    sigma_t_u = jnp.where((mid < 0)[..., None], 0.0, media.sigma_t[idx])
+    sigma_s_u = jnp.where((mid < 0)[..., None], 0.0, media.sigma_s[idx])
+    mu = _majorant(media, mid)
+    active0 = mu > 0.0
+
+    def body(k, st):
+        t, w, scattered, done = st
+        u = u_step(k)
+        step = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, 1.0 - 1e-7)) / \
+            jnp.maximum(mu, 1e-20)
+        t_new = t + step
+        escape = t_new >= tmax
+        p = o + d * t_new[..., None]
+        dens = density_at(media, mid, p)
+        s_t = sigma_t_u * dens[..., None]
+        s_s = sigma_s_u * dens[..., None]
+        p_real = jnp.clip(jnp.mean(s_t, -1) / jnp.maximum(mu, 1e-20),
+                          0.0, 1.0)
+        real = u[:, 1] < p_real
+        w_real = s_s / jnp.maximum(mu * p_real, 1e-20)[..., None]
+        s_n = jnp.maximum(mu[..., None] - s_t, 0.0)
+        w_null = s_n / jnp.maximum(mu * (1.0 - p_real), 1e-20)[..., None]
+
+        live = ~done
+        upd_scatter = live & ~escape & real
+        upd_null = live & ~escape & ~real
+        w = jnp.where(upd_scatter[..., None], w * w_real, w)
+        w = jnp.where(upd_null[..., None], w * w_null, w)
+        t = jnp.where(live, jnp.minimum(t_new, tmax), t)
+        scattered = scattered | upd_scatter
+        done = done | (live & (escape | real))
+        return (t, w, scattered, done)
+
+    t0 = jnp.zeros(N)
+    w0 = jnp.ones((N, 3))
+    st = (t0, w0, jnp.zeros(N, bool), ~active0)
+    t, w, scattered, _ = jax.lax.fori_loop(0, n_steps, body, st)
+    return DistanceSample(scattered=scattered, t=t,
+                          weight=jnp.where(active0[..., None], w, 1.0))
+
+
+def transmittance_tracking(media, mid, o, d, dist, u_step, n_steps):
+    """Ratio-tracking transmittance estimator [N, 3] along (o, d, dist)
+    (the unbiased analog of evalTransmittance for density grids)."""
+    N = mid.shape[0]
+    idx = jnp.clip(mid, 0, media.het.shape[0] - 1)
+    sigma_t_u = jnp.where((mid < 0)[..., None], 0.0, media.sigma_t[idx])
+    mu = _majorant(media, mid)
+    active0 = mu > 0.0
+
+    def body(k, st):
+        t, w, done = st
+        u = u_step(k)
+        step = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, 1.0 - 1e-7)) / \
+            jnp.maximum(mu, 1e-20)
+        t_new = t + step
+        escape = t_new >= dist
+        p = o + d * t_new[..., None]
+        dens = density_at(media, mid, p)
+        s_t = sigma_t_u * dens[..., None]
+        ratio = jnp.clip(1.0 - s_t / jnp.maximum(mu, 1e-20)[..., None],
+                         0.0, 1.0)
+        live = ~done
+        w = jnp.where((live & ~escape)[..., None], w * ratio, w)
+        t = jnp.where(live, t_new, t)
+        done = done | (live & escape)
+        return (t, w, done)
+
+    st = (jnp.zeros(N), jnp.ones((N, 3)), ~active0)
+    _, w, _ = jax.lax.fori_loop(0, n_steps, body, st)
+    return jnp.where(active0[..., None], w, 1.0)

@@ -187,12 +187,14 @@ class MaterialBuilder:
         return len(self.texture_nodes) - 1
 
     def from_plugin(self, node) -> int:
-        """BSDF plugin node -> material id (cached per node object)."""
+        """BSDF plugin node -> material id (cached per node object; the
+        map also PINS the node so id() reuse after GC cannot alias two
+        distinct BSDFs to one row)."""
         key = id(node)
         if key in self.by_node:
-            return self.by_node[key]
+            return self.by_node[key][0]
         mid = self._build(node, flags=0)
-        self.by_node[key] = mid
+        self.by_node[key] = (mid, node)
         return mid
 
     def _spectrum_or_texture(self, node, names, default):

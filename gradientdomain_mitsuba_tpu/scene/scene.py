@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, List, NamedTuple, Optional
 
 import numpy as np
 
@@ -138,7 +138,11 @@ class RenderSettings:
     output: str = "output.exr"
     strict_normals: bool = False
     has_media: bool = False      # any medium rows bound to shapes/sensor
+    has_het_media: bool = False  # any density-grid medium rows
     sensor_medium: int = -1      # camera-ray starting medium id
+    # nested <integrator> children as (type, props) pairs (multichannel/
+    # adaptive wrappers)
+    integrator_children: List[Any] = field(default_factory=list)
 
 
 _BSDF_KINDS = ("bsdf",)
@@ -240,7 +244,7 @@ def compile_scene(desc: SceneDesc,
     """
     from .media import MediaBuilder, medium_node, unnamed_medium
     mb = MaterialBuilder()
-    medb = MediaBuilder()
+    medb = MediaBuilder(desc.base_dir)
 
     all_pos, all_nrm, all_uv, all_idx = [], [], [], []
     tri_shape, shape_bsdf, shape_emitter, shape_face_n = [], [], [], []
@@ -570,6 +574,18 @@ def compile_scene(desc: SceneDesc,
         settings.max_depth = int(integ.get("maxDepth", -1))
         settings.rr_depth = int(integ.get("rrDepth", 5))
         settings.strict_normals = bool(integ.get("strictNormals", False))
+        # nested integrators (multichannel.cpp children, adaptive.cpp's
+        # wrapped integrator): (type, props) pairs — host-only config
+        settings.integrator_children = [
+            (c.type, dict(c.props)) for c in integ.children
+            if c.kind == "integrator"]
+        if settings.integrator == "adaptive" and \
+                settings.integrator_children:
+            # adaptive wraps a child integrator; inherit its depth knobs
+            ct, cp = settings.integrator_children[0]
+            settings.max_depth = int(cp.get("maxDepth",
+                                            settings.max_depth))
+            settings.rr_depth = int(cp.get("rrDepth", settings.rr_depth))
 
     if overrides:
         for k, v in overrides.items():
@@ -606,6 +622,7 @@ def compile_scene(desc: SceneDesc,
             settings.sensor_medium = medb.from_plugin(snode)
     media = medb.finalize()
     settings.has_media = len(medb.rows) > 0
+    settings.has_het_media = any(r[4] for r in medb.rows)
 
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,

@@ -212,35 +212,11 @@ def _render_scene(args, scene_path, variables, log):
         stats.update(render_s=t_render - t_load,
                      reconstruct_s=t_rec - t_render, mode=mode)
     else:
-        if st.integrator not in ("path", "direct", "ao", "bdpt", "field",
-                                 "volpath", "volpath_simple", "pssmlt",
-                                 "sppm", "ppm", "photonmapper"):
+        from ..models.factory import KNOWN, make_integrator
+        if st.integrator not in KNOWN:
             log(f"[tpurender] integrator '{st.integrator}' not available; "
                 f"falling back to 'path'")
-        if st.integrator in ("sppm", "ppm", "photonmapper"):
-            from ..models.sppm import SPPMTracer
-            tracer = SPPMTracer(scene, st)
-        elif st.integrator in ("volpath", "volpath_simple"):
-            from ..models.volpath import VolPathTracer
-            tracer = VolPathTracer(scene, st)
-        elif st.integrator == "pssmlt":
-            from ..models.pssmlt import PSSMLTracer
-            tracer = PSSMLTracer(scene, st)
-        elif st.integrator == "bdpt":
-            from ..models.bdpt import BDPTracer
-            tracer = BDPTracer(scene, st)
-        elif st.integrator == "direct":
-            from ..models.direct import DirectIntegrator
-            tracer = DirectIntegrator(scene, st)
-        elif st.integrator == "ao":
-            from ..models.direct import AOIntegrator
-            tracer = AOIntegrator(scene, st)
-        elif st.integrator == "field":
-            from ..models.direct import FieldIntegrator
-            tracer = FieldIntegrator(scene, st)
-        else:
-            from ..models.path import PathTracer
-            tracer = PathTracer(scene, st)
+        tracer = make_integrator(scene, st)
         if hasattr(tracer, "count_rays"):
             tracer.count_rays = bool(args.verbose or args.stats_json)
         with profile_cm:
@@ -248,10 +224,19 @@ def _render_scene(args, scene_path, variables, log):
                                 checkpoint_path=args.checkpoint,
                                 resume=args.resume,
                                 progress=make_flusher(tracer, False))
-        final = img
         t_render = time.time()
-        write_image(exr, out, img)
-        log(f"[tpurender] render {t_render - t_load:.2f}s -> {out}")
+        if isinstance(img, dict):
+            # multichannel: one image per named channel
+            for name, ch in img.items():
+                write_image(exr, base + "-" + name + ext, ch)
+            final = next(iter(img.values()))
+            write_image(exr, out, final)
+            log(f"[tpurender] render {t_render - t_load:.2f}s -> "
+                f"{len(img)} channels at {base}-<channel>{ext}")
+        else:
+            final = img
+            write_image(exr, out, img)
+            log(f"[tpurender] render {t_render - t_load:.2f}s -> {out}")
         stats.update(render_s=t_render - t_load)
 
     if args.relmse:

@@ -265,5 +265,10 @@ def test_media_builder_materials_and_refs():
         [2.55, 3.21, 3.77]) * 2.0, rtol=1e-6)
     np.testing.assert_allclose(tab.sigma_s[b], [0.5, 1.0, 1.5], rtol=1e-6)
     np.testing.assert_allclose(tab.sigma_a[b], [0.5, 1.0, 1.5], rtol=1e-6)
+    c = mb.from_plugin(Plugin(kind="medium", type="heterogeneous",
+                              props={"scale": 3.0}))
+    tab2 = mb.finalize()
+    assert tab2.het[c] == 1 and tab2.het[a] == 0
+    np.testing.assert_allclose(tab2.sigma_t[c], 3.0, rtol=1e-6)
     with pytest.raises(ValueError):
-        mb.from_plugin(Plugin(kind="medium", type="heterogeneous"))
+        mb.from_plugin(Plugin(kind="medium", type="bogus"))
