@@ -25,6 +25,9 @@ def make_integrator(scene, settings):
     if t == "pssmlt":
         from .pssmlt import PSSMLTracer
         return PSSMLTracer(scene, settings)
+    if t == "mlt":
+        from .mlt import MLTracer
+        return MLTracer(scene, settings)
     if t == "erpt":
         from .erpt import ERPTracer
         return ERPTracer(scene, settings)
@@ -54,6 +57,6 @@ def make_integrator(scene, settings):
 
 
 KNOWN = ("path", "direct", "ao", "bdpt", "field", "volpath",
-         "volpath_simple", "pssmlt", "erpt", "sppm", "ppm",
+         "volpath_simple", "pssmlt", "mlt", "erpt", "sppm", "ppm",
          "photonmapper", "adaptive", "multichannel", "vpl", "gpt",
          "gbdpt")
