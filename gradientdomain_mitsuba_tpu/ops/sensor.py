@@ -1,9 +1,9 @@
 """Sensor (camera) sampling: perspective, thinlens, orthographic,
-telecentric, spherical, radiancemeter, fluencemeter.
+telecentric, spherical, radiancemeter, fluencemeter, perspective_rdist.
 
 TPU-native replacement for the sensor plugin family
 (src/sensors/{perspective,thinlens,orthographic,telecentric,spherical,
-radiancemeter,fluencemeter}.cpp).  Positions are in CONTINUOUS film
+radiancemeter,fluencemeter,perspective_rdist}.cpp).  Positions are in CONTINUOUS film
 coordinates (pixels); matrices follow Mitsuba's cameraToSample
 convention (built in scene/scene.py _build_sensor).  One branch-free
 kernel covers all projection kinds (camera.kind selects lanes).
@@ -36,6 +36,26 @@ def sample_ray(camera, width, height, pos_film, u_aperture):
         jnp.concatenate([s, jnp.zeros(s.shape[:-1] + (1,))], axis=-1))
     d_cam = m.normalize(near)
     o_cam = jnp.zeros_like(d_cam)
+
+    # perspective_rdist (src/sensors/perspective_rdist.cpp): the film
+    # records the DISTORTED projection xd = xu (1 + k1 r^2 + k2 r^4), so
+    # ray generation inverts the radial polynomial — fixed-count Newton
+    # on the scalar rd = ru f(ru) (branch-free; zeros kc = identity)
+    k1, k2 = camera.kc[0], camera.kc[1]
+    has_rd = (k1 != 0.0) | (k2 != 0.0)
+    z_im = near[..., 2:3]
+    xy_d = near[..., 0:2] / jnp.where(jnp.abs(z_im) > 1e-9, z_im, 1.0)
+    rd = jnp.sqrt(jnp.sum(xy_d * xy_d, -1, keepdims=True))
+    ru = rd
+    for _ in range(4):
+        r2 = ru * ru
+        g = ru * (1.0 + r2 * (k1 + k2 * r2)) - rd
+        dg = 1.0 + r2 * (3.0 * k1 + 5.0 * k2 * r2)
+        ru = ru - g / jnp.where(jnp.abs(dg) > 1e-6, dg, 1.0)
+    undist = jnp.where(rd > 1e-9, ru / jnp.maximum(rd, 1e-9), 1.0)
+    d_rd = m.normalize(jnp.concatenate(
+        [xy_d * undist, jnp.ones_like(z_im)], axis=-1))
+    d_cam = jnp.where(has_rd & (camera.kind == 0.0), d_rd, d_cam)
 
     # thinlens: offset origin on the aperture disk, refocus through the
     # focal plane (thinlens.cpp sampleRay)
@@ -106,6 +126,18 @@ def importance_sample_direct(camera, width, height, p_world):
     p_cam = m.transform_point(camera.world_to_camera, p_world)
     z = p_cam[..., 2]
     s = m.transform_point(camera.camera_to_sample, p_cam)
+    # perspective_rdist: forward-distort the image-plane point before the
+    # sample-space transform (light-tracing splats land on the distorted
+    # film; importance itself is the undistorted cos^4 model — deviation)
+    k1, k2 = camera.kc[0], camera.kc[1]
+    has_rd = (k1 != 0.0) | (k2 != 0.0)
+    zc = jnp.where(jnp.abs(z) > 1e-9, z, 1.0)[..., None]
+    xy_u = p_cam[..., 0:2] / zc
+    r2 = jnp.sum(xy_u * xy_u, -1, keepdims=True)
+    f_rd = 1.0 + r2 * (k1 + k2 * r2)
+    p_dist = jnp.concatenate([xy_u * f_rd * zc, p_cam[..., 2:3]], axis=-1)
+    s_rd = m.transform_point(camera.camera_to_sample, p_dist)
+    s = jnp.where(has_rd & (camera.kind == 0.0), s_rd, s)
     in_frustum = ((z > 1e-6) & (s[..., 0] >= 0) & (s[..., 0] < 1) &
                   (s[..., 1] >= 0) & (s[..., 1] < 1))
     film = jnp.stack([s[..., 0] * width, s[..., 1] * height], axis=-1)

@@ -100,6 +100,9 @@ class Camera(NamedTuple):
     # 4=fluencemeter — covering src/sensors/{perspective,thinlens,
     # orthographic,telecentric,spherical,radiancemeter,fluencemeter}.cpp
     kind: np.ndarray
+    # radial distortion [k1, k2] (perspective_rdist.cpp, Zhang model);
+    # zeros = undistorted
+    kc: np.ndarray = np.zeros(2, np.float32)
 
 
 class SceneData(NamedTuple):
@@ -785,6 +788,7 @@ def _build_sensor(desc):
     aperture, focus = 0.0, 1.0
     ortho = False
     kind = 0.0
+    kc = np.zeros(2, np.float32)
     if sensor is not None:
         to_world = np.asarray(sensor.get("toWorld", np.eye(4)), np.float64)
         film = sensor.child("film")
@@ -801,11 +805,18 @@ def _build_sensor(desc):
             settings.spp = int(sampler.get("sampleCount", 16))
         near = float(sensor.get("nearClip", 1e-2))
         far = float(sensor.get("farClip", 1e4))
-        if sensor.type in ("perspective", "thinlens"):
+        if sensor.type in ("perspective", "thinlens", "perspective_rdist"):
             fov = _resolve_fov(sensor, settings.width, settings.height)
             if sensor.type == "thinlens":
                 aperture = float(sensor.get("apertureRadius", 0.0))
                 focus = float(sensor.get("focusDistance", 1.0))
+            if sensor.type == "perspective_rdist":
+                # perspective_rdist.cpp: comma/space-separated polynomial
+                # coefficients (Zhang's model, 2 terms honored)
+                raw = str(sensor.get("kc", "0, 0")).replace(",", " ")
+                vals = [float(v) for v in raw.split()]
+                vals = (vals + [0.0, 0.0])[:2]
+                kc = np.asarray(vals, np.float32)
         elif sensor.type in ("orthographic", "telecentric"):
             ortho = True
             if sensor.type == "telecentric":
@@ -840,7 +851,8 @@ def _build_sensor(desc):
         camera_to_sample=cam_to_sample.astype(np.float32),
         aperture_radius=np.float32(aperture),
         focus_distance=np.float32(focus),
-        kind=np.float32(1.0 if ortho else kind))
+        kind=np.float32(1.0 if ortho else kind),
+        kc=kc)
     return camera, settings
 
 

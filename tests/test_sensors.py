@@ -280,3 +280,66 @@ def test_collimated_beam_via_photons():
     border = img[:2].mean() + img[-2:].mean()
     assert center > 0.05, center
     assert center > 20 * max(border, 1e-9), (center, border)
+
+
+RDIST = """<scene version="0.5.0">
+  <integrator type="path"><integer name="maxDepth" value="2"/></integrator>
+  <sensor type="perspective_rdist">
+    <float name="fov" value="50"/>
+    <string name="kc" value="%s"/>
+    <transform name="toWorld">
+      <lookat origin="0 0 4" target="0 0 0" up="0 1 0"/>
+    </transform>
+    <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="32"/><integer name="height" value="32"/>
+      <rfilter type="box"/>
+    </film>
+  </sensor>
+  <shape type="rectangle">
+    <transform name="toWorld"><scale value="3"/></transform>
+    <bsdf type="diffuse"/>
+  </shape>
+  <emitter type="constant"><rgb name="radiance" value="1, 1, 1"/></emitter>
+</scene>"""
+
+
+def test_rdist_zero_kc_matches_perspective():
+    """perspective_rdist with kc=0 must be EXACTLY the perspective sensor
+    (src/sensors/perspective_rdist.cpp degenerates to perspective.cpp)."""
+    from gradientdomain_mitsuba_tpu.ops import sensor as sensor_ops
+    scene, st = _load(RDIST % "0, 0")
+    pos = np.array([[16.0, 16.0], [3.0, 28.0], [30.0, 2.0]], np.float32)
+    u = np.zeros((3, 2), np.float32)
+    o1, d1 = sensor_ops.sample_ray(scene.camera, 32, 32, pos, u)
+    cam0 = scene.camera._replace(kc=np.zeros(2, np.float32))
+    o0, d0 = sensor_ops.sample_ray(cam0, 32, 32, pos, u)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)
+
+
+def test_rdist_roundtrip_projection():
+    """sample_ray's inverse distortion and importance_sample_direct's
+    forward distortion must be mutually consistent: a point on the
+    generated ray projects back to the originating film position."""
+    from gradientdomain_mitsuba_tpu.ops import sensor as sensor_ops
+    scene, st = _load(RDIST % "0.08, 0.02")
+    assert float(np.abs(np.asarray(scene.camera.kc)).sum()) > 0
+    pos = np.array([[16.0, 16.0], [5.0, 26.0], [28.0, 4.0], [2.0, 2.0]],
+                   np.float32)
+    u = np.zeros((4, 2), np.float32)
+    o, d = sensor_ops.sample_ray(scene.camera, 32, 32, pos, u)
+    p = np.asarray(o) + 2.5 * np.asarray(d)
+    film, we, ok = sensor_ops.importance_sample_direct(
+        scene.camera, 32, 32, p)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(film), pos, atol=2e-3)
+    # and the distortion is actually non-trivial: undistorted projection
+    # of the same points must NOT land on pos away from the center
+    cam0 = scene.camera._replace(kc=np.zeros(2, np.float32))
+    film0, _, _ = sensor_ops.importance_sample_direct(cam0, 32, 32, p)
+    assert np.abs(np.asarray(film0)[1:] - pos[1:]).max() > 0.2
+
+
+def test_rdist_renders():
+    img = np.asarray(_render(RDIST % "0.05, 0.01", spp=4))
+    assert np.isfinite(img).all() and img.mean() > 0.01
