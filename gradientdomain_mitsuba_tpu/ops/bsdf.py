@@ -29,7 +29,7 @@ from ..core.math import reflect_local
 from ..core.spectrum import luminance
 from ..scene.materials import (BLEND, COATING, CONDUCTOR, DIELECTRIC,
                                DIFFTRANS, DIFFUSE, DIST_GGX, FLAG_TWOSIDED,
-                               NULL_BSDF, PHONG, PLASTIC,
+                               HK, NULL_BSDF, PHONG, PLASTIC,
                                ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
                                ROUGH_DIFFUSE, ROUGH_PLASTIC,
                                THIN_DIELECTRIC, WARD)
@@ -216,6 +216,73 @@ def _difftrans_eval(p: MatParams, wi, wo):
 def _difftrans_pdf(p, wi, wo):
     opposite = wi[..., 2] * wo[..., 2] < 0
     return jnp.where(opposite, jnp.abs(wo[..., 2]) * INV_PI, 0.0)
+
+
+def _hk_coeffs(p: MatParams):
+    """(albedo, tau) of the HK slab: sigmaS in `reflectance`, sigmaA in
+    `transmittance`, thickness in `alpha` (hk.cpp parameterization)."""
+    sig_s = p.reflectance
+    sig_t = sig_s + p.transmittance
+    alb = sig_s / jnp.maximum(sig_t, 1e-12)
+    tau = sig_t * p.alpha[..., None]
+    return alb, tau
+
+
+def _hk_phase(p, wi, wo):
+    """HG phase value for the slab (isotropic when |g| ~ 0); angle
+    between the incident propagation -wi and the outgoing wo."""
+    from .medium import phase_eval
+    from ..scene.media import PHASE_HG, PHASE_ISOTROPIC
+    kind = jnp.where(jnp.abs(p.alpha_v) < 1e-4, PHASE_ISOTROPIC, PHASE_HG)
+    return phase_eval(kind, p.alpha_v, wi, wo)
+
+
+def _hk_delta_t(p, wi):
+    """Unscattered (delta) transmittance through the slab: exp(-tau/mu)."""
+    _, tau = _hk_coeffs(p)
+    mu_i = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)[..., None]
+    return jnp.exp(-tau / mu_i)
+
+
+def _hk_eval(p: MatParams, wi, wo):
+    """Hanrahan-Krueger single scattering in a slab of optical depth tau
+    (hk.cpp, Hanrahan & Krueger 1993).  Returns f*|cos_o|:
+      reflection:   alb p mu_o/(mu_i+mu_o) (1 - e^{-tau(1/mu_i+1/mu_o)})
+      transmission: alb p mu_o (e^{-tau/mu_o} - e^{-tau/mu_i})/(mu_o-mu_i)
+    with the mu_o -> mu_i limit alb p tau e^{-tau/mu}/mu."""
+    alb, tau = _hk_coeffs(p)
+    mu_i = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)[..., None]
+    mu_o = jnp.maximum(jnp.abs(wo[..., 2]), 1e-6)[..., None]
+    ph = _hk_phase(p, wi, wo)[..., None]
+
+    f_r = (alb * ph * mu_o / (mu_i + mu_o) *
+           (1.0 - jnp.exp(-tau * (1.0 / mu_i + 1.0 / mu_o))))
+
+    dmu = mu_o - mu_i
+    near = jnp.abs(dmu) < 1e-4
+    dmu_s = jnp.where(near, 1.0, dmu)
+    f_t_gen = (alb * ph * mu_o *
+               (jnp.exp(-tau / mu_o) - jnp.exp(-tau / mu_i)) / dmu_s)
+    f_t_lim = alb * ph * tau * jnp.exp(-tau / mu_i) / mu_i
+    f_t = jnp.where(near, f_t_lim, f_t_gen)
+
+    same_side = wi[..., 2] * wo[..., 2] > 0
+    f = jnp.where(same_side[..., None], f_r, f_t)
+    valid = jnp.abs(wi[..., 2]) > 1e-7
+    return jnp.where(valid[..., None], jnp.maximum(f, 0.0), 0.0)
+
+
+def _hk_scatter_prob(p, wi):
+    """Probability of sampling the scattering (smooth) component; the
+    complement goes to delta transmission, weighted by the unscattered
+    slab transmittance (hk.cpp component selection)."""
+    pd = luminance(_hk_delta_t(p, wi))
+    return jnp.clip(1.0 - pd, 1e-3, 1.0)
+
+
+def _hk_pdf(p, wi, wo):
+    ps = _hk_scatter_prob(p, wi)
+    return ps * _hk_phase(p, wi, wo)
 
 
 def _roughdiffuse_eval(p: MatParams, wi, wo):
@@ -487,7 +554,7 @@ def _flip_frame(p: MatParams, wi):
     handles signed cosines itself)."""
     handles_sign = ((p.kind == DIELECTRIC) | (p.kind == THIN_DIELECTRIC) |
                     (p.kind == ROUGH_DIELECTRIC) | (p.kind == NULL_BSDF) |
-                    (p.kind == DIFFTRANS))
+                    (p.kind == DIFFTRANS) | (p.kind == HK))
     flip = p.twosided & (wi[..., 2] < 0) & ~handles_sign
     sign = jnp.where(flip, -1.0, 1.0)
     return sign, flip
@@ -666,6 +733,9 @@ def eval(p: MatParams, wi, wo, kinds=None):
     if _has(kinds, DIFFTRANS):
         out = jnp.where((p.kind == DIFFTRANS)[..., None],
                         _difftrans_eval(p, wi, wo), out)
+    if _has(kinds, HK):
+        out = jnp.where((p.kind == HK)[..., None],
+                        _hk_eval(p, wi, wo), out)
     if _has(kinds, OPACITY):
         out = out * p.opacity[..., None]  # mask: f = opacity * f_nested
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
@@ -718,6 +788,8 @@ def pdf(p: MatParams, wi, wo, kinds=None):
     if _has(kinds, DIFFTRANS):
         out = jnp.where(p.kind == DIFFTRANS,
                         _difftrans_pdf(p, wi, wo), out)
+    if _has(kinds, HK):
+        out = jnp.where(p.kind == HK, _hk_pdf(p, wi, wo), out)
     if _has(kinds, OPACITY):
         out = out * p.opacity  # mask: continuous pdf share
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
@@ -1011,6 +1083,32 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
         pdf_sel.append((DIFFTRANS, pdf_d))
         valid_sel.append((DIFFTRANS, jnp.abs(wi[..., 2]) > 1e-7))
 
+    if _has(kinds, HK):
+        # hk.cpp: choose delta (unscattered) transmission with the slab
+        # transmittance's luminance, else sample the phase function
+        # around the incident propagation -wi (full sphere — the lobe
+        # covers reflection AND scattered transmission)
+        from .medium import phase_sample
+        from ..scene.media import PHASE_HG, PHASE_ISOTROPIC
+        ps_hk = _hk_scatter_prob(p, wi)
+        pick_delta_hk = u_comp >= ps_hk
+        kind_ph = jnp.where(jnp.abs(p.alpha_v) < 1e-4,
+                            PHASE_ISOTROPIC, PHASE_HG)
+        wo_ph_hk, pdf_ph_hk = phase_sample(kind_ph, p.alpha_v, wi, u2)
+        pdf_sc = ps_hk * jnp.maximum(pdf_ph_hk, 1e-12)
+        w_sc = _hk_eval(p, wi, wo_ph_hk) / pdf_sc[..., None]
+        t_hk = _hk_delta_t(p, wi)
+        pd_hk = 1.0 - ps_hk
+        wo_hk = jnp.where(pick_delta_hk[..., None], -wi, wo_ph_hk)
+        w_hk = jnp.where(pick_delta_hk[..., None],
+                         t_hk / jnp.maximum(pd_hk, 1e-9)[..., None], w_sc)
+        pdf_hk = jnp.where(pick_delta_hk, pd_hk, pdf_sc)
+        wo_sel.append((HK, wo_hk))
+        w_sel.append((HK, w_hk))
+        pdf_sel.append((HK, pdf_hk))
+        valid_sel.append((HK, (jnp.abs(wi[..., 2]) > 1e-7) & (pdf_hk > 0)))
+        delta_mask = delta_mask | ((k == HK) & pick_delta_hk)
+
     if _has(kinds, NULL_BSDF):
         wo_sel.append((NULL_BSDF, -wi))
         w_sel.append((NULL_BSDF, jnp.ones_like(p.reflectance)))
@@ -1034,7 +1132,8 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
 
     # un-flip wo back to the true frame (dielectrics were never flipped)
     handles_sign = ((k == DIELECTRIC) | (k == THIN_DIELECTRIC) |
-                    (k == NULL_BSDF) | (k == ROUGH_DIELECTRIC))
+                    (k == NULL_BSDF) | (k == ROUGH_DIELECTRIC) |
+                    (k == HK))
     unflip = jnp.where(handles_sign, 1.0, sign)
     wo = wo * jnp.stack([jnp.ones_like(unflip)] * 2 + [unflip], -1)
 

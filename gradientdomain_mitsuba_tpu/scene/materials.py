@@ -30,6 +30,10 @@ COATING = 13           # smooth dielectric layer over a child row
 #                        (coating.cpp); roughcoating approximated by the
 #                        same smooth layer (documented deviation)
 DIFFTRANS = 14         # diffuse transmitter (difftrans.cpp)
+HK = 15                # Hanrahan-Krueger thin-slab single scattering
+#                        (hk.cpp): reflectance stores sigmaS,
+#                        transmittance sigmaA, alpha the slab thickness,
+#                        alpha_v the HG asymmetry g
 
 KIND_NAMES = {
     "diffuse": DIFFUSE, "conductor": CONDUCTOR, "dielectric": DIELECTRIC,
@@ -37,7 +41,7 @@ KIND_NAMES = {
     "roughplastic": ROUGH_PLASTIC, "roughdielectric": ROUGH_DIELECTRIC,
     "thindielectric": THIN_DIELECTRIC, "roughdiffuse": ROUGH_DIFFUSE,
     "phong": PHONG, "ward": WARD, "null": NULL_BSDF,
-    "difftrans": DIFFTRANS,
+    "difftrans": DIFFTRANS, "hk": HK,
 }
 
 # microfacet distribution enum
@@ -394,6 +398,30 @@ class MaterialBuilder:
                 node, ["transmittance"], (0.5, 0.5, 0.5))
             return self.add_row(kind=kind, flags=flags, reflectance=refl,
                                 tex_reflectance=tex)
+        if kind == HK:
+            # hk.cpp: sigmaS/sigmaA (or sigmaT + albedo), thickness,
+            # nested phase function (hg / isotropic).  The named-material
+            # preset database is not carried over — explicit coefficients
+            # only (documented deviation).
+            sig_t = node.get("sigmaT")
+            if sig_t is not None:
+                st_ = spectrum_value(sig_t)
+                alb_ = spectrum_value(node.get("albedo"), (0.8,) * 3)
+                sig_s = st_ * alb_
+                sig_a = st_ - sig_s
+            else:
+                sig_s = spectrum_value(node.get("sigmaS"), (1.0,) * 3)
+                sig_a = spectrum_value(node.get("sigmaA"), (0.05,) * 3)
+            thickness = float(node.get("thickness", 1.0))
+            g_hg = 0.0
+            ph = node.child("phase") or next(
+                (v for v in node.props.values() if hasattr(v, "kind")
+                 and v.kind == "phase"), None)
+            if ph is not None and ph.type == "hg":
+                g_hg = float(ph.get("g", 0.8))
+            return self.add_row(kind=kind, flags=flags,
+                                reflectance=sig_s, transmittance=sig_a,
+                                alpha=thickness, alpha_v=g_hg)
         if kind == NULL_BSDF:
             return self.add_row(kind=kind, flags=flags,
                                 reflectance=(0, 0, 0))
