@@ -28,6 +28,9 @@ def make_integrator(scene, settings):
     if t == "mlt":
         from .mlt import MLTracer
         return MLTracer(scene, settings)
+    if t == "irrcache":
+        from .irrcache import IrrCacheTracer
+        return IrrCacheTracer(scene, settings)
     if t == "erpt":
         from .erpt import ERPTracer
         return ERPTracer(scene, settings)
@@ -57,6 +60,7 @@ def make_integrator(scene, settings):
 
 
 KNOWN = ("path", "direct", "ao", "bdpt", "field", "volpath",
-         "volpath_simple", "pssmlt", "mlt", "erpt", "sppm", "ppm",
+         "volpath_simple", "pssmlt", "mlt", "erpt", "irrcache",
+         "sppm", "ppm",
          "photonmapper", "adaptive", "multichannel", "vpl", "gpt",
          "gbdpt")

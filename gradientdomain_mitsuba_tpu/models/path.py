@@ -82,8 +82,13 @@ class PathTracer:
         L = self.trace_rays(scene, seed, sample_idx, pixel_id, o, d)
         return pos_film, L
 
-    def trace_rays(self, scene, seed, sample_idx, pixel_id, o, d):
-        """Path-trace a batch of rays to completion. Returns radiance [N,3]."""
+    def trace_rays(self, scene, seed, sample_idx, pixel_id, o, d,
+                   direct_at_first=True):
+        """Path-trace a batch of rays to completion. Returns radiance [N,3].
+
+        direct_at_first=False drops emitter/env radiance seen directly by
+        the input rays (depth-1 hits) — final-gather semantics, used by
+        the irradiance cache so direct lighting is not double-counted."""
         st = self.settings
         N = o.shape[0]
         eps = scene.ray_eps
@@ -99,7 +104,9 @@ class PathTracer:
             eta=jnp.ones(N),
             alive=jnp.ones(N, bool),
             last_pdf=jnp.zeros(N),
-            last_delta=jnp.ones(N, bool),  # depth-1 emitter hits: weight 1
+            # depth-1 emitter hits: weight 1 (or 0 in final-gather mode —
+            # mis_weight(0, x) == 0)
+            last_delta=jnp.full(N, bool(direct_at_first)),
         )
 
         def bounce(b, s, fp=None):
