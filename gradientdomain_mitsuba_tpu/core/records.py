@@ -7,7 +7,7 @@ JAX pytree so it flows through jit/vmap/scan/shard_map.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 
@@ -30,6 +30,11 @@ class Intersection(NamedTuple):
     shape_id: jnp.ndarray  # [...] int32 shape index
     bsdf_id: jnp.ndarray   # [...] int32 material index (-1 = none)
     emitter_id: jnp.ndarray  # [...] int32 area-emitter index (-1 = none)
+    # [..., 4] barycentric-attribute payload for vertexcolors/wireframe
+    # textures: interpolated vertex color (3) + world-space distance to
+    # the nearest triangle edge (1).  None unless the scene binds such a
+    # texture (tri_shade packs the extra columns only then).
+    bary: Any = None
 
 
 class PositionSample(NamedTuple):

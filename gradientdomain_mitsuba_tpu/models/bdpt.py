@@ -268,7 +268,8 @@ class BDPTracer:
             ss, ts = m.build_frame(its.ns)
             wi = m.to_local(-d, ss, ts, its.ns)
             par = common.material_params(scene, self.has_textures,
-                                         its.bsdf_id, its.uv)
+                                         its.bsdf_id, its.uv,
+                                         bary=its.bary)
             u2 = self._u2(seed, pixel_id, sample_idx,
                           dim_base + DA.bounce_dim(k, DA.D_BSDF_UV))
             uc = self._u1(

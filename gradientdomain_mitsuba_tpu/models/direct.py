@@ -164,7 +164,8 @@ class FieldIntegrator:
                 [its.uv, jnp.zeros((N, 1))], axis=-1))
         elif f == "albedo":
             par = common.material_params(scene, self.has_textures,
-                                         its.bsdf_id, its.uv)
+                                         its.bsdf_id, its.uv,
+                                         bary=its.bary)
             L = v3(par.reflectance)
         elif f == "shapeIndex":
             idx = jnp.where(its.valid, its.shape_id + 1, 0)

@@ -55,6 +55,13 @@ def make_integrator(scene, settings):
     if t == "field":
         from .direct import FieldIntegrator
         return FieldIntegrator(scene, settings)
+    if getattr(settings, "has_sss", False):
+        # <subsurface>-carrying scene: the path tracer variant that
+        # preprocesses the dipole irradiance cache (dipole.cpp).  As in
+        # the reference, bidirectional integrators ignore subsurface —
+        # only the path family routes here.
+        from .sss import DipoleTracer
+        return DipoleTracer(scene, settings)
     from .path import PathTracer
     return PathTracer(scene, settings)
 

@@ -383,7 +383,8 @@ class GPTracer:
         wi_m = m.to_local(wi_w, ss_m, ts_m, its.ns)
         par_m = common.material_params(scene, self.has_textures,
                                        its.bsdf_id, its.uv,
-                                       uv_footprint=fp_main)
+                                       uv_footprint=fp_main,
+                                       bary=its.bary)
         c_main = self._classify_diffuse(scene, its.bsdf_id, its.valid)
 
         if with_offsets:
@@ -392,7 +393,8 @@ class GPTracer:
             wi_o_loc = m.to_local(o_wi, ss_o, ts_o, o_its.ns)
             par_o = common.material_params(scene, self.has_textures,
                                            o_its.bsdf_id, o_its.uv,
-                                           uv_footprint=fp_off)
+                                           uv_footprint=fp_off,
+                                           bary=o_its.bary)
             c_off = self._classify_diffuse(scene, o_its.bsdf_id,
                                            o_its.valid)
             # wi of offsets expressed in MAIN frame (conn>=1 states)

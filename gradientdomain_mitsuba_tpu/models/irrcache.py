@@ -177,7 +177,8 @@ class IrrCacheTracer(PathTracer):
         n = jnp.where((m.dot(its.ns, -d) < 0)[..., None], -its.ns, its.ns)
         E = self._interp(cache, pixel_id, its.p, n)
         params = common.material_params(scene, self.has_textures,
-                                        its.bsdf_id, its.uv)
+                                        its.bsdf_id, its.uv,
+                                        bary=its.bary)
         diffuse = ((params.kind == DIFFUSE) |
                    (params.kind == ROUGH_DIFFUSE)) & its.valid
         L_ind = params.reflectance / jnp.pi * E

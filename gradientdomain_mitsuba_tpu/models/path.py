@@ -66,7 +66,8 @@ class PathTracer:
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
 
     # -- one sample per pixel for the whole frame ---------------------------
-    def trace_pass(self, scene, seed, sample_idx, pixel_id=None):
+    def trace_pass(self, scene, seed, sample_idx, pixel_id=None,
+                   sss_cache=None):
         st = self.settings
         W, H = st.width, st.height
         if pixel_id is None:
@@ -79,11 +80,12 @@ class PathTracer:
         u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos_film, u_ap)
 
-        L = self.trace_rays(scene, seed, sample_idx, pixel_id, o, d)
+        L = self.trace_rays(scene, seed, sample_idx, pixel_id, o, d,
+                            sss_cache=sss_cache)
         return pos_film, L
 
     def trace_rays(self, scene, seed, sample_idx, pixel_id, o, d,
-                   direct_at_first=True):
+                   direct_at_first=True, sss_cache=None):
         """Path-trace a batch of rays to completion. Returns radiance [N,3].
 
         direct_at_first=False drops emitter/env radiance seen directly by
@@ -140,6 +142,26 @@ class PathTracer:
                 L = L + jnp.where((alive & ~its.valid)[..., None],
                                   tp * env_L * w_env[..., None], 0.0)
 
+            if sss_cache is not None:
+                # dipole subsurface term at every surface vertex
+                # (path.cpp adds its.LoSub at each intersection with an
+                # attached <subsurface>):
+                #   Lo = (1/pi) Ft(eta, cos_o) Mo(p)
+                from ..ops import sss as sss_ops
+                from ..ops.bsdf import fresnel_dielectric
+                row_q = scene.sss.shape_sss[
+                    jnp.clip(its.shape_id, 0,
+                             scene.sss.shape_sss.shape[0] - 1)]
+                has_sss = alive & its.valid & (row_q >= 0) & (cos_front > 0)
+                row_m = jnp.where(has_sss, row_q, -1)
+                mo = sss_ops.eval_mo(sss_cache, self._sss_coeffs,
+                                     its.p, row_m)
+                eta_r = self._sss_coeffs.eta[jnp.maximum(row_m, 0)]
+                ft = 1.0 - fresnel_dielectric(
+                    jnp.clip(cos_front, 0.0, 1.0), eta_r)[0]
+                L = L + jnp.where(has_sss[..., None],
+                                  tp * mo * (ft / jnp.pi)[..., None], 0.0)
+
             alive = alive & its.valid
             # maxDepth cut: no continuation past maxDepth segments
             if st.max_depth > 0:
@@ -152,7 +174,7 @@ class PathTracer:
             wi = m.to_local(wi_world, ss, ts, its.ns)
             params = common.material_params(
                 scene, self.has_textures, its.bsdf_id, its.uv,
-                uv_footprint=fp)
+                uv_footprint=fp, bary=its.bary)
 
             # ---- NEE --------------------------------------------------------
             u_sel = self._u1(seed, pixel_id, sample_idx,

@@ -138,7 +138,8 @@ class SPPMTracer(PathTracer):
             ss, ts = m.build_frame(its.ns)
             wi = m.to_local(wi_world, ss, ts, its.ns)
             par = common.material_params(scene, self.has_textures,
-                                         its.bsdf_id, its.uv)
+                                         its.bsdf_id, its.uv,
+                                         bary=its.bary)
             u2 = self._u2(seed, pixel_id, pass_idx,
                           DA.bounce_dim(b, DA.D_BSDF_UV))
             uc = self._u1(seed, pixel_id, pass_idx,
@@ -268,7 +269,8 @@ class SPPMTracer(PathTracer):
             ss, ts = m.build_frame(its.ns)
             wi = m.to_local(-d, ss, ts, its.ns)
             par = common.material_params(scene, self.has_textures,
-                                         its.bsdf_id, its.uv)
+                                         its.bsdf_id, its.uv,
+                                         bary=its.bary)
             u2k = u2(PHOTON_DIM_BASE + 8 + 8 * k)
             uck = u1(PHOTON_DIM_BASE + 8 + 8 * k + 2)
             urr = u1(PHOTON_DIM_BASE + 8 + 8 * k + 3)

@@ -252,7 +252,8 @@ class VolPathTracer(PathTracer):
             ss_f, ts_f = m.build_frame(its.ns)
             wi = m.to_local(wi_world, ss_f, ts_f, its.ns)
             params = common.material_params(
-                scene, self.has_textures, its.bsdf_id, its.uv)
+                scene, self.has_textures, its.bsdf_id, its.uv,
+                bary=its.bary)
             wo_l = m.to_local(ds.d, ss_f, ts_f, its.ns)
             f_l = self._beval(params, wi, wo_l)
             pdf_b = self._bpdf(params, wi, wo_l)

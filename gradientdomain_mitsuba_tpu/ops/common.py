@@ -226,6 +226,26 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
         # {bumpmap,normalmap}.cpp): STATICALLY compiled in only when a
         # perturbing material exists (packed width 32 is the marker).
         ns = _perturb_normal(scene, row, bsdf_id, uv, ns)
+
+    bary = None
+    if g.tri_shade.shape[-1] >= 41:
+        # vertexcolors/wireframe payload (STATICALLY compiled in only
+        # when such a texture is bound — scene.py widens tri_shade):
+        # cols 29:38 = per-vertex colors, 38:41 = triangle heights
+        # (2A/|opposite edge|), so bary_i * h_i is the world distance to
+        # edge i and their min is the wireframe edge distance
+        wb = 1.0 - hit.u - hit.v
+        vc = (row[..., 29:32] * wb[..., None] +
+              row[..., 32:35] * hit.u[..., None] +
+              row[..., 35:38] * hit.v[..., None])
+        edist = jnp.minimum(
+            jnp.minimum(wb * row[..., 38], hit.u * row[..., 39]),
+            hit.v * row[..., 40])
+        if g.sph_center.shape[0] > 0:
+            on_sph = hit.prim >= SPHERE_PRIM_BASE
+            vc = jnp.where(on_sph[..., None], 1.0, vc)
+            edist = jnp.where(on_sph, 3.4e38, edist)
+        bary = jnp.concatenate([vc, edist[..., None]], -1)
     return Intersection(
         valid=hit.valid,
         t=hit.t,
@@ -237,6 +257,7 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
         shape_id=jnp.where(hit.valid, shape_id, -1),
         bsdf_id=jnp.where(hit.valid, bsdf_id, -1),
         emitter_id=jnp.where(hit.valid, emitter_id, -1),
+        bary=bary,
     )
 
 
@@ -290,7 +311,7 @@ def _perturb_normal(scene, row, bsdf_id, uv, ns):
 
 
 def material_params(scene, has_textures: bool, bsdf_id, uv,
-                    uv_footprint=None):
+                    uv_footprint=None, bary=None):
     """Gather BSDF params, resolving reflectance textures when present.
 
     has_textures is a STATIC bitmask (scene.compile_scene): bit 0 = any
@@ -304,10 +325,10 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
         albedo = op = None
         if bits & 1:
             from .texture import resolve_albedo
-            albedo = resolve_albedo(scene, ids, uv, uv_footprint)
+            albedo = resolve_albedo(scene, ids, uv, uv_footprint, bary)
         if bits & 2:
             from .texture import resolve_opacity
-            op = resolve_opacity(scene, ids, uv)
+            op = resolve_opacity(scene, ids, uv, bary)
         return bsdf_ops.gather_params(scene.materials, ids,
                                       albedo_override=albedo,
                                       opacity_override=op)
@@ -327,7 +348,8 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
         w = jnp.where(is_b, p.blend_w, 0.0)
         if bits & 8:  # textured blend weight
             from .texture import resolve_blend_weight
-            w = jnp.where(is_b, resolve_blend_weight(scene, mid, uv), w)
+            w = jnp.where(is_b, resolve_blend_weight(scene, mid, uv, bary),
+                          w)
         return pa._replace(blend=pb, blend_w=w, coat=is_c,
                            coat_eta=jnp.maximum(p.eta[..., 0], 1.0 + 1e-4),
                            coat_sigma=p.transmittance,

@@ -19,6 +19,8 @@ import numpy as np
 TEX_BITMAP = 0
 TEX_CHECKERBOARD = 1
 TEX_GRID = 2
+TEX_VERTEXCOLOR = 3   # src/textures/vertexcolors.cpp: barycentric blend
+TEX_WIREFRAME = 4     # src/textures/wireframe.cpp: world edge distance
 
 
 class TextureTable(NamedTuple):
@@ -165,6 +167,22 @@ def build_table(nodes, base_dir) -> TextureTable:
                                                 (0.2,) * 3))
                 grid_widths[len(kinds) - 1] = float(
                     node.get("lineWidth", 0.01))
+            elif node.type == "vertexcolors":
+                # per-hit barycentric color arrives via the Intersection
+                # bary payload; color0 folds in a scale-wrapper factor
+                kinds.append(TEX_VERTEXCOLOR)
+                c0s.append(mul)
+                c1s.append(np.zeros(3, np.float32))
+            elif node.type == "wireframe":
+                kinds.append(TEX_WIREFRAME)
+                c0s.append(mul * spectrum_value(node.get("interiorColor"),
+                                                (0.5,) * 3))
+                c1s.append(mul * spectrum_value(node.get("edgeColor"),
+                                                (0.1,) * 3))
+                # 0.0 = "auto": compile_scene patches in 0.1x the scene
+                # mean edge length (wireframe.cpp default)
+                grid_widths[len(kinds) - 1] = float(
+                    node.get("lineWidth", 0.0))
             else:
                 # unsupported texture type: constant grey stand-in
                 kinds.append(TEX_CHECKERBOARD)
@@ -281,7 +299,8 @@ def _aniso_sample(tex, tid, u, v, jac):
     return acc / wsum
 
 
-def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None):
+def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None,
+                 bary=None):
     """Evaluate textures for a batch: tex_id [N] (>=0), uv [N, 2].
 
     uv_footprint (optional): either the scalar UV-space footprint area
@@ -340,11 +359,26 @@ def eval_texture(tex: TextureTable, tex_id, uv, uv_footprint=None):
                      tex.color0[tid])
 
     kind = tex.kind[tid]
-    return jnp.where((kind == TEX_CHECKERBOARD)[..., None], checker,
-                     jnp.where((kind == TEX_GRID)[..., None], grid, bmp))
+    out = jnp.where((kind == TEX_CHECKERBOARD)[..., None], checker,
+                    jnp.where((kind == TEX_GRID)[..., None], grid, bmp))
+
+    # barycentric-attribute textures (vertexcolors/wireframe): the per-hit
+    # payload (interpolated vertex color + world distance to the nearest
+    # triangle edge) is computed once in fill_intersection; callers
+    # without one (bidirectional subpath re-evals) get the interior color
+    if bary is not None:
+        vcol = bary[..., 0:3] * tex.color0[tid]
+        wire = jnp.where((bary[..., 3] < tex.grid_width[tid])[..., None],
+                         tex.color1[tid], tex.color0[tid])
+        out = jnp.where((kind == TEX_VERTEXCOLOR)[..., None], vcol, out)
+        out = jnp.where((kind == TEX_WIREFRAME)[..., None], wire, out)
+    else:
+        flat = (kind == TEX_VERTEXCOLOR) | (kind == TEX_WIREFRAME)
+        out = jnp.where(flat[..., None], tex.color0[tid], out)
+    return out
 
 
-def resolve_opacity(scene, mid, uv):
+def resolve_opacity(scene, mid, uv, bary=None):
     """Mask-wrapper opacity with texture override where bound (luminance
     of the opacity texture, mask.cpp semantics)."""
     from ..core.spectrum import luminance
@@ -352,22 +386,23 @@ def resolve_opacity(scene, mid, uv):
     row = fast_row_gather(scene.materials.packed, mid)
     op = row[..., 22]
     tex_id = row[..., 23].astype(jnp.int32)
-    tex_val = eval_texture(scene.textures, tex_id, uv)
+    tex_val = eval_texture(scene.textures, tex_id, uv, bary=bary)
     return jnp.where(tex_id >= 0, luminance(tex_val), op)
 
 
-def resolve_albedo(scene, mid, uv, uv_footprint=None):
+def resolve_albedo(scene, mid, uv, uv_footprint=None, bary=None):
     """Material reflectance with texture override where bound."""
     from .common import fast_row_gather
     row = fast_row_gather(scene.materials.packed, mid)
     refl = row[..., 2:5]
     tex_id = row[..., 20].astype(jnp.int32)
     has_tex = tex_id >= 0
-    tex_val = eval_texture(scene.textures, tex_id, uv, uv_footprint)
+    tex_val = eval_texture(scene.textures, tex_id, uv, uv_footprint,
+                           bary=bary)
     return jnp.where(has_tex[..., None], tex_val, refl)
 
 
-def resolve_blend_weight(scene, mid, uv):
+def resolve_blend_weight(scene, mid, uv, bary=None):
     """blendbsdf textured weight (luminance of the weight texture where
     bound, else the scalar weight — blendbsdf.cpp semantics)."""
     from ..core.spectrum import luminance
@@ -375,6 +410,6 @@ def resolve_blend_weight(scene, mid, uv):
     row = fast_row_gather(scene.materials.packed, mid)
     w = row[..., 26]
     tex_id = row[..., 27].astype(jnp.int32)
-    tex_val = eval_texture(scene.textures, tex_id, uv)
+    tex_val = eval_texture(scene.textures, tex_id, uv, bary=bary)
     return jnp.clip(jnp.where(tex_id >= 0, luminance(tex_val), w),
                     0.0, 1.0)

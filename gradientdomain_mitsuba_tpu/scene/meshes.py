@@ -24,6 +24,7 @@ class Mesh:
     indices: np.ndarray              # [T, 3] i32
     normals: Optional[np.ndarray]    # [V, 3] f32 or None (-> face normals)
     uvs: Optional[np.ndarray]        # [V, 2] f32 or None
+    colors: Optional[np.ndarray] = None  # [V, 3] f32 linear vertex colors
 
     @property
     def num_tris(self):
@@ -194,6 +195,17 @@ def load_ply(path: str, face_normals: bool = False) -> Mesh:
             uvs = np.stack([np.asarray(v[ku], np.float32),
                             np.asarray(v[kv], np.float32)], -1)
             break
+    colors = None
+    if "red" in v:
+        colors = np.stack([np.asarray(v[k], np.float32)
+                           for k in ("red", "green", "blue")], -1)
+        # u8/u16-typed color properties arrive in [0, 255]/[0, 65535]
+        ctype = {p[0]: p[1] for p in
+                 next(e[2] for e in elements if e[0] == "vertex")}["red"]
+        if ctype == "u1":
+            colors = colors / 255.0
+        elif ctype == "u2":
+            colors = colors / 65535.0
     face_key = "vertex_indices" if "vertex_indices" in data.get("face", {}) \
         else "vertex_index"
     tris = []
@@ -206,7 +218,7 @@ def load_ply(path: str, face_normals: bool = False) -> Mesh:
         normals = compute_vertex_normals(positions, indices)
     if face_normals:
         normals = None
-    return Mesh(positions, indices, normals, uvs)
+    return Mesh(positions, indices, normals, uvs, colors)
 
 
 # ---------------------------------------------------------------------------
@@ -260,14 +272,15 @@ def load_serialized(path: str, shape_index: int = 0,
     uvs = None
     if flags & _F_HAS_TEXCOORDS:
         uvs = take(vcount, ftype, 2).astype(np.float32)
+    colors = None
     if flags & _F_HAS_COLORS:
-        take(vcount, ftype, 3)  # vertex colors: parsed, unused
+        colors = take(vcount, ftype, 3).astype(np.float32)
     indices = take(tcount, np.uint32, 3).astype(np.int32)
     if (flags & _F_FACE_NORMALS) or face_normals:
         normals = None
     elif normals is None:
         normals = compute_vertex_normals(positions, indices)
-    return Mesh(positions, indices, normals, uvs)
+    return Mesh(positions, indices, normals, uvs, colors)
 
 
 def save_serialized(path: str, meshes):
@@ -400,6 +413,169 @@ def make_cylinder(p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0,
         tris.append((a, c, b))
         tris.append((b, c, d))
     return Mesh(pos, np.asarray(tris, np.int32), nrm, uv)
+
+
+def load_hair(path: str):
+    """Mitsuba .hair fiber file -> list of [k,3] float32 polylines.
+
+    Both reference formats (src/shapes/hair.cpp fileformat docs):
+      - binary: magic b"BINARY_HAIR", uint32 total vertex count, then a
+        float stream where an +inf x-coordinate starts a new fiber
+      - text: one "x y z" vertex per line, blank line separates fibers
+    """
+    fibers = []
+    with open(path, "rb") as f:
+        head = f.read(11)
+        if head == b"BINARY_HAIR":
+            (num,) = struct.unpack("<I", f.read(4))
+            data = np.frombuffer(f.read(), np.float32)
+            cur = []
+            i = 0
+            read = 0
+            while read < num and i < len(data):
+                x = data[i]
+                if np.isinf(x):
+                    if len(cur) >= 2:
+                        fibers.append(np.asarray(cur, np.float32))
+                    cur = []
+                    i += 1
+                    continue
+                cur.append((x, data[i + 1], data[i + 2]))
+                i += 3
+                read += 1
+            if len(cur) >= 2:
+                fibers.append(np.asarray(cur, np.float32))
+        else:
+            cur = []
+            for line in (head + f.read()).decode("utf-8",
+                                                 "replace").splitlines():
+                line = line.strip()
+                if not line:
+                    if len(cur) >= 2:
+                        fibers.append(np.asarray(cur, np.float32))
+                    cur = []
+                    continue
+                cur.append([float(tok) for tok in line.split()[:3]])
+            if len(cur) >= 2:
+                fibers.append(np.asarray(cur, np.float32))
+    return fibers
+
+
+def make_hair(fibers, radius=0.025, n_seg=6, reduction=0.0,
+              seed=0) -> Mesh:
+    """Hair fibers tessellated to capped tubes.
+
+    TPU-native replacement for src/shapes/hair.cpp: the reference builds
+    a dedicated HairKDTree with exact infinite-cylinder intersections
+    per segment; here every fiber becomes an n_seg-sided tube swept
+    along a parallel-transport (rotation-minimizing) frame, so hair
+    rides the SAME BVH + MXU traversal as every other shape.  Shading
+    normals are the exact radial tube normals, matching the reference's
+    cylinder normals away from joints.  `reduction` drops that fraction
+    of fibers (hair.cpp's reduction prop)."""
+    if reduction > 0:
+        rs = np.random.RandomState(seed)
+        keep = rs.rand(len(fibers)) >= reduction
+        fibers = [fb for fb, k in zip(fibers, keep) if k]
+    if not fibers:
+        raise ValueError("hair shape with zero fibers")
+
+    # pad to [F, K, 3] for vectorized frame transport across fibers
+    K = max(len(fb) for fb in fibers)
+    F = len(fibers)
+    v = np.zeros((F, K, 3), np.float32)
+    klen = np.zeros(F, np.int32)
+    for i, fb in enumerate(fibers):
+        v[i, :len(fb)] = fb
+        v[i, len(fb):] = fb[-1]       # pad by repeating the last vertex
+        klen[i] = len(fb)
+
+    seg = v[:, 1:] - v[:, :-1]                       # [F, K-1, 3]
+    slen = np.linalg.norm(seg, axis=-1, keepdims=True)
+    d = seg / np.maximum(slen, 1e-12)
+    # per-vertex tangents: average of adjacent segment directions
+    t = np.zeros_like(v)
+    t[:, 0] = d[:, 0]
+    t[:, -1] = d[:, -1]
+    t[:, 1:-1] = d[:, :-1] + d[:, 1:]
+    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+
+    # parallel transport an initial perpendicular along each fiber
+    n = np.zeros_like(v)
+    h = np.where(np.abs(t[:, 0, 0:1]) < 0.9,
+                 np.asarray([[1, 0, 0]], np.float32),
+                 np.asarray([[0, 1, 0]], np.float32))
+    n0 = np.cross(t[:, 0], h)
+    n[:, 0] = n0 / np.maximum(np.linalg.norm(n0, axis=-1, keepdims=True),
+                              1e-12)
+    for i in range(1, K):
+        a = t[:, i - 1]
+        b = t[:, i]
+        axis = np.cross(a, b)
+        s = np.linalg.norm(axis, axis=-1, keepdims=True)
+        c = np.sum(a * b, -1, keepdims=True)
+        ax = axis / np.maximum(s, 1e-12)
+        prev = n[:, i - 1]
+        rot = (prev * c + np.cross(ax, prev) * s +
+               ax * np.sum(ax * prev, -1, keepdims=True) * (1.0 - c))
+        n[:, i] = np.where(s > 1e-8, rot, prev)
+        # re-orthogonalize against accumulated drift
+        n[:, i] -= t[:, i] * np.sum(n[:, i] * t[:, i], -1, keepdims=True)
+        n[:, i] /= np.maximum(
+            np.linalg.norm(n[:, i], axis=-1, keepdims=True), 1e-12)
+    bvec = np.cross(t, n)
+
+    ang = (2 * np.pi * np.arange(n_seg) / n_seg).astype(np.float32)
+    ring_dir = (np.cos(ang)[None, None, :, None] * n[:, :, None, :] +
+                np.sin(ang)[None, None, :, None] * bvec[:, :, None, :])
+    rings = v[:, :, None, :] + radius * ring_dir      # [F, K, S, 3]
+
+    # flat vertex layout: per fiber, K rings of S + 2 cap centers
+    S = n_seg
+    per_fiber = K * S + 2
+    pos = np.concatenate(
+        [rings.reshape(F, K * S, 3), v[:, 0:1], v[:, -1:]],
+        axis=1).reshape(-1, 3).astype(np.float32)
+    nrm = np.concatenate(
+        [ring_dir.reshape(F, K * S, 3), -t[:, 0:1], t[:, -1:]],
+        axis=1).reshape(-1, 3).astype(np.float32)
+    uu = np.broadcast_to(ang[None, None] / (2 * np.pi), (F, K, S))
+    vv = np.broadcast_to(
+        (np.arange(K, dtype=np.float32) / max(K - 1, 1))[None, :, None],
+        (F, K, S))
+    uvs = np.concatenate(
+        [np.stack([uu, vv], -1).reshape(F, K * S, 2),
+         np.zeros((F, 2, 2), np.float32)], axis=1).reshape(-1, 2)
+
+    # vectorized index build (a python loop is minutes at 100k fibers)
+    fib = np.arange(F, dtype=np.int64)
+    base = fib * per_fiber
+    jj = np.arange(K - 1, dtype=np.int64)
+    ss = np.arange(S, dtype=np.int64)
+    s2 = (ss + 1) % S
+    r0 = (base[:, None, None] + jj[None, :, None] * S)      # [F, K-1, 1]
+    A = r0 + ss[None, None, :]                              # [F, K-1, S]
+    A2 = r0 + s2[None, None, :]
+    B = A + S
+    B2 = A2 + S
+    tri1 = np.stack([A, B, A2], -1)
+    tri2 = np.stack([A2, B, B2], -1)
+    mask = np.broadcast_to(jj[None, :, None] <
+                           (klen[:, None, None] - 1), A.shape)
+    body = np.concatenate([tri1[mask], tri2[mask]])
+    # caps: fans around the stored cap-center vertices
+    c0 = base + K * S
+    c1 = c0 + 1
+    first = base[:, None] + ss[None, :]
+    first2 = base[:, None] + s2[None, :]
+    last = (base + (klen.astype(np.int64) - 1) * S)[:, None]
+    cap0 = np.stack([np.broadcast_to(c0[:, None], first.shape),
+                     first2, first], -1).reshape(-1, 3)
+    cap1 = np.stack([np.broadcast_to(c1[:, None], first.shape),
+                     last + ss[None, :], last + s2[None, :]],
+                    -1).reshape(-1, 3)
+    tris = np.concatenate([body, cap0, cap1]).astype(np.int32)
+    return Mesh(pos, tris, nrm.astype(np.float32), uvs.astype(np.float32))
 
 
 def make_heightfield(values: np.ndarray, shading_normals=True) -> Mesh:

@@ -88,6 +88,23 @@ class EmitterTable(NamedTuple):
     env_pdf: np.ndarray       # [He, We] solid-angle pdf per texel
 
 
+class SSSTable(NamedTuple):
+    """Dipole subsurface attachments (src/subsurface/dipole.cpp): one row
+    per <subsurface>-carrying shape, with a per-row triangle area CDF for
+    irradiance-sample placement (mirrors EmitterTable's layout)."""
+    sigma_s: np.ndarray     # [R, 3] reduced-rate inputs (unscaled)
+    sigma_a: np.ndarray     # [R, 3]
+    g: np.ndarray           # [R] phase asymmetry (sigma_s' = sigma_s(1-g))
+    eta: np.ndarray         # [R] relative IOR
+    shape: np.ndarray       # [R] i32 owning shape
+    shape_sss: np.ndarray   # [S] i32 shape -> row (-1 = none)
+    tri_offset: np.ndarray  # [R] i32 into tri_cdf/tri_index
+    tri_count: np.ndarray   # [R] i32
+    tri_cdf: np.ndarray     # [sumT] per-row normalized cumulative area
+    tri_index: np.ndarray   # [sumT] i32 original tri ids
+    total_area: np.ndarray  # [R]
+
+
 class Camera(NamedTuple):
     to_world: np.ndarray          # [4, 4]
     world_to_camera: np.ndarray   # [4, 4]
@@ -114,6 +131,7 @@ class SceneData(NamedTuple):
     textures: TextureTable
     ray_eps: np.ndarray  # scalar: min-t epsilon scaled to scene extent
     media: Any = None    # MediumTable (scene/media.py); None = no media
+    sss: Any = None      # SSSTable; None = no subsurface attachments
 
 
 @dataclass
@@ -142,6 +160,8 @@ class RenderSettings:
     strict_normals: bool = False
     has_media: bool = False      # any medium rows bound to shapes/sensor
     has_het_media: bool = False  # any density-grid medium rows
+    has_sss: bool = False        # any dipole subsurface attachments
+    sss_props: Dict[str, Any] = field(default_factory=dict)
     sensor_medium: int = -1      # camera-ray starting medium id
     # nested <integrator> children as (type, props) pairs (multichannel/
     # adaptive wrappers)
@@ -182,6 +202,16 @@ def _shape_mesh(shape: Plugin, base_dir: str) -> mesh_mod.Mesh:
             p0=shape.get("p0", np.array([0, 0, 0], np.float32)),
             p1=shape.get("p1", np.array([0, 0, 1], np.float32)),
             radius=float(shape.get("radius", 1.0)))
+    if t == "hair":
+        fibers = mesh_mod.load_hair(
+            os.path.join(base_dir, shape.get("filename")))
+        # angleThreshold simplification not carried over (it only merges
+        # near-collinear segments — a perf knob for the reference's
+        # HairKDTree, moot under the shared BVH)
+        return mesh_mod.make_hair(
+            fibers, radius=float(shape.get("radius", 0.025)),
+            n_seg=int(shape.get("nSeg", 6)),
+            reduction=float(shape.get("reduction", 0.0)))
     if t == "heightfield":
         fn_img = shape.get("filename")
         scale = float(shape.get("scale", 1.0))
@@ -250,6 +280,7 @@ def compile_scene(desc: SceneDesc,
     medb = MediaBuilder(desc.base_dir)
 
     all_pos, all_nrm, all_uv, all_idx = [], [], [], []
+    all_col = []
     tri_shape, shape_bsdf, shape_emitter, shape_face_n = [], [], [], []
     shape_interior, shape_exterior = [], []
 
@@ -282,6 +313,15 @@ def compile_scene(desc: SceneDesc,
                     return v
         return node
 
+    def _shape_sss_node(shape):
+        node = shape.child("subsurface")
+        if node is None:
+            for v in shape.props.values():
+                if isinstance(v, Plugin) and v.kind == "subsurface":
+                    return v
+        return node
+    sss_shapes = []  # (shape_id, subsurface Plugin node)
+
     def _similarity_scale(tw):
         """Uniform scale of a similarity transform, or None."""
         R = np.asarray(tw, np.float64)[:3, :3]
@@ -296,8 +336,11 @@ def compile_scene(desc: SceneDesc,
     expanded = _expand_instances(desc.shapes)
 
     def _is_analytic_sphere(shape):
+        # subsurface attachments need triangles for irradiance-sample
+        # placement, so SSS spheres stay tessellated
         return (shape.type == "sphere" and
                 _shape_emitter_node(shape) is None and
+                _shape_sss_node(shape) is None and
                 _similarity_scale(shape.get("toWorld", np.eye(4)))
                 is not None)
 
@@ -352,8 +395,18 @@ def compile_scene(desc: SceneDesc,
                 if isinstance(v, Plugin) and v.kind == "bsdf":
                     bsdf_node = v
                     break
-        mid = mb.from_plugin(bsdf_node) if bsdf_node is not None \
-            else mb.default_id()
+        sss_node = _shape_sss_node(shape)
+        if sss_node is not None:
+            sss_shapes.append((s_id, sss_node))
+        if bsdf_node is not None:
+            mid = mb.from_plugin(bsdf_node)
+        elif sss_node is not None:
+            # BSDF-less subsurface shape: the surface is an absorber and
+            # ALL outgoing light comes from the diffusion term
+            # (dipole.cpp with no BSDF attached)
+            mid = mb.add_row(kind=0, reflectance=(0.0, 0.0, 0.0))
+        else:
+            mid = mb.default_id()
 
         # area emitter?
         em_node = shape.child("emitter")
@@ -369,6 +422,9 @@ def compile_scene(desc: SceneDesc,
         all_pos.append(pos.astype(np.float32))
         all_nrm.append(nrm.astype(np.float32))
         all_uv.append(uv.astype(np.float32))
+        all_col.append(mesh.colors.astype(np.float32)
+                       if mesh.colors is not None
+                       else np.ones((len(pos), 3), np.float32))
         all_idx.append(idx.astype(np.int32) + v_off)
         tri_shape.append(np.full(len(idx), s_id, np.int32))
         shape_bsdf.append(mid)
@@ -385,6 +441,7 @@ def compile_scene(desc: SceneDesc,
     normals = np.concatenate(all_nrm)
     uvs = np.concatenate(all_uv)
     indices = np.concatenate(all_idx)
+    vcolors = np.concatenate(all_col)
     tri_shape = np.concatenate(tri_shape)
 
     # --- BVH over all triangles -------------------------------------------
@@ -473,7 +530,12 @@ def compile_scene(desc: SceneDesc,
     area2 = np.linalg.norm(ng_all, axis=-1)        # 2x world area
     ng_all /= np.maximum(area2[..., None], 1e-20)
     shape_of_tri = tri_shape
-    tri_shade = np.zeros((len(indices), 29), np.float32)
+    # vertexcolors/wireframe textures need per-hit barycentric attributes:
+    # widen the packed row ONLY then (fill_intersection keys on width 41)
+    needs_bary = any(n.type in ("vertexcolors", "wireframe")
+                     for n in mb.texture_nodes)
+    tri_shade = np.zeros((len(indices), 41 if needs_bary else 29),
+                         np.float32)
     tri_shade[:, 0:3] = ng_all
     tri_shade[:, 3:6] = normals[indices[:, 0]]
     tri_shade[:, 6:9] = normals[indices[:, 1]]
@@ -505,6 +567,16 @@ def compile_scene(desc: SceneDesc,
         inv_det[:, None]
     tri_shade[:, 26:29] = (-e2uv[:, 0:1] * e1w + e1uv[:, 0:1] * e2w) * \
         inv_det[:, None]
+    if needs_bary:
+        # [29:38] per-vertex colors; [38:41] triangle heights 2A/|edge_i|
+        # with edge_i opposite vertex i — bary_i * h_i = world distance
+        # to edge_i (wireframe's edge test needs only these 3 scalars)
+        tri_shade[:, 29:32] = vcolors[indices[:, 0]]
+        tri_shade[:, 32:35] = vcolors[indices[:, 1]]
+        tri_shade[:, 35:38] = vcolors[indices[:, 2]]
+        for i, (ea, eb) in enumerate(((p1, p2), (p2, p0), (p0, p1))):
+            elen = np.linalg.norm(eb - ea, axis=-1)
+            tri_shade[:, 38 + i] = area2 / np.maximum(elen, 1e-20)
     tri_shade = tri_shade[order][psel]
     tri_shade[~valid_slot] = 0.0
     tri_shade[~valid_slot, 18:20] = -1.0  # bsdf/emitter ids
@@ -601,6 +673,18 @@ def compile_scene(desc: SceneDesc,
 
     extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
     textures = build_table(mb.texture_nodes, desc.base_dir)
+    from ..ops.texture import TEX_WIREFRAME as _TEX_WIRE
+    if any(int(k) == _TEX_WIRE and gwv == 0.0
+           for k, gwv in zip(textures.kind, textures.grid_width)):
+        # wireframe lineWidth auto default: 10% of the mean edge length
+        # (wireframe.cpp computes this per-mesh; scene-wide mean here)
+        mean_edge = float(np.mean([np.linalg.norm(p1 - p0, axis=-1),
+                                   np.linalg.norm(p2 - p1, axis=-1),
+                                   np.linalg.norm(p0 - p2, axis=-1)]))
+        gw = np.where((textures.kind == _TEX_WIRE) &
+                      (textures.grid_width == 0.0),
+                      np.float32(0.1 * mean_edge), textures.grid_width)
+        textures = textures._replace(grid_width=gw.astype(np.float32))
     # bitmask: bit 0 = any textures bound; bit 1 = textured mask opacity;
     # bit 2 = blend BSDFs present; bit 3 = textured blend weight
     # (ops/common.material_params gates the extra gathers on these)
@@ -627,11 +711,18 @@ def compile_scene(desc: SceneDesc,
     settings.has_media = len(medb.rows) > 0
     settings.has_het_media = any(r[4] for r in medb.rows)
 
+    sss = None
+    if sss_shapes:
+        sss, sss_props = _build_sss(sss_shapes, len(shape_bsdf),
+                                    tri_shape, p0, p1, p2)
+        settings.has_sss = True
+        settings.sss_props = sss_props
+
     scene = SceneData(
         geom=geom, materials=mb.finalize(), emitters=emitters, camera=camera,
         textures=textures,
         ray_eps=np.float32(max(extent, 1e-3) * 1e-4),
-        media=media)
+        media=media, sss=sss)
     return scene, settings
 
 
@@ -777,6 +868,104 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
         env_world_to_local=np.linalg.inv(env_to_world).astype(np.float32),
         env_map=env_map, env_cdf_rows=cdf_rows, env_cdf_cols=cdf_cols,
         env_pdf=env_pdf)
+
+
+# Jensen et al. 2001 measured media (the reference ships these as its
+# material LUT, src/libcore/sse/ssemath-adjacent data/materials.h via
+# lookupMaterial in dipole.cpp): REDUCED scattering sigma_s' and sigma_a
+# in 1/mm, relative IOR.  Stored with g=0 since sigma_s' already folds
+# the asymmetry (similarity relation).
+SSS_MATERIALS = {
+    "apple":     ((2.29, 2.39, 1.97), (0.0030, 0.0034, 0.046), 1.3),
+    "chicken1":  ((0.15, 0.21, 0.38), (0.015, 0.077, 0.19), 1.3),
+    "chicken2":  ((0.19, 0.25, 0.32), (0.018, 0.088, 0.20), 1.3),
+    "cream":     ((7.38, 5.47, 3.15), (0.0002, 0.0028, 0.0163), 1.3),
+    "ketchup":   ((0.18, 0.07, 0.03), (0.061, 0.97, 1.45), 1.3),
+    "marble":    ((2.19, 2.62, 3.00), (0.0021, 0.0041, 0.0071), 1.5),
+    "potato":    ((0.68, 0.70, 0.55), (0.0024, 0.0090, 0.12), 1.3),
+    "skimmilk":  ((0.70, 1.22, 1.90), (0.0014, 0.0025, 0.0142), 1.3),
+    "wholemilk": ((2.55, 3.21, 3.77), (0.0011, 0.0024, 0.014), 1.3),
+    "skin1":     ((0.74, 0.88, 1.01), (0.032, 0.17, 0.48), 1.3),
+    "skin2":     ((1.09, 1.59, 1.79), (0.013, 0.070, 0.145), 1.3),
+}
+
+
+def _build_sss(sss_shapes, n_shapes, tri_shape, p0, p1, p2):
+    """SSSTable from (shape_id, <subsurface> node) pairs.
+
+    Per-row medium parameters follow dipole.cpp's property set: either a
+    `material` preset (Jensen 2001 table above), or explicit sigmaS/
+    sigmaA (world units already reduced via g), or sigmaT+albedo; all
+    scaled by `scale`.  The per-row triangle area CDF places irradiance
+    samples uniformly over the attached surface (the analog of the
+    reference's blue-noise sample_placement in subsurface preprocess)."""
+    tri_areas = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+    R = len(sss_shapes)
+    sig_s = np.zeros((R, 3), np.float32)
+    sig_a = np.zeros((R, 3), np.float32)
+    gs = np.zeros(R, np.float32)
+    etas = np.ones(R, np.float32)
+    rows_shape = np.zeros(R, np.int32)
+    shape_sss = np.full(n_shapes, -1, np.int32)
+    offs, cnts, cdfs, tidx, totals = [], [], [], [], []
+    off = 0
+    n_points = 0
+    irr_samples = 0
+    for r, (s_id, node) in enumerate(sss_shapes):
+        scale = float(node.get("scale", 1.0))
+        mat = node.get("material")
+        if mat is not None and str(mat) in SSS_MATERIALS:
+            ss, sa, eta = SSS_MATERIALS[str(mat)]
+            ss, sa = np.asarray(ss, np.float32), np.asarray(sa, np.float32)
+            g = 0.0
+        else:
+            ss_v = node.get("sigmaS")
+            sa_v = node.get("sigmaA")
+            if ss_v is None and node.get("sigmaT") is not None:
+                st_v = spectrum_value(node.get("sigmaT"), (1, 1, 1))
+                al_v = spectrum_value(node.get("albedo"), (0.8, 0.8, 0.8))
+                ss, sa = st_v * al_v, st_v * (1.0 - al_v)
+            else:
+                ss = spectrum_value(ss_v, SSS_MATERIALS["skin1"][0])
+                sa = spectrum_value(sa_v, SSS_MATERIALS["skin1"][1])
+            g = float(node.get("g", 0.0))
+            eta = None
+        int_ior = node.get("intIOR")
+        ext_ior = float(node.get("extIOR", 1.000277))
+        if int_ior is not None:
+            eta = float(int_ior) / ext_ior
+        elif eta is None:
+            eta = 1.3
+        sig_s[r] = np.asarray(ss, np.float32) * scale
+        sig_a[r] = np.asarray(sa, np.float32) * scale
+        gs[r] = g
+        etas[r] = eta
+        rows_shape[r] = s_id
+        shape_sss[s_id] = r
+        n_points = max(n_points, int(node.get("samples", 2048)))
+        irr_samples = max(irr_samples, int(node.get("irrSamples", 16)))
+
+        ids = np.nonzero(tri_shape == s_id)[0].astype(np.int32)
+        if len(ids) == 0:
+            ids = np.zeros(1, np.int32)
+        a = np.maximum(tri_areas[ids].astype(np.float64), 1e-30)
+        total = float(a.sum())
+        cdf = np.cumsum(a) / total
+        cdf[-1] = 1.0
+        offs.append(off); cnts.append(len(ids))
+        cdfs.append(cdf.astype(np.float32)); tidx.append(ids)
+        totals.append(total)
+        off += len(ids)
+
+    table = SSSTable(
+        sigma_s=sig_s, sigma_a=sig_a, g=gs, eta=etas,
+        shape=rows_shape, shape_sss=shape_sss,
+        tri_offset=np.asarray(offs, np.int32),
+        tri_count=np.asarray(cnts, np.int32),
+        tri_cdf=np.concatenate(cdfs).astype(np.float32),
+        tri_index=np.concatenate(tidx).astype(np.int32),
+        total_area=np.asarray(totals, np.float32))
+    return table, {"samples": n_points, "irr_samples": irr_samples}
 
 
 def _build_sensor(desc):
