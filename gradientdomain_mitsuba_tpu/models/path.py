@@ -80,8 +80,10 @@ class PathTracer:
         u_ap = self._u2(seed, pixel_id, sample_idx, DA.APERTURE)
         o, d = sensor_ops.sample_ray(scene.camera, W, H, pos_film, u_ap)
 
-        L = self.trace_rays(scene, seed, sample_idx, pixel_id, o, d,
-                            sss_cache=sss_cache)
+        # sss_cache is only forwarded when set: subclasses that override
+        # trace_rays (volpath) do not take the dipole kwarg
+        kw = {} if sss_cache is None else {"sss_cache": sss_cache}
+        L = self.trace_rays(scene, seed, sample_idx, pixel_id, o, d, **kw)
         return pos_film, L
 
     def trace_rays(self, scene, seed, sample_idx, pixel_id, o, d,
