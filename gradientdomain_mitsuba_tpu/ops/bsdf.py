@@ -29,7 +29,7 @@ from ..core.math import reflect_local
 from ..core.spectrum import luminance
 from ..scene.materials import (BLEND, COATING, CONDUCTOR, DIELECTRIC,
                                DIFFTRANS, DIFFUSE, DIST_GGX, FLAG_TWOSIDED,
-                               HK, NULL_BSDF, PHONG, PLASTIC,
+                               HK, IRAWAN, NULL_BSDF, PHONG, PLASTIC,
                                ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
                                ROUGH_DIFFUSE, ROUGH_PLASTIC,
                                THIN_DIELECTRIC, WARD)
@@ -62,6 +62,9 @@ class MatParams(NamedTuple):
     coat_eta: jnp.ndarray = None    # [N] layer relative IOR
     coat_sigma: jnp.ndarray = None  # [N, 3] sigmaA * thickness
     coat_spec: jnp.ndarray = None   # [N, 3] layer specularReflectance
+    cloth: jnp.ndarray = None   # [N, 6] IRAWAN yarn-segment features
+    #                             (ops/irawan.resolve_features; None when
+    #                             the caller has no uv-stage payload)
 
 
 def gather_params(materials, mid, albedo_override=None,
@@ -736,6 +739,10 @@ def eval(p: MatParams, wi, wo, kinds=None):
     if _has(kinds, HK):
         out = jnp.where((p.kind == HK)[..., None],
                         _hk_eval(p, wi, wo), out)
+    if _has(kinds, IRAWAN):
+        from .irawan import eval_cloth
+        out = jnp.where((p.kind == IRAWAN)[..., None],
+                        eval_cloth(p, wi, wo), out)
     if _has(kinds, OPACITY):
         out = out * p.opacity[..., None]  # mask: f = opacity * f_nested
     delta_only = ((p.kind == CONDUCTOR) | (p.kind == DIELECTRIC) |
@@ -919,6 +926,16 @@ def sample(p: MatParams, wi, u2, u_comp, kinds=None) -> BSDFSample:
         w_sel.append((ROUGH_DIFFUSE, w_d_on))
         pdf_sel.append((ROUGH_DIFFUSE, pdf_d))
         valid_sel.append((ROUGH_DIFFUSE,
+                          (wif[..., 2] > 0) & (wo_d[..., 2] > 0)))
+
+    if _has(kinds, IRAWAN):
+        from .irawan import eval_cloth
+        ir_eval = eval_cloth(p, wif, wo_d)
+        w_ir = ir_eval / jnp.maximum(pdf_d, 1e-12)[..., None]
+        wo_sel.append((IRAWAN, wo_d))
+        w_sel.append((IRAWAN, w_ir))
+        pdf_sel.append((IRAWAN, pdf_d))
+        valid_sel.append((IRAWAN,
                           (wif[..., 2] > 0) & (wo_d[..., 2] > 0)))
 
     if _has(kinds, CONDUCTOR):

@@ -229,11 +229,12 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
 
     bary = None
     if g.tri_shade.shape[-1] >= 41:
-        # vertexcolors/wireframe payload (STATICALLY compiled in only
-        # when such a texture is bound — scene.py widens tri_shade):
-        # cols 29:38 = per-vertex colors, 38:41 = triangle heights
-        # (2A/|opposite edge|), so bary_i * h_i is the world distance to
-        # edge i and their min is the wireframe edge distance
+        # per-hit barycentric-attribute payload (STATICALLY compiled in
+        # only when a vertexcolors/wireframe texture or a woven-cloth
+        # BSDF is bound — scene.py widens tri_shade): cols 29:38 =
+        # per-vertex colors, 38:41 = triangle heights (2A/|opposite
+        # edge|), so bary_i * h_i is the world distance to edge i and
+        # their min is the wireframe edge distance
         wb = 1.0 - hit.u - hit.v
         vc = (row[..., 29:32] * wb[..., None] +
               row[..., 32:35] * hit.u[..., None] +
@@ -241,11 +242,24 @@ def fill_intersection(scene, o, d, hit) -> Intersection:
         edist = jnp.minimum(
             jnp.minimum(wb * row[..., 38], hit.u * row[..., 39]),
             hit.v * row[..., 40])
+        # cols 4:6 — azimuth of dp/du inside the canonical shading
+        # frame built from ns (cloth yarn orientation, ops/irawan.py)
+        ss_f, ts_f = m.build_frame(ns)
+        dpdu = row[..., 23:26]
+        fc = jnp.sum(dpdu * ss_f, -1)
+        fs = jnp.sum(dpdu * ts_f, -1)
+        flen = jnp.sqrt(fc * fc + fs * fs)
+        ok_f = flen > 1e-12
+        fc = jnp.where(ok_f, fc / jnp.where(ok_f, flen, 1.0), 1.0)
+        fs = jnp.where(ok_f, fs / jnp.where(ok_f, flen, 1.0), 0.0)
         if g.sph_center.shape[0] > 0:
             on_sph = hit.prim >= SPHERE_PRIM_BASE
             vc = jnp.where(on_sph[..., None], 1.0, vc)
             edist = jnp.where(on_sph, 3.4e38, edist)
-        bary = jnp.concatenate([vc, edist[..., None]], -1)
+            fc = jnp.where(on_sph, 1.0, fc)
+            fs = jnp.where(on_sph, 0.0, fs)
+        bary = jnp.stack([vc[..., 0], vc[..., 1], vc[..., 2],
+                          edist, fc, fs], -1)
     return Intersection(
         valid=hit.valid,
         t=hit.t,
@@ -316,7 +330,9 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
 
     has_textures is a STATIC bitmask (scene.compile_scene): bit 0 = any
     textures bound, bit 1 = textured mask opacity, bit 2 = blend BSDFs
-    present.  Untextured/blend-free scenes skip all the extra gathers."""
+    present, bit 3 = textured blend weight, bit 4 = woven-cloth (irawan)
+    BSDFs present.  Untextured/blend-free scenes skip all the extra
+    gathers."""
     from . import bsdf as bsdf_ops
     bits = int(has_textures)
     mid = jnp.maximum(bsdf_id, 0)
@@ -329,9 +345,20 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
         if bits & 2:
             from .texture import resolve_opacity
             op = resolve_opacity(scene, ids, uv, bary)
-        return bsdf_ops.gather_params(scene.materials, ids,
-                                      albedo_override=albedo,
-                                      opacity_override=op)
+        pg = bsdf_ops.gather_params(scene.materials, ids,
+                                    albedo_override=albedo,
+                                    opacity_override=op)
+        if bits & 16:
+            # woven-cloth (irawan) yarn-segment features: uv-stage
+            # resolution, direction-independent — eval uses them for the
+            # bent-cylinder specular lobe.  Needs the bary payload's
+            # frame azimuth; without it cloth stays None and eval falls
+            # back to the diffuse term (documented in PARITY.md).
+            if bary is not None:
+                from .irawan import resolve_features
+                pg = pg._replace(cloth=resolve_features(
+                    scene, ids, uv, bary))
+        return pg
 
     p = gather(mid)
     if bits & 4:

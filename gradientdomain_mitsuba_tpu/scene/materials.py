@@ -34,6 +34,9 @@ HK = 15                # Hanrahan-Krueger thin-slab single scattering
 #                        (hk.cpp): reflectance stores sigmaS,
 #                        transmittance sigmaA, alpha the slab thickness,
 #                        alpha_v the HG asymmetry g
+IRAWAN = 16            # woven cloth (irawan.cpp): reflectance kd,
+#                        specular ks, alpha/alpha_v the repeatU/repeatV,
+#                        dist the weave preset id (ops/irawan.py)
 
 KIND_NAMES = {
     "diffuse": DIFFUSE, "conductor": CONDUCTOR, "dielectric": DIELECTRIC,
@@ -41,7 +44,7 @@ KIND_NAMES = {
     "roughplastic": ROUGH_PLASTIC, "roughdielectric": ROUGH_DIELECTRIC,
     "thindielectric": THIN_DIELECTRIC, "roughdiffuse": ROUGH_DIFFUSE,
     "phong": PHONG, "ward": WARD, "null": NULL_BSDF,
-    "difftrans": DIFFTRANS, "hk": HK,
+    "difftrans": DIFFTRANS, "hk": HK, "irawan": IRAWAN,
 }
 
 # microfacet distribution enum
@@ -422,6 +425,22 @@ class MaterialBuilder:
             return self.add_row(kind=kind, flags=flags,
                                 reflectance=sig_s, transmittance=sig_a,
                                 alpha=thickness, alpha_v=g_hg)
+        if kind == IRAWAN:
+            # irawan.cpp: weave pattern by filename + repeatU/V +
+            # kd/ks multipliers.  Pattern files are matched by name to
+            # the built-in preset classes (ops/irawan.py); explicit
+            # kd/ks spectra may override the preset colors.
+            from ..ops import irawan as irw
+            pid = irw.preset_from_name(str(node.get("filename", "plain")))
+            kd = spectrum_value(node.get("kd"), irw.PRESET_KD[pid]) * \
+                float(node.get("kdMultiplier", 1.0))
+            ks = spectrum_value(node.get("ks"), irw.PRESET_KS[pid]) * \
+                float(node.get("ksMultiplier", 1.0))
+            return self.add_row(
+                kind=kind, flags=flags, reflectance=kd, specular=ks,
+                alpha=float(node.get("repeatU", 10.0)),
+                alpha_v=float(node.get("repeatV", 10.0)),
+                dist=pid, eta=(1.345, 1.345, 1.345))
         if kind == NULL_BSDF:
             return self.add_row(kind=kind, flags=flags,
                                 reflectance=(0, 0, 0))

@@ -530,10 +530,13 @@ def compile_scene(desc: SceneDesc,
     area2 = np.linalg.norm(ng_all, axis=-1)        # 2x world area
     ng_all /= np.maximum(area2[..., None], 1e-20)
     shape_of_tri = tri_shape
-    # vertexcolors/wireframe textures need per-hit barycentric attributes:
-    # widen the packed row ONLY then (fill_intersection keys on width 41)
-    needs_bary = any(n.type in ("vertexcolors", "wireframe")
-                     for n in mb.texture_nodes)
+    # vertexcolors/wireframe textures and woven-cloth (irawan) BSDFs need
+    # per-hit barycentric attributes: widen the packed row ONLY then
+    # (fill_intersection keys on width 41)
+    from .materials import IRAWAN as _IRAWAN
+    needs_bary = (any(n.type in ("vertexcolors", "wireframe")
+                      for n in mb.texture_nodes) or
+                  any(r["kind"] == _IRAWAN for r in mb.rows))
     tri_shade = np.zeros((len(indices), 41 if needs_bary else 29),
                          np.float32)
     tri_shade[:, 0:3] = ng_all
@@ -689,12 +692,14 @@ def compile_scene(desc: SceneDesc,
     # bit 2 = blend BSDFs present; bit 3 = textured blend weight
     # (ops/common.material_params gates the extra gathers on these)
     from .materials import BLEND as _BLEND, COATING as _COATING
+    from .materials import IRAWAN as _IRW
     settings.has_textures = (
         (1 if mb.texture_nodes else 0) |
         (2 if any(r.get("tex_opacity", -1) >= 0 for r in mb.rows) else 0) |
         (4 if any(r["kind"] in (_BLEND, _COATING) for r in mb.rows)
          else 0) |
-        (8 if any(r.get("tex_blend", -1) >= 0 for r in mb.rows) else 0))
+        (8 if any(r.get("tex_blend", -1) >= 0 for r in mb.rows) else 0) |
+        (16 if any(r["kind"] == _IRW for r in mb.rows) else 0))
     # anisotropic texture filtering (bitmap filterType "ewa", the
     # Mitsuba default): primary hits carry a footprint ellipse
     settings.has_ewa = any(
