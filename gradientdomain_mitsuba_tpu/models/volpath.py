@@ -95,7 +95,7 @@ class VolPathTracer(PathTracer):
                                jnp.where(walking, remaining, -1.0),
                                scene.geom)
             seg = jnp.where(hit.valid, hit.t, remaining)
-            _, sigma_t, _, _ = med_ops.gather(scene.media, cur_med)
+            _, sigma_t, _, _, _ = med_ops.gather(scene.media, cur_med)
             if self.has_het and rng is not None:
                 seed_r, pid_r, sidx_r = rng
                 K = self.track_steps
@@ -168,7 +168,7 @@ class VolPathTracer(PathTracer):
 
             # ---- free flight in the current medium ------------------------
             t_surf = jnp.where(its.valid, its.t, inf)
-            sigma_s, sigma_t, ph_kind, ph_g = med_ops.gather(
+            sigma_s, sigma_t, ph_kind, ph_g, ph_flake = med_ops.gather(
                 scene.media, cur_med)
             if self.has_het:
                 K = self.track_steps
@@ -205,7 +205,8 @@ class VolPathTracer(PathTracer):
                                       vtx, u_sel, u_pos,
                                       n_delta=self.n_delta)
 
-            ph_f = med_ops.phase_eval(ph_kind, ph_g, wi_world, ds.d)
+            ph_f = med_ops.phase_eval(ph_kind, ph_g, wi_world, ds.d,
+                                      ph_flake)
             w_nee_med = jnp.where(ds.is_delta, 1.0,
                                   mis_weight(ds.pdf, ph_f))
 
@@ -304,7 +305,8 @@ class VolPathTracer(PathTracer):
             bs = self._bsample(params, wi, u_bs, u_bc)
             u_ph = u2(seed, pixel_id, sample_idx, _media_dim(b, D_PHASE_UV))
             wo_phase, phase_pdf = med_ops.phase_sample(ph_kind, ph_g,
-                                                       wi_world, u_ph)
+                                                       wi_world, u_ph,
+                                                       ph_flake)
 
             wo_world_s = m.to_world(bs.wo, ss_f, ts_f, its.ns)
             new_d = jnp.where(med_event[..., None], wo_phase, wo_world_s)
@@ -373,8 +375,8 @@ class VolPathTracer(PathTracer):
         # body applies the last segment's transmittance via free-flight
         # weights; here the segment is evaluated deterministically:
         if self.settings.has_media:
-            _, sigma_t_f, _, _ = med_ops.gather(scene.media,
-                                                state["medium"])
+            _, sigma_t_f, _, _, _ = med_ops.gather(scene.media,
+                                                   state["medium"])
             t_last = jnp.where(state["its"].valid, state["its"].t, 3e38)
             if self.has_het:
                 K = self.track_steps

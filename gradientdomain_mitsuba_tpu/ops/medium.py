@@ -19,7 +19,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..core import math as m
-from ..scene.media import PHASE_HG, PHASE_ISOTROPIC, PHASE_RAYLEIGH
+from ..scene.media import (PHASE_HG, PHASE_ISOTROPIC, PHASE_MICROFLAKE,
+                           PHASE_RAYLEIGH)
 
 INV_4PI = 1.0 / (4.0 * jnp.pi)
 F32_BIG = 3e38
@@ -33,7 +34,8 @@ def gather(media, mid):
     sigma_t = jnp.where(vac, 0.0, media.sigma_t[idx])
     g = jnp.where(mid < 0, 0.0, media.g[idx])
     kind = jnp.where(mid < 0, PHASE_ISOTROPIC, media.phase_kind[idx])
-    return sigma_s, sigma_t, kind, g
+    flake = media.flake[idx]
+    return sigma_s, sigma_t, kind, g, flake
 
 
 def transmittance(sigma_t, dist):
@@ -89,7 +91,73 @@ def _rayleigh_pdf(cos_theta):
     return (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_theta * cos_theta)
 
 
-def phase_eval(kind, g, wi, wo):
+# --- SGGX microflakes (fiber) ----------------------------------------------
+# S = w w^T sigma^2 + (I - w w^T): eigenvalues (sigma^2, 1, 1) in the
+# fiber frame, so S v = v + (sigma^2 - 1)(w.v) w and every quadratic
+# form is a closed-form dot product — the TPU-native replacement for
+# microflake.cpp's Gaussian distribution (fitted series + rejection
+# sampling).  Specular (mirror) flakes: phase = D(h) / (4 sigma(wi)).
+
+
+def _sggx_dot(flake, a, b):
+    w = flake[..., 0:3]
+    s2 = flake[..., 3] ** 2
+    return m.dot(a, b) + (s2 - 1.0) * m.dot(w, a) * m.dot(w, b)
+
+
+def _sggx_ndf(flake, mv):
+    """D(m) = 1 / (pi sqrt(det S) (m^T S^-1 m)^2); sqrt(det S) = sigma."""
+    w = flake[..., 0:3]
+    sig = jnp.maximum(flake[..., 3], 1e-3)
+    c = m.dot(w, mv)
+    q = c * c / (sig * sig) + (1.0 - c * c)
+    return 1.0 / (jnp.pi * sig * jnp.maximum(q * q, 1e-12))
+
+
+def _sggx_proj(flake, d):
+    """Projected flake area sigma(d) = sqrt(d^T S d)."""
+    return jnp.sqrt(jnp.maximum(_sggx_dot(flake, d, d), 1e-12))
+
+
+def _sggx_eval(flake, wi, wo):
+    h = m.normalize(wi + wo)
+    return _sggx_ndf(flake, h) / (4.0 * _sggx_proj(flake, wi))
+
+
+def _sggx_sample(flake, wi, u2):
+    """Exact visible-normal sampling (Heitz et al. 2015): sample a flake
+    normal from the projected-area-weighted NDF, mirror-reflect.  The
+    estimator weight is exactly 1."""
+    i = wi                                  # reversed incident direction
+    k, j = m.build_frame(i)
+    skk = _sggx_dot(flake, k, k)
+    skj = _sggx_dot(flake, k, j)
+    ski = _sggx_dot(flake, k, i)
+    sjj = _sggx_dot(flake, j, j)
+    sji = _sggx_dot(flake, j, i)
+    sii = _sggx_dot(flake, i, i)
+    sqrt_det = jnp.maximum(flake[..., 3], 1e-3)   # sqrt(sigma^2 * 1 * 1)
+    tmp = jnp.sqrt(jnp.maximum(sjj * sii - sji * sji, 1e-12))
+    isq = 1.0 / jnp.sqrt(jnp.maximum(sii, 1e-12))
+    # columns of the M matrix mapping hemisphere points to S^(1/2) space
+    mk = jnp.stack([sqrt_det / tmp,
+                    jnp.zeros_like(tmp), jnp.zeros_like(tmp)], -1)
+    mj = jnp.stack([-isq * (ski * sji - skj * sii) / tmp,
+                    isq * tmp, jnp.zeros_like(tmp)], -1)
+    mi = jnp.stack([isq * ski, isq * sji, isq * sii], -1)
+    r = jnp.sqrt(jnp.clip(u2[..., 0], 0.0, 1.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    pu = (r * jnp.cos(phi))[..., None]
+    pv = (r * jnp.sin(phi))[..., None]
+    pw = jnp.sqrt(jnp.maximum(1.0 - u2[..., 0], 0.0))[..., None]
+    m_kji = m.normalize(pu * mk + pv * mj + pw * mi)
+    mv = (k * m_kji[..., 0:1] + j * m_kji[..., 1:2] + i * m_kji[..., 2:3])
+    # mirror flake: reflect the propagation direction -wi about mv
+    wo = -wi + 2.0 * m.dot(wi, mv)[..., None] * mv
+    return m.normalize(wo)
+
+
+def phase_eval(kind, g, wi, wo, flake=None):
     """Phase value == pdf of sampling wo given wi.
 
     Convention (matches the BSDF layer): wi points back toward the
@@ -102,11 +170,15 @@ def phase_eval(kind, g, wi, wo):
     # _hg_pdf's denominator is 1 + g^2 + 2 g x, so pass x = -cos(alpha)
     hg = _hg_pdf(-cos_alpha, g)
     ray = _rayleigh_pdf(cos_alpha)
-    return jnp.where(kind == PHASE_HG, hg,
-                     jnp.where(kind == PHASE_RAYLEIGH, ray, iso))
+    out = jnp.where(kind == PHASE_HG, hg,
+                    jnp.where(kind == PHASE_RAYLEIGH, ray, iso))
+    if flake is not None:
+        out = jnp.where(kind == PHASE_MICROFLAKE,
+                        _sggx_eval(flake, wi, wo), out)
+    return out
 
 
-def phase_sample(kind, g, wi, u2):
+def phase_sample(kind, g, wi, u2, flake=None):
     """Sample wo from the phase function around the propagation direction
     -wi.  Returns (wo, pdf); weight is 1."""
     prop = -wi  # propagation direction of the incident ray
@@ -136,7 +208,10 @@ def phase_sample(kind, g, wi, u2):
                 t * (sin_t * jnp.sin(phi))[..., None] +
                 prop * cos_t[..., None])
     wo = jnp.where((kind == PHASE_ISOTROPIC)[..., None], wo_iso, wo_aniso)
-    return wo, phase_eval(kind, g, wi, wo)
+    if flake is not None:
+        wo = jnp.where((kind == PHASE_MICROFLAKE)[..., None],
+                       _sggx_sample(flake, wi, u2), wo)
+    return wo, phase_eval(kind, g, wi, wo, flake)
 
 
 def _sphere_dir(u2):

@@ -28,6 +28,8 @@ from .ir import Plugin, spectrum_value
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_MICROFLAKE = 3   # fiber-like anisotropic media (microflake.cpp);
+#                        realized as closed-form SGGX flakes (ops/medium.py)
 
 # named scattering materials (subset of Mitsuba's materialdata.h lookup,
 # data/ior-style presets used by <string name="material">): sigmaS,
@@ -57,6 +59,7 @@ class MediumTable(NamedTuple):
     sigma_t: np.ndarray    # [M, 3]
     phase_kind: np.ndarray  # [M] i32 (PHASE_*)
     g: np.ndarray          # [M] HG asymmetry
+    flake: np.ndarray      # [M, 4] microflake fiber axis xyz + SGGX sigma
     het: np.ndarray        # [M] i32: 1 = density-grid medium
     grid_data: np.ndarray  # [G] f32: all density grids, flattened
     grid_offset: np.ndarray  # [M] i32 into grid_data
@@ -84,6 +87,7 @@ def vacuum_table() -> MediumTable:
     return MediumTable(sigma_s=z, sigma_a=z, sigma_t=z,
                        phase_kind=np.zeros(1, np.int32),
                        g=np.zeros(1, np.float32),
+                       flake=np.array([[0, 0, 1, 1]], np.float32),
                        **_hom_grid_fields(1))
 
 
@@ -192,9 +196,9 @@ class MediaBuilder:
         sigma_s = sigma_s * scale
         sigma_a = sigma_a * scale
 
-        kind, g = self._parse_phase(node)
+        kind, g, flake = self._parse_phase(node)
         mid = len(self.rows)
-        self.rows.append((sigma_s, sigma_a, kind, g, 0))
+        self.rows.append((sigma_s, sigma_a, kind, g, 0, flake))
         self.grids.append((None, None))
         self._by_node[key] = (mid, node)
         return mid
@@ -226,9 +230,9 @@ class MediaBuilder:
         sigma_s = albedo * sigma_t_unit
         sigma_a = sigma_t_unit - sigma_s
         data, w2g = self._load_density(node)
-        kind, g = self._parse_phase(node)
+        kind, g, flake = self._parse_phase(node)
         mid = len(self.rows)
-        self.rows.append((sigma_s, sigma_a, kind, g, 1))
+        self.rows.append((sigma_s, sigma_a, kind, g, 1, flake))
         self.grids.append((data, w2g))
         self._by_node[key] = (mid, node)
         return mid
@@ -242,6 +246,7 @@ class MediaBuilder:
                     phase = v
                     break
         kind, g = PHASE_ISOTROPIC, 0.0
+        flake = np.array([0, 0, 1, 1], np.float32)
         if phase is not None:
             if phase.type == "isotropic":
                 kind = PHASE_ISOTROPIC
@@ -249,11 +254,29 @@ class MediaBuilder:
                 kind, g = PHASE_HG, float(phase.get("g", 0.0))
             elif phase.type == "rayleigh":
                 kind = PHASE_RAYLEIGH
+            elif phase.type == "microflake":
+                # microflake.cpp: Gaussian flake-normal distribution of
+                # width stddev around the great circle perpendicular to
+                # the fiber axis.  Realized as an SGGX fiber (Heitz et
+                # al. 2015) with sigma ~ stddev: closed-form NDF,
+                # projected area and exact visible-normal sampling —
+                # no rejection loops (documented deviation).  The
+                # reference reads per-voxel orientations from a volume;
+                # here the axis is a constant per medium ("orientation").
+                kind = PHASE_MICROFLAKE
+                axis = np.asarray(
+                    phase.get("orientation", np.array([0.0, 0.0, 1.0])),
+                    np.float32)
+                axis = axis / max(float(np.linalg.norm(axis)), 1e-9)
+                sig = float(np.clip(float(phase.get("stddev", 0.1)),
+                                    0.02, 1.0))
+                flake = np.array([axis[0], axis[1], axis[2], sig],
+                                 np.float32)
             else:
                 raise ValueError(
                     f"phase type '{phase.type}' not supported "
-                    f"(isotropic/hg/rayleigh)")
-        return kind, g
+                    f"(isotropic/hg/rayleigh/microflake)")
+        return kind, g, flake
 
     def finalize(self) -> MediumTable:
         if not self.rows:
@@ -286,6 +309,7 @@ class MediaBuilder:
             sigma_s=ss, sigma_a=sa, sigma_t=ss + sa,
             phase_kind=np.asarray([r[2] for r in self.rows], np.int32),
             g=np.asarray([r[3] for r in self.rows], np.float32),
+            flake=np.stack([r[5] for r in self.rows]).astype(np.float32),
             het=het,
             grid_data=np.concatenate(datas).astype(np.float32),
             grid_offset=np.asarray(offsets, np.int32),
