@@ -63,6 +63,7 @@ class _PSSBDPTracer(BDPTracer):
         eye_span = DA.NUM_CAMERA_DIMS * (self.TE + 1)
         light_span = DA.NUM_BOUNCE_DIMS * (self.SM + 1)
         self.n_dims = eye_span + light_span
+        self.eye_span = eye_span
         wh = jnp.asarray([settings.width, settings.height], jnp.float32)
 
         def remap(dim):
@@ -106,6 +107,7 @@ class MLTracer:
         self.n_bootstrap = int(props.get("luminanceSamples",
                                          4 * self.n_chains))
         self.n_dims = self.inner.n_dims
+        self.eye_span = self.inner.eye_span
 
     # -- f(u): one full BDPT evaluation per chain ---------------------------
     def _eval(self, scene, u):
@@ -136,6 +138,16 @@ class MLTracer:
         return uniform_float(seed, ids, it, dims)
 
     def _mutate_small(self, seed, it, u):
+        """Structured small-step family (the Veach mutation set of
+        mlt.cpp mapped to primary sample space): with probability 1/2 a
+        plain Kelemen step over ALL coordinates (multi-chain
+        perturbation analog), else a LENS perturbation (eye-subpath
+        coordinates only — light subpath frozen, so caustic-casting
+        light chains survive while the camera end explores) or a
+        CAUSTIC perturbation (light-subpath coordinates only).  Each
+        restricted kernel is symmetric, so the acceptance ratio is
+        unchanged; mixing fixed kernels by an independent coin keeps
+        detailed balance per kernel."""
         C = u.shape[0]
         ids = jnp.arange(C, dtype=jnp.uint32)[:, None]
         dims = jnp.arange(self.n_dims, dtype=jnp.uint32)[None, :]
@@ -143,7 +155,12 @@ class MLTracer:
         s = uniform_float(seed ^ 0x9e37, ids, it, 4096 + dims)
         mag = S2 * jnp.exp(-jnp.log(S2 / S1) * r)
         delta = jnp.where(s < 0.5, mag, -mag)
-        return (u + delta) % 1.0
+        kind = uniform_float(seed ^ 0x7e45, ids[:, 0], it, 6144)
+        is_eye = dims < self.eye_span                      # [1, D]
+        keep = jnp.where((kind < 0.5)[:, None], True,
+                         jnp.where((kind < 0.75)[:, None], is_eye,
+                                   ~is_eye))
+        return (u + jnp.where(keep, delta, 0.0)) % 1.0
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _run(self, scene, seed, n_iters):
