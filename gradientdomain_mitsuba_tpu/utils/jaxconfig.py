@@ -11,6 +11,23 @@ import os
 _CONFIGURED = False
 
 
+def _host_tag() -> str:
+    """Short fingerprint of this host's CPU feature set."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(
+                        line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(
+        platform.processor().encode()).hexdigest()[:12] if \
+        platform.processor() else "generic"
+
+
 def configure():
     global _CONFIGURED
     if _CONFIGURED:
@@ -22,7 +39,12 @@ def configure():
     if cache_dir is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
-        cache_dir = os.path.join(root, ".jax_cache")
+        # scope the cache by the host's CPU feature set: XLA:CPU AOT
+        # results baked for another machine type can SIGILL/SIGSEGV when
+        # loaded (observed as sporadic pytest segfaults when the repo
+        # moves between sandbox hosts), so hosts with different ISAs
+        # must not share entries
+        cache_dir = os.path.join(root, ".jax_cache", _host_tag())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
