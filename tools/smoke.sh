@@ -13,7 +13,10 @@ RUN=(env -u PYTHONPATH JAX_PLATFORMS=cpu
      XLA_FLAGS=--xla_force_host_platform_device_count=8)
 
 if [[ "${1:-}" == "full" ]]; then
-  exec "${RUN[@]}" python -m pytest tests/ -q
+  # one pytest process per file: a single process over all ~250 cases
+  # sporadically dies in jax's compilation-cache write (see
+  # tools/run_suite.sh)
+  exec bash tools/run_suite.sh
 fi
 
 echo "== fast statistical tests (no compile-heavy renders) =="
