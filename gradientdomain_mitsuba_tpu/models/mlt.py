@@ -22,9 +22,14 @@ chains in primary sample space with the Kelemen kernel:
     with the Kelemen expected-value weights.
 
 Veach's structured perturbations exist to raise acceptance on specular
-chains; the wavefront design buys variance reduction with chain count
-instead of per-chain mixing speed, which is the MXU-friendly trade
-(one mutation = one dense [C]-wide BDPT wavefront pass, no divergence).
+chains; `_mutate_small` maps the whole family — multi-chain, lens,
+caustic, and the manifold perturbation (libbidir/manifold.cpp) — to
+fixed coordinate-subset Kelemen kernels.  The manifold walk comes for
+free from the half-vector parameterization of the microfacet samplers:
+freezing every bounce coordinate while perturbing an endpoint replays
+the specular chain with identical half vectors, the first-order
+manifold step, with no Newton iterations and no divergence (one
+mutation = one dense [C]-wide BDPT wavefront pass).
 Two-stage bootstrap (resampled seeding + luminance normalization b) as
 in pssmlt.py.  `sampleDirect`-style separation is unnecessary: all
 strategies ride the chains.
@@ -139,15 +144,35 @@ class MLTracer:
 
     def _mutate_small(self, seed, it, u):
         """Structured small-step family (the Veach mutation set of
-        mlt.cpp mapped to primary sample space): with probability 1/2 a
-        plain Kelemen step over ALL coordinates (multi-chain
-        perturbation analog), else a LENS perturbation (eye-subpath
-        coordinates only — light subpath frozen, so caustic-casting
-        light chains survive while the camera end explores) or a
-        CAUSTIC perturbation (light-subpath coordinates only).  Each
-        restricted kernel is symmetric, so the acceptance ratio is
-        unchanged; mixing fixed kernels by an independent coin keeps
-        detailed balance per kernel."""
+        mlt.cpp + libbidir's manifold perturbation, mapped to primary
+        sample space).  Kernel mix per chain per iteration:
+
+          p=1/2  ALL coordinates (multi-chain perturbation analog);
+          p=1/8  EYE subpath only (light subpath frozen, so
+                 caustic-casting light chains survive while the camera
+                 end explores);
+          p=1/8  LIGHT subpath only (caustic perturbation analog);
+          p=1/8  LENS-MANIFOLD: camera-sample block only (pixel jitter
+                 + aperture), EVERY bounce coordinate frozen on both
+                 subpaths.  Because the microfacet BSDF samplers are
+                 half-vector-parameterized (ops/bsdf.py draws the NDF
+                 half vector from the frozen coordinates), the specular
+                 chain re-traces with IDENTICAL half vectors while the
+                 lens point moves — the first-order manifold walk of
+                 libbidir/manifold.cpp (and the half-vector-space step
+                 of Kaplanyan et al.'s HSLT) realized by replay instead
+                 of Newton iteration;
+          p=1/8  CAUSTIC-MANIFOLD: light-origin block only (emitter
+                 pick + position/direction), all other coordinates
+                 frozen — slides the light endpoint under a frozen
+                 half-vector chain.
+
+        Each restricted kernel acts on a FIXED coordinate subset, so it
+        is symmetric and the acceptance ratio is unchanged; mixing fixed
+        kernels by an independent coin keeps detailed balance per
+        kernel.  (A state-dependent subset — e.g. "the dims of specular
+        vertices" — would break symmetry, which is why the manifold
+        kernels freeze by position, not by vertex classification.)"""
         C = u.shape[0]
         ids = jnp.arange(C, dtype=jnp.uint32)[:, None]
         dims = jnp.arange(self.n_dims, dtype=jnp.uint32)[None, :]
@@ -155,11 +180,17 @@ class MLTracer:
         s = uniform_float(seed ^ 0x9e37, ids, it, 4096 + dims)
         mag = S2 * jnp.exp(-jnp.log(S2 / S1) * r)
         delta = jnp.where(s < 0.5, mag, -mag)
-        kind = uniform_float(seed ^ 0x7e45, ids[:, 0], it, 6144)
+        kind = uniform_float(seed ^ 0x7e45, ids[:, 0], it, 6144)[:, None]
         is_eye = dims < self.eye_span                      # [1, D]
-        keep = jnp.where((kind < 0.5)[:, None], True,
-                         jnp.where((kind < 0.75)[:, None], is_eye,
-                                   ~is_eye))
+        is_lens = dims < DA.NUM_CAMERA_DIMS
+        is_light_origin = (~is_eye) & (
+            dims < self.eye_span + DA.NUM_BOUNCE_DIMS)
+        keep = jnp.where(
+            kind < 0.5, True,
+            jnp.where(kind < 0.625, is_eye,
+                      jnp.where(kind < 0.75, ~is_eye,
+                                jnp.where(kind < 0.875, is_lens,
+                                          is_light_origin))))
         return (u + jnp.where(keep, delta, 0.0)) % 1.0
 
     @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -53,6 +53,43 @@ def _load(size):
         return sc.load_scene(p, {"width": str(size), "height": str(size)})
 
 
+def test_mutation_kernels_are_fixed_coordinate_subsets():
+    """Every small-step mutation must touch exactly one of the five
+    allowed FIXED coordinate subsets (all / eye / light / lens-manifold
+    / caustic-manifold) — state-independence of the subset is what keeps
+    each kernel symmetric — and all five kinds must occur."""
+    import jax.numpy as jnp
+    from gradientdomain_mitsuba_tpu.core.rng import DimAllocator as DA
+
+    scene, st = _load(8)
+    st.integrator = "mlt"
+    tr = MLTracer(scene, st)
+    C, D = 512, tr.n_dims
+    u = np.asarray(tr._fresh(7, 0, C))
+    up = np.asarray(tr._mutate_small(7, 3, jnp.asarray(u)))
+    changed = u != up  # kept dims move by +-mag in (1/1024, 1/64]
+
+    dims = np.arange(D)
+    is_eye = dims < tr.eye_span
+    masks = {
+        "all": np.ones(D, bool),
+        "eye": is_eye,
+        "light": ~is_eye,
+        "lens_manifold": dims < DA.NUM_CAMERA_DIMS,
+        "caustic_manifold": ~is_eye & (dims < tr.eye_span + DA.NUM_BOUNCE_DIMS),
+    }
+    counts = dict.fromkeys(masks, 0)
+    for c in range(C):
+        hit = [k for k, m in masks.items() if (changed[c] == m).all()]
+        assert hit, f"chain {c} changed an unknown subset: {changed[c]}"
+        counts[hit[0]] += 1
+    assert all(v > 0 for v in counts.values()), counts
+    # manifold kernels freeze every bounce coordinate of both subpaths
+    bounce = dims >= DA.NUM_CAMERA_DIMS
+    lens_rows = (changed == masks["lens_manifold"]).all(1)
+    assert not changed[np.ix_(lens_rows, bounce)].any()
+
+
 def test_mlt_matches_bdpt_in_expectation():
     size = 16
     scene, st = _load(size)
