@@ -306,10 +306,18 @@ class GPTracer:
                                  fp_main=fp_m, fp_off=fp_o)
         if self.any_specular:
             def bounce(b, s):
-                return self._bounce(scene, s, b, seed, sample_idx,
-                                    pixel_id, N, eps, occl4, trace4, True)
+                rays = s.pop("rays", None)
+                s2 = self._bounce(scene, s, b, seed, sample_idx,
+                                  pixel_id, N, eps, occl4, trace4, True)
+                if rays is not None:
+                    s2["rays"] = rays + common.drain_tally(self)
+                return s2
 
+            if self.ray_tally is not None:
+                state["rays"] = common.drain_tally(self)
             state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
+            if self.ray_tally is not None:
+                self.ray_tally.append(state.pop("rays"))
         else:
             # all-diffuse: after bounce 0 every live offset is CONNECTED
             # (reconnection either succeeded or the shift died), so the
@@ -348,11 +356,19 @@ class GPTracer:
                 rest["primal"] = jnp.zeros_like(state["primal"])
 
                 def bounce(b, s):
-                    return self._bounce(scene, s, b, seed, sample_idx,
-                                        pixel_id, N, eps, occl4, trace4,
-                                        False, with_offsets=False)
+                    rays = s.pop("rays", None)
+                    s2 = self._bounce(scene, s, b, seed, sample_idx,
+                                      pixel_id, N, eps, occl4, trace4,
+                                      False, with_offsets=False)
+                    if rays is not None:
+                        s2["rays"] = rays + common.drain_tally(self)
+                    return s2
 
+                if self.ray_tally is not None:
+                    rest["rays"] = common.drain_tally(self)
                 rest = jax.lax.fori_loop(2, self.n_bounces, bounce, rest)
+                if self.ray_tally is not None:
+                    self.ray_tally.append(rest.pop("rays"))
                 state["primal"] = state["primal"] + rest["primal"]
                 state["grad"] = state["grad"] + coeff * rest["primal"][None]
         return pos_film, state["primal"], very, state["grad"]

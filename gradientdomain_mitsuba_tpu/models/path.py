@@ -246,7 +246,21 @@ class PathTracer:
                     fp0 = (fp0, common.primary_uv_jacobian(
                         scene, st.width, st.height, d, its))
             state = bounce(0, state, fp0)
-            state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
+            if self.ray_tally is not None:
+                # fold the tally through the loop carry (common.drain_tally)
+                state["rays"] = common.drain_tally(self)
+
+                def bounce_counted(b, s):
+                    rays = s.pop("rays")
+                    s2 = bounce(b, s)
+                    s2["rays"] = rays + common.drain_tally(self)
+                    return s2
+
+                state = jax.lax.fori_loop(1, self.n_bounces,
+                                          bounce_counted, state)
+                self.ray_tally.append(state.pop("rays"))
+            else:
+                state = jax.lax.fori_loop(1, self.n_bounces, bounce, state)
 
         # final emitter-hit pass for the vertex reached by the last bounce
         its = state["its"]

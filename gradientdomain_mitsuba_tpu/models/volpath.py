@@ -369,7 +369,21 @@ class VolPathTracer(PathTracer):
                         last_vtx=last_vtx, medium=new_med, depth=depth)
 
         if self.n_iters > 0:
-            state = jax.lax.fori_loop(0, self.n_iters, step, state)
+            if self.ray_tally is not None:
+                # fold the tally through the loop carry (common.drain_tally)
+                state["rays"] = common.drain_tally(self)
+
+                def step_counted(b, s):
+                    rays = s.pop("rays")
+                    s2 = step(b, s)
+                    s2["rays"] = rays + common.drain_tally(self)
+                    return s2
+
+                state = jax.lax.fori_loop(0, self.n_iters, step_counted,
+                                          state)
+                self.ray_tally.append(state.pop("rays"))
+            else:
+                state = jax.lax.fori_loop(0, self.n_iters, step, state)
 
         # final emitter-hit pass for the last reached vertex.  The loop
         # body applies the last segment's transmittance via free-flight

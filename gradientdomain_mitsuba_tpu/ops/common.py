@@ -141,6 +141,23 @@ def instrument_intersectors(tracer, closest, occluded):
     return closest_w, occluded_w
 
 
+def drain_tally(tracer):
+    """Sum and remove every pending ray-tally entry (0.0 if none).
+
+    Tally entries appended inside a traced `lax.fori_loop` body belong
+    to that body's trace scope; summing them after the loop leaks
+    tracers (jax UnexpectedTracerError).  Loop call sites therefore
+    thread a scalar "rays" slot through the loop carry: drain pending
+    outer-scope entries into the initial carry, drain per-iteration
+    entries inside the body, and append the loop's total back onto the
+    tally afterwards (see PathTracer/GPTracer.trace_pass)."""
+    import jax.numpy as jnp
+    t = tracer.ray_tally
+    total = sum(t) if t else jnp.zeros(())
+    del t[:]
+    return total
+
+
 ONEHOT_GATHER_MAX_ROWS = 4096
 
 

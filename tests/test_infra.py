@@ -135,3 +135,36 @@ def test_ao_integrator(point_scene):
     assert img.min() >= 0 and img.max() <= 1.0 + 1e-5
     # floor near the sphere is more occluded than far away
     assert img[20, 2].mean() > img[17, 12].mean() - 1e-3
+
+
+def test_measured_ray_counters():
+    """count_rays must survive the traced bounce fori_loops (the tally is
+    threaded through the loop carry — common.drain_tally) and report a
+    plausible device-measured total for both the plain path tracer and
+    G-PT (all-diffuse suffix-factorized AND specular any_specular paths).
+    Regression: bench.py crashed with UnexpectedTracerError when the
+    counter instrumentation leaked inner-loop tracers."""
+    from gradientdomain_mitsuba_tpu.models.gpt import GPTracer
+
+    W = H = 16
+    spp = 2
+    for xml, integ, cls in [
+            (CBOX, "path", path_mod.PathTracer),
+            (CBOX, "gpt", GPTracer),  # all-diffuse: suffix fast path
+            (os.path.join(ROOT, "data/scenes/cbox-mats/cbox-mats.xml"),
+             "gpt", GPTracer),        # specular: any_specular loop
+    ]:
+        scene, st = sc.load_scene(xml, {
+            "width": str(W), "height": str(H), "spp": str(spp),
+            "maxDepth": "4", "integrator": integ})
+        tr = cls(scene, st)
+        tr.count_rays = True
+        out = tr.render(scene, seed=0, spp=spp)
+        img = out["primal"] if isinstance(out, dict) else out
+        assert np.isfinite(np.asarray(img)).all()
+        rays = tr.last_ray_count
+        # at least one camera ray per sample; far below the all-lanes-
+        # alive-every-bounce x every-traversal-call upper bound
+        n_lanes = W * H * spp
+        assert rays >= n_lanes, (integ, rays)
+        assert rays <= n_lanes * 4 * (2 + 2 + 4 + 4 + 4), (integ, rays)
