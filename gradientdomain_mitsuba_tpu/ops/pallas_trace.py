@@ -214,8 +214,8 @@ def _run(kernel_fn, window, o, d, mint, maxt, tri9, cbounds):
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[ray_spec,
-                      pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[out_spec, prim_spec],
             scratch_shapes=[
                 pltpu.VMEM((16, window), jnp.float32),
@@ -540,8 +540,8 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[ray_spec,
-                      pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[out_spec, prim_spec],
             scratch_shapes=[
                 pltpu.VMEM((16, 4 * window), jnp.float32),

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .tiles import AXIS, padded_rows
 
@@ -127,7 +127,7 @@ def solve_l2_sharded(mesh, primal, gx, gy, alpha=0.2, iters=100,
 
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-                   out_specs=P(AXIS), check_rep=False)
+                   out_specs=P(AXIS), check_vma=False)
     mask3 = np.broadcast_to(mask, (Hp, 1, 3)).copy()
     out = fn(Pm, GX, GY, mask3)
     return np.asarray(out)[:H]

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import film as film_ops
 
@@ -92,7 +92,7 @@ def render_tiles_gpt(tracer, scene, mesh, seed, n_samples: int):
         local_ids = (row0 * W +
                      jnp.arange(rows * W, dtype=jnp.uint32))
         Hl = rows + 2 * B
-        pv = lambda a: jax.lax.pvary(a, (AXIS,))
+        pv = lambda a: jax.lax.pcast(a, (AXIS,), to='varying')
         zero3 = pv(jnp.zeros((Hl, W, 3)))
         bufs = dict(primal=zero3, dx=zero3, dy=zero3, very_direct=zero3,
                     wsum=pv(jnp.zeros((Hl, W))))
@@ -131,7 +131,7 @@ def render_tiles_gpt(tracer, scene, mesh, seed, n_samples: int):
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(),),      # scene replicated
                    out_specs=P(AXIS),    # row-sharded buffers
-                   check_rep=False)
+                   check_vma=False)
     out = fn(scene)
     out = {k: _gather_host(v, H) for k, v in out.items()}
     w = np.maximum(out.pop("wsum"), 1e-12)[..., None]
@@ -157,7 +157,7 @@ def render_tiles_path(tracer, scene, mesh, seed, n_samples: int):
         row0 = idx * rows
         local_ids = (row0 * W + jnp.arange(rows * W, dtype=jnp.uint32))
         Hl = rows + 2 * B
-        pv = lambda a: jax.lax.pvary(a, (AXIS,))
+        pv = lambda a: jax.lax.pcast(a, (AXIS,), to='varying')
         fb = pv(jnp.zeros((Hl, W, 3)))
         wb = pv(jnp.zeros((Hl, W)))
 
@@ -175,7 +175,7 @@ def render_tiles_path(tracer, scene, mesh, seed, n_samples: int):
         return (_halo_exchange_add(fb, B), _halo_exchange_add(wb, B))
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(),),
-                   out_specs=(P(AXIS), P(AXIS)), check_rep=False)
+                   out_specs=(P(AXIS), P(AXIS)), check_vma=False)
     fb, wb = fn(scene)
     fb = _gather_host(fb, H)
     wb = _gather_host(wb, H)

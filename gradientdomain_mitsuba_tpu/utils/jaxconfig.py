@@ -12,20 +12,26 @@ _CONFIGURED = False
 
 
 def _host_tag() -> str:
-    """Short fingerprint of this host's CPU feature set."""
+    """Short fingerprint of this host's CPU.  Includes the model name,
+    not just the feature flags: XLA:CPU AOT entries also bake
+    model-derived tuning pseudo-features (e.g. +prefer-no-gather), so
+    two hosts with identical cpuinfo flags but different models can
+    still produce mutually unloadable entries."""
     import hashlib
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(
-                        line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")):
+                    parts.append(line.strip())
+                    if len(parts) == 2:
+                        break
     except OSError:
         pass
-    import platform
-    return hashlib.sha1(
-        platform.processor().encode()).hexdigest()[:12] if \
-        platform.processor() else "generic"
+    if not parts:
+        import platform
+        parts = [platform.processor() or "generic"]
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 def configure():

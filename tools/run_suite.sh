@@ -16,8 +16,12 @@ cd "$(dirname "$0")/.."
 pass=0; fail=0; failed_files=()
 for f in tests/test_*.py; do
   echo "== $f" >&2
-  if env -u PYTHONPATH JAX_PLATFORMS=cpu timeout 2400 \
-      python -m pytest "$f" -q -p no:cacheprovider "$@" >&2; then
+  env -u PYTHONPATH JAX_PLATFORMS=cpu timeout 2400 \
+      python -m pytest "$f" -q -p no:cacheprovider "$@" >&2
+  rc=$?
+  # rc=5: no tests collected/selected (e.g. a slow-only file without
+  # -m slow) — a skip, not a failure
+  if [ $rc -eq 0 ] || [ $rc -eq 5 ]; then
     pass=$((pass+1))
   else
     fail=$((fail+1)); failed_files+=("$f")
