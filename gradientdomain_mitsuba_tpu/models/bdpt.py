@@ -502,8 +502,12 @@ class BDPTracer:
         return sum_ri
 
     # -- strategies -------------------------------------------------------
-    def _strategy_s0(self, scene, eye, light, y0, t, N):
-        """Eye path hits an emitter at z_{t-1}."""
+    def _strategy_s0(self, scene, eye, light, y0, t, N, return_aux=False):
+        """Eye path hits an emitter at z_{t-1}.
+
+        return_aux=True additionally returns the strategy's pdf_rev
+        fixups (for G-BDPT's suffix-factorized offset MIS sums, which
+        re-run _mis_sum on the shifted view with the SAME fixups)."""
         k = t - 2
         em_id = eye.emitter_id[:, k]
         cosf = m.dot(eye.ns[:, k], eye.wi[:, k])
@@ -528,9 +532,15 @@ class BDPTracer:
         sum_ri = self._mis_sum(eye, light, y0, 0, t, pdf_rev_pt,
                                pdf_rev_pt_minus, jnp.zeros(N),
                                jnp.zeros(N))
-        return jnp.where(_b3(ok), contrib, 0.0), sum_ri
+        out = jnp.where(_b3(ok), contrib, 0.0)
+        if return_aux:
+            return out, sum_ri, dict(
+                pdf_rev_pt=pdf_rev_pt, pdf_rev_pt_minus=pdf_rev_pt_minus,
+                pdf_rev_qs=jnp.zeros(N), pdf_rev_qs_minus=jnp.zeros(N))
+        return out, sum_ri
 
-    def _strategy_s1(self, scene, eye, light, y0, t, N, eps):
+    def _strategy_s1(self, scene, eye, light, y0, t, N, eps,
+                     return_aux=False):
         """Connect eye vertex z_{t-1} to the sampled light point y_0."""
         k = t - 2
         zp = eye.p[:, k]
@@ -560,9 +570,15 @@ class BDPTracer:
             pdf_rev_pt_minus = jnp.zeros(N)
         sum_ri = self._mis_sum(eye, light, y0, 1, t, pdf_rev_pt,
                                pdf_rev_pt_minus, pdf_rev_qs, jnp.zeros(N))
-        return jnp.where(_b3(ok), contrib, 0.0), sum_ri
+        out = jnp.where(_b3(ok), contrib, 0.0)
+        if return_aux:
+            return out, sum_ri, dict(
+                pdf_rev_pt=pdf_rev_pt, pdf_rev_pt_minus=pdf_rev_pt_minus,
+                pdf_rev_qs=pdf_rev_qs, pdf_rev_qs_minus=jnp.zeros(N))
+        return out, sum_ri
 
-    def _strategy_connect(self, scene, eye, light, y0, s, t, N, eps):
+    def _strategy_connect(self, scene, eye, light, y0, s, t, N, eps,
+                          return_aux=False):
         """General connection z_{t-1} <-> y_{s-1} (s>=2, t>=2)."""
         ke = t - 2
         kl = s - 2
@@ -600,7 +616,12 @@ class BDPTracer:
         sum_ri = self._mis_sum(eye, light, y0, s, t, pdf_rev_pt,
                                pdf_rev_pt_minus, pdf_rev_qs,
                                pdf_rev_qs_minus)
-        return jnp.where(_b3(ok), contrib, 0.0), sum_ri
+        out = jnp.where(_b3(ok), contrib, 0.0)
+        if return_aux:
+            return out, sum_ri, dict(
+                pdf_rev_pt=pdf_rev_pt, pdf_rev_pt_minus=pdf_rev_pt_minus,
+                pdf_rev_qs=pdf_rev_qs, pdf_rev_qs_minus=pdf_rev_qs_minus)
+        return out, sum_ri
 
     def _strategy_t1(self, scene, eye, light, y0, s, N, eps, W, H):
         """Light tracing (s>=2): connect y_{s-1} to the camera.  Returns

@@ -577,13 +577,15 @@ class GBDPTracer(BDPTracer):
             w_base = 1.0 / (1.0 + sri_base)
             return _b3(a) * (_b3(w_off) * c_off - _b3(w_base) * c_base)
 
-        def run_strategy(view, s, t):
+        def run_strategy(view, s, t, return_aux=False):
             if s == 0:
-                return self._strategy_s0(scene, view, light, y0, t, N)
+                return self._strategy_s0(scene, view, light, y0, t, N,
+                                         return_aux=return_aux)
             if s == 1:
-                return self._strategy_s1(scene, view, light, y0, t, N, eps)
+                return self._strategy_s1(scene, view, light, y0, t, N, eps,
+                                         return_aux=return_aux)
             return self._strategy_connect(scene, view, light, y0, s, t, N,
-                                          eps)
+                                          eps, return_aux=return_aux)
 
         def run_strategy4(view, s, t):
             """Offset-view strategy evaluation on the 4N batch."""
@@ -625,14 +627,31 @@ class GBDPTracer(BDPTracer):
                     t1_grad.append(g)
                     continue
 
-                c_base, sri_base = run_strategy(eye, s, t)
+                e = t - 2
+                # SUFFIX FACTORIZATION (all-diffuse scenes): with
+                # any_specular False the junction can only fire at slot 0,
+                # so every contributing offset lane of a strategy whose
+                # endpoint slot e >= 2 reads a PURE shared suffix —
+                # identical endpoint vertex, incoming direction, light-side
+                # eval, and connection visibility.  The offset contribution
+                # is then exactly c_base * (beta'/beta) and the only real
+                # offset work left is _mis_sum over the view's pdf arrays
+                # with the base strategy's own fixups (the endpoint-local
+                # pdfs coincide).  This removes every 4N-lane occlusion ray
+                # and BSDF eval for t >= 4 — the bulk of the (s,t) table —
+                # and is what brings G-BDPT's cost toward the papers' 2-3x
+                # of BDPT instead of the naive 5x.  (Endpoint mode cannot
+                # contribute at e >= 1 here: prefix_ok[k>=1] is statically
+                # False without specular replay.)
+                use_suffix = (not self.any_specular) and e >= 2
+                c_base, sri_base, auxd = run_strategy(eye, s, t,
+                                                      return_aux=True)
                 w_base = 1.0 / (1.0 + sri_base)
                 if s == 0 and t == 2:
                     very = very + c_base * _b3(w_base)
                     continue  # very direct: excluded from gradients
                 primal = primal + c_base * _b3(w_base)
 
-                e = t - 2
                 # reconnected mode: junction fired inside this strategy's
                 # eye prefix.  Endpoint mode: the light connection IS the
                 # reconnection — gate it with the same classifications the
@@ -643,10 +662,26 @@ class GBDPTracer(BDPTracer):
                 else:
                     ok = ok_recon4[:, :, e] | (
                         ok_end4[:, :, e] & classify_light_end(s)[None])
-                c_off, sri_off = run_strategy4(V4["view"], s, t)
+                if use_suffix:
+                    bb = eye.beta[:, e]
+                    vb = V4["view"].beta[:, e].reshape(4, N, 3)
+                    ratio = jnp.where(
+                        (jnp.max(bb, -1) > 0)[None, :, None],
+                        vb / jnp.maximum(bb, 1e-30)[None], 0.0)
+                    c_off = c_base[None] * ratio
+                    tl = lambda a: jnp.tile(a, (4,))
+                    sri_off = self._mis_sum(
+                        V4["view"], light4, y04, s, t,
+                        tl(auxd["pdf_rev_pt"]),
+                        tl(auxd["pdf_rev_pt_minus"]),
+                        tl(auxd["pdf_rev_qs"]),
+                        tl(auxd["pdf_rev_qs_minus"])).reshape(4, N)
+                else:
+                    c_off, sri_off = run_strategy4(V4["view"], s, t)
+                    c_off = c_off.reshape(4, N, 3)
+                    sri_off = sri_off.reshape(4, N)
                 grad = grad + pair_grad(
-                    c_base[None], sri_base[None],
-                    c_off.reshape(4, N, 3), sri_off.reshape(4, N),
+                    c_base[None], sri_base[None], c_off, sri_off,
                     r4[:, :, e], ok)
 
         def cat(parts, shape):
