@@ -536,12 +536,18 @@ class BDPTracer:
         if return_aux:
             return out, sum_ri, dict(
                 pdf_rev_pt=pdf_rev_pt, pdf_rev_pt_minus=pdf_rev_pt_minus,
-                pdf_rev_qs=jnp.zeros(N), pdf_rev_qs_minus=jnp.zeros(N))
+                pdf_rev_qs=jnp.zeros(N), pdf_rev_qs_minus=jnp.zeros(N),
+                occ=jnp.zeros(N, bool))
         return out, sum_ri
 
     def _strategy_s1(self, scene, eye, light, y0, t, N, eps,
-                     return_aux=False):
-        """Connect eye vertex z_{t-1} to the sampled light point y_0."""
+                     return_aux=False, occ=None):
+        """Connect eye vertex z_{t-1} to the sampled light point y_0.
+
+        occ: precomputed connection-visibility result.  G-BDPT's offset
+        views pass the BASE strategy's occlusion when the view's endpoint
+        vertex coincides with the base's (reconnected mode in all-diffuse
+        scenes: identical endpoints -> identical shadow ray)."""
         k = t - 2
         zp = eye.p[:, k]
         ok = eye.valid[:, k] & ~eye.delta[:, k] & y0.ok
@@ -553,10 +559,11 @@ class BDPTracer:
         ok = ok & (cos_l > 1e-6)
 
         f_eye, pdf_eye_sa = self._eval_at(scene, eye, k, d)
-        sh_o = common.offset_ray_origin(zp, eye.ng[:, k], d, eps)
-        occ = self.occluded(sh_o, d, jnp.zeros(N),
-                            dist - 2 * eps / jnp.maximum(cos_l, 1e-3),
-                            scene.geom)
+        if occ is None:
+            sh_o = common.offset_ray_origin(zp, eye.ng[:, k], d, eps)
+            occ = self.occluded(sh_o, d, jnp.zeros(N),
+                                dist - 2 * eps / jnp.maximum(cos_l, 1e-3),
+                                scene.geom)
         ok = ok & ~occ
         contrib = eye.beta[:, k] * f_eye * y0.beta * _b3(cos_l / d2)
 
@@ -574,12 +581,14 @@ class BDPTracer:
         if return_aux:
             return out, sum_ri, dict(
                 pdf_rev_pt=pdf_rev_pt, pdf_rev_pt_minus=pdf_rev_pt_minus,
-                pdf_rev_qs=pdf_rev_qs, pdf_rev_qs_minus=jnp.zeros(N))
+                pdf_rev_qs=pdf_rev_qs, pdf_rev_qs_minus=jnp.zeros(N),
+                occ=occ)
         return out, sum_ri
 
     def _strategy_connect(self, scene, eye, light, y0, s, t, N, eps,
-                          return_aux=False):
-        """General connection z_{t-1} <-> y_{s-1} (s>=2, t>=2)."""
+                          return_aux=False, occ=None):
+        """General connection z_{t-1} <-> y_{s-1} (s>=2, t>=2).
+        occ: precomputed visibility (see _strategy_s1)."""
         ke = t - 2
         kl = s - 2
         zp = eye.p[:, ke]
@@ -593,9 +602,10 @@ class BDPTracer:
 
         f_eye, pdf_eye_sa = self._eval_at(scene, eye, ke, d)
         f_lt, pdf_lt_sa = self._eval_at(scene, light, kl, -d)
-        sh_o = common.offset_ray_origin(zp, eye.ng[:, ke], d, eps)
-        occ = self.occluded(sh_o, d, jnp.zeros(N), dist - 2 * eps,
-                            scene.geom)
+        if occ is None:
+            sh_o = common.offset_ray_origin(zp, eye.ng[:, ke], d, eps)
+            occ = self.occluded(sh_o, d, jnp.zeros(N), dist - 2 * eps,
+                                scene.geom)
         ok = ok & ~occ
         contrib = eye.beta[:, ke] * f_eye * f_lt * light.beta[:, kl] / _b3(d2)
 
@@ -620,13 +630,19 @@ class BDPTracer:
         if return_aux:
             return out, sum_ri, dict(
                 pdf_rev_pt=pdf_rev_pt, pdf_rev_pt_minus=pdf_rev_pt_minus,
-                pdf_rev_qs=pdf_rev_qs, pdf_rev_qs_minus=pdf_rev_qs_minus)
+                pdf_rev_qs=pdf_rev_qs, pdf_rev_qs_minus=pdf_rev_qs_minus,
+                occ=occ)
         return out, sum_ri
 
-    def _strategy_t1(self, scene, eye, light, y0, s, N, eps, W, H):
+    def _strategy_t1(self, scene, eye, light, y0, s, N, eps, W, H,
+                     occ=None):
         """Light tracing (s>=2): connect y_{s-1} to the camera.  Returns
         (film_pos, value UNWEIGHTED, technique sum) — the caller folds the
-        MIS weight (G-BDPT needs the raw sum for its pair weights)."""
+        MIS weight (G-BDPT needs the raw sum for its pair weights).
+
+        occ: precomputed camera-visibility result; G-BDPT's t=1 offset
+        views pass all-False because their endpoint z'_1 IS the closest
+        hit along the retraced camera ray (visibility by construction)."""
         cam_pos, cam_fwd, a_img = self._camera_info(scene)
         kl = s - 2
         yp = light.p[:, kl]
@@ -644,9 +660,10 @@ class BDPTracer:
             m.dot(-d, jnp.broadcast_to(cam_fwd, d.shape)), 1e-6)
 
         f_eval, pdf_lt_sa = self._eval_at(scene, light, kl, d)
-        sh_o = common.offset_ray_origin(yp, yng, d, eps)
-        occ = self.occluded(sh_o, d, jnp.zeros(N), dist - 2 * eps,
-                            scene.geom)
+        if occ is None:
+            sh_o = common.offset_ray_origin(yp, yng, d, eps)
+            occ = self.occluded(sh_o, d, jnp.zeros(N), dist - 2 * eps,
+                                scene.geom)
         ok = ok & ~occ & in_frustum
         value = beta * f_eval * _b3(we * cos_cam / d2)
 

@@ -506,9 +506,13 @@ class GBDPTracer(BDPTracer):
             valid=light4.valid.at[:, kl].set(ok))
 
         # eye is only shape-inspected by _mis_sum for t=1 (its loop
-        # over eye-side techniques is empty); pass the light view
+        # over eye-side techniques is empty); pass the light view.
+        # occ=False: z'_1 IS the closest hit along the retraced camera
+        # ray, so its camera visibility holds by construction — this
+        # skips one 4N-lane shadow trace per t=1 strategy.
         _, val, sri = self._strategy_t1(scene, view, view, y0_view, s,
-                                        M, eps, W, H)
+                                        M, eps, W, H,
+                                        occ=jnp.zeros(M, bool))
         r = jnp.where(ok, (pf_off / pf_base) * jimg, 0.0)
         val = jnp.where(_b3(ok), val * _b3(jimg), 0.0)
         sri = jnp.where(ok, sri, 0.0)
@@ -587,16 +591,22 @@ class GBDPTracer(BDPTracer):
             return self._strategy_connect(scene, view, light, y0, s, t, N,
                                           eps, return_aux=return_aux)
 
-        def run_strategy4(view, s, t):
-            """Offset-view strategy evaluation on the 4N batch."""
+        def run_strategy4(view, s, t, occ=None):
+            """Offset-view strategy evaluation on the 4N batch.
+
+            occ: precomputed visibility.  For e=1 in all-diffuse scenes
+            the only contributing mode is reconnected-at-slot-0, whose
+            endpoint vertex is the BASE z_2 — the shadow ray to the light
+            vertex is bit-identical to the base strategy's, so its result
+            is reused (one fewer 4N-lane trace per t=3 strategy)."""
             M = 4 * N
             if s == 0:
                 return self._strategy_s0(scene, view, light4, y04, t, M)
             if s == 1:
                 return self._strategy_s1(scene, view, light4, y04, t, M,
-                                         eps)
+                                         eps, occ=occ)
             return self._strategy_connect(scene, view, light4, y04, s, t,
-                                          M, eps)
+                                          M, eps, occ=occ)
 
         def classify_light_end(s):
             """Shift-map classification of the reconnection target when it
@@ -677,7 +687,11 @@ class GBDPTracer(BDPTracer):
                         tl(auxd["pdf_rev_qs"]),
                         tl(auxd["pdf_rev_qs_minus"])).reshape(4, N)
                 else:
-                    c_off, sri_off = run_strategy4(V4["view"], s, t)
+                    occ4 = None
+                    if (not self.any_specular) and e == 1 and s >= 1:
+                        occ4 = jnp.tile(auxd["occ"], (4,))
+                    c_off, sri_off = run_strategy4(V4["view"], s, t,
+                                                   occ=occ4)
                     c_off = c_off.reshape(4, N, 3)
                     sri_off = sri_off.reshape(4, N)
                 grad = grad + pair_grad(
