@@ -94,6 +94,17 @@ class GBDPTracer(BDPTracer):
         # removes the whole family consistently (reference knob).
         self.light_image = bool(p.get("lightImage", True))
         self.camera_connectable = self.light_image
+        # lightImageGradients=false keeps the light image primal-only
+        # (no image-space t=1 shifts).  The t=1 retrace + reconnection
+        # visibility are the single most expensive piece of G-BDPT
+        # (measured 38% of runtime on cbox at depth 6 — 2 extra 4N-lane
+        # traces per t=1 strategy); scenes whose light image carries
+        # little energy can trade its gradients away and land at the
+        # papers' ~2.4x-of-BDPT cost.  Default ON: the reconstruction
+        # then denoises the light image too (exceeds the reference,
+        # whose light image is primal-only).
+        self.light_image_grads = (self.light_image and
+                                  bool(p.get("lightImageGradients", True)))
         # env/delta-light family: estimated (WITH gradients) by an
         # embedded aux-only G-PT tracer — its shift machinery covers
         # exactly the NEE/escape estimator this family uses, so the
@@ -628,13 +639,14 @@ class GBDPTracer(BDPTracer):
                         scene, eye, light, y0, s, N, eps, W, H)
                     splat_pos.append(pos)
                     splat_val.append(val * _b3(1.0 / (1.0 + sri_base)))
-                    v_off, sri_off, r = self._t1_offset(
-                        scene, light4, y04, s, pos, N, eps, W, H,
-                        jnp.tile(classify_light_end(s), (4,)))
-                    g = pair_grad(val[None], sri_base[None], v_off,
-                                  sri_off, r, r > 0)
-                    t1_pos.append(pos)
-                    t1_grad.append(g)
+                    if self.light_image_grads:
+                        v_off, sri_off, r = self._t1_offset(
+                            scene, light4, y04, s, pos, N, eps, W, H,
+                            jnp.tile(classify_light_end(s), (4,)))
+                        g = pair_grad(val[None], sri_base[None], v_off,
+                                      sri_off, r, r > 0)
+                        t1_pos.append(pos)
+                        t1_grad.append(g)
                     continue
 
                 e = t - 2

@@ -62,6 +62,9 @@ class MatParams(NamedTuple):
     coat_eta: jnp.ndarray = None    # [N] layer relative IOR
     coat_sigma: jnp.ndarray = None  # [N, 3] sigmaA * thickness
     coat_spec: jnp.ndarray = None   # [N, 3] layer specularReflectance
+    coat_alpha: jnp.ndarray = None  # [N] layer microfacet roughness
+    #                                 (0 = smooth delta lobe; roughcoating)
+    coat_dist: jnp.ndarray = None   # [N] i32 layer distribution
     cloth: jnp.ndarray = None   # [N, 6] IRAWAN yarn-segment features
     #                             (ops/irawan.resolve_features; None when
     #                             the caller has no uv-stage payload)
@@ -612,9 +615,56 @@ def _coat_spec_prob(p, wi):
                                        1e-9)
 
 
+def _coat_flip(wi, wo):
+    """Flip both local directions into wi's upper hemisphere (the layer
+    boundary is two-sided)."""
+    s = jnp.sign(wi[..., 2:3])
+    one = jnp.ones_like(s)
+    fl = jnp.concatenate([one, one, s], -1)
+    return wi * fl, wo * fl
+
+
+def _coat_layer_eval(p, wi, wo):
+    """f*cos of the roughcoating layer's microfacet reflection lobe
+    (roughcoating.cpp: dielectric-Fresnel microfacet, full-NDF D/G like
+    every microfacet model here).  Zero where the layer is smooth — its
+    delta lobe is excluded from eval like every delta lobe."""
+    wif, wof = _coat_flip(wi, wo)
+    m = wif + wof
+    mlen = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m = m / jnp.maximum(mlen, 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    D = mf_D(m, p.coat_alpha, p.coat_dist)
+    G = mf_G(wif, wof, m, p.coat_alpha, p.coat_dist)
+    F, _ = fresnel_dielectric(jnp.abs(jnp.sum(wif * m, axis=-1)),
+                              p.coat_eta)
+    ci = wif[..., 2]
+    spec = ((D * G * F / jnp.maximum(4.0 * ci, 1e-9))[..., None] *
+            p.coat_spec)
+    valid = ((ci > 1e-6) & (wof[..., 2] > 1e-6) & (mlen[..., 0] > 1e-12) &
+             (p.coat_alpha > _ROUGH_LAYER_MIN))
+    return jnp.where(valid[..., None], spec, 0.0)
+
+
+def _coat_layer_pdf(p, wi, wo):
+    """Half-vector-sampling pdf of the rough layer lobe (dwh->dwo)."""
+    wif, wof = _coat_flip(wi, wo)
+    m = wif + wof
+    mlen = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m = m / jnp.maximum(mlen, 1e-12)
+    m = m * jnp.sign(m[..., 2:3])
+    pdf_m = mf_pdf(m, p.coat_alpha, p.coat_dist)
+    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(jnp.sum(wof * m, axis=-1)), 1e-9)
+    valid = ((wif[..., 2] > 1e-6) & (wof[..., 2] > 1e-6) &
+             (p.coat_alpha > _ROUGH_LAYER_MIN))
+    return jnp.where(valid, pdf_m * jac, 0.0)
+
+
 def _coating_eval(p, wi, wo, kinds):
-    """f*cos of the coated inner BSDF (the delta reflection lobe is
-    excluded, like every delta lobe in eval)."""
+    """f*cos of the coated inner BSDF plus, for rough layers
+    (roughcoating), the layer's microfacet reflection lobe.  A smooth
+    layer's delta reflection is excluded, like every delta lobe in
+    eval."""
     inv_eta = 1.0 / p.coat_eta
     Fi, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), p.coat_eta)
     Fo, _ = fresnel_dielectric(jnp.abs(wo[..., 2]), p.coat_eta)
@@ -624,7 +674,10 @@ def _coating_eval(p, wi, wo, kinds):
     comp = (inv_eta ** 2 * jnp.abs(wo[..., 2]) /
             jnp.maximum(jnp.abs(wo_c[..., 2]), 1e-6))
     scale = ((1.0 - Fi) * (1.0 - Fo) * comp)[..., None]
-    return f_in * scale * _coat_absorption(p, wi_c, wo_c)
+    f = f_in * scale * _coat_absorption(p, wi_c, wo_c)
+    if _has(kinds, ROUGH_COAT) and p.coat_alpha is not None:
+        f = f + _coat_layer_eval(p, wi, wo)
+    return f
 
 
 def _coating_sample(p, wi, u2, u_comp, kinds):
@@ -663,19 +716,49 @@ def _coating_sample(p, wi, u2, u_comp, kinds):
     nested_pdf = jnp.where(s_in.is_delta,
                            (1.0 - prob_spec) * s_in.pdf, pdf_c)
 
-    # delta layer reflection
+    # layer reflection: delta mirror for a smooth layer, microfacet
+    # half-vector sample for a rough one (roughcoating).  u2 is free to
+    # reuse here — the nested sample it fed is discarded on this branch.
     wo_spec = reflect_local(wi)
     w_spec = p.coat_spec * (Fi / jnp.maximum(prob_spec, 1e-9))[..., None]
+    pdf_spec = prob_spec
+    spec_valid = prob_spec > 0
+    spec_delta = jnp.ones_like(pick_spec)
+    if _has(kinds, ROUGH_COAT) and p.coat_alpha is not None:
+        rough = p.coat_alpha > _ROUGH_LAYER_MIN
+        sgn = jnp.sign(wi[..., 2:3])
+        fl = jnp.concatenate([jnp.ones_like(sgn), jnp.ones_like(sgn),
+                              sgn], -1)
+        wif = wi * fl
+        m_h = mf_sample(u2, p.coat_alpha, p.coat_dist)
+        wo_r = (2.0 * jnp.sum(wif * m_h, -1, keepdims=True) * m_h -
+                wif) * fl
+        # one-sample MIS over {layer lobe, nested}: full eval / full pdf
+        f_r = _coating_eval(p, wi, wo_r, kinds)
+        pdf_r = _coating_pdf(p, wi, wo_r, kinds)
+        w_r = f_r / jnp.maximum(pdf_r, 1e-12)[..., None]
+        valid_r = (pdf_r > 0) & (wo_r[..., 2] * wi[..., 2] > 0)
+        rk3 = rough[..., None]
+        wo_spec = jnp.where(rk3, wo_r, wo_spec)
+        w_spec = jnp.where(rk3, w_r, w_spec)
+        pdf_spec = jnp.where(rough, pdf_r, pdf_spec)
+        spec_valid = jnp.where(rough, valid_r, spec_valid)
+        spec_delta = ~rough
+        # a rough layer also changes the NESTED pick: its pdf/weight must
+        # see the layer lobe's density at wo_out (already true: nested_w
+        # and nested_pdf come from the full _coating_eval/_coating_pdf
+        # for smooth inner samples; delta inner samples keep their own
+        # component weight, and the layer lobe can't produce a delta wo)
 
     pk3 = pick_spec[..., None]
     wo = jnp.where(pk3, wo_spec, wo_out)
     weight = jnp.where(pk3, w_spec, nested_w)
-    valid = jnp.where(pick_spec, prob_spec > 0, nested_valid)
+    valid = jnp.where(pick_spec, spec_valid, nested_valid)
     return BSDFSample(
         wo=wo,
         weight=jnp.where(valid[..., None], weight, 0.0),
-        pdf=jnp.where(pick_spec, prob_spec, nested_pdf),
-        is_delta=jnp.where(pick_spec, True, s_in.is_delta),
+        pdf=jnp.where(pick_spec, pdf_spec, nested_pdf),
+        is_delta=jnp.where(pick_spec, spec_delta, s_in.is_delta),
         eta=jnp.ones_like(Fi),
         valid=valid)
 
@@ -688,7 +771,11 @@ def _coating_pdf(p, wi, wo, kinds):
     pdf_in = pdf(p._replace(blend=None, coat=None), wi_c, wo_c, kinds)
     comp = (inv_eta ** 2 * jnp.abs(wo[..., 2]) /
             jnp.maximum(jnp.abs(wo_c[..., 2]), 1e-6))
-    return (1.0 - prob_spec) * pdf_in * comp
+    out = (1.0 - prob_spec) * pdf_in * comp
+    if _has(kinds, ROUGH_COAT) and p.coat_alpha is not None:
+        # rough layer: the reflection lobe is smooth (has a pdf density)
+        out = out + prob_spec * _coat_layer_pdf(p, wi, wo)
+    return out
 
 
 def eval(p: MatParams, wi, wo, kinds=None):
@@ -833,6 +920,8 @@ class BSDFSample(NamedTuple):
 # cannot produce through-blocker paths, and the BSDF technique claims
 # them fully.  (Attenuated NEE is a volpath feature, not a path one.)
 OPACITY = -2
+ROUGH_COAT = -3         # pseudo-kind: some COATING row has a rough layer
+_ROUGH_LAYER_MIN = 1e-5  # coat_alpha above this = microfacet layer lobe
 
 
 def scene_kinds(scene) -> frozenset:
@@ -844,6 +933,9 @@ def scene_kinds(scene) -> frozenset:
     packed = _np.asarray(scene.materials.packed)
     if (packed[:, 22] < 1.0).any() or (packed[:, 23] >= 0).any():
         kinds.add(OPACITY)
+    coat_rows = packed[:, 0] == COATING
+    if (packed[coat_rows, 21] > _ROUGH_LAYER_MIN).any():
+        kinds.add(ROUGH_COAT)
     return frozenset(kinds)
 
 
@@ -1176,13 +1268,17 @@ def any_specular(materials, shift_threshold):
     import numpy as np
     kinds = np.asarray(materials.kind)
     alphas = np.asarray(materials.alpha)
-    rough = np.where(
-        np.isin(kinds, (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC,
-                        COATING)), 0.0,  # coating: delta layer lobe
-        np.where(np.isin(kinds, (ROUGH_CONDUCTOR, ROUGH_PLASTIC,
-                                 ROUGH_DIELECTRIC, WARD)), alphas,
-                 np.inf))
     packed = np.asarray(materials.packed)
+    # coating: a smooth layer carries a delta lobe (rough 0); a rough
+    # layer (roughcoating) classifies by the row's stored
+    # min(inner, layer) roughness
+    coat_rough = np.where(packed[:, 21] > _ROUGH_LAYER_MIN, alphas, 0.0)
+    rough = np.where(
+        np.isin(kinds, (CONDUCTOR, DIELECTRIC, THIN_DIELECTRIC)), 0.0,
+        np.where(kinds == COATING, coat_rough,
+                 np.where(np.isin(kinds, (ROUGH_CONDUCTOR, ROUGH_PLASTIC,
+                                          ROUGH_DIELECTRIC, WARD)), alphas,
+                          np.inf)))
     has_mask = (packed[:, 22] < 1.0).any() or (packed[:, 23] >= 0).any()
     return bool((rough <= shift_threshold).any() or has_mask)
 

@@ -397,7 +397,9 @@ def material_params(scene, has_textures: bool, bsdf_id, uv,
         return pa._replace(blend=pb, blend_w=w, coat=is_c,
                            coat_eta=jnp.maximum(p.eta[..., 0], 1.0 + 1e-4),
                            coat_sigma=p.transmittance,
-                           coat_spec=p.specular)
+                           coat_spec=p.specular,
+                           coat_alpha=jnp.where(is_c, p.alpha_v, 0.0),
+                           coat_dist=p.dist)
     return p
 
 

@@ -26,9 +26,13 @@ WARD = 10
 NULL_BSDF = 11
 BLEND = 12             # weight-blend of two child rows (blendbsdf.cpp);
 #                        mixturebsdf folds into a binary tree of these
-COATING = 13           # smooth dielectric layer over a child row
-#                        (coating.cpp); roughcoating approximated by the
-#                        same smooth layer (documented deviation)
+COATING = 13           # dielectric layer over a child row (coating.cpp /
+#                        roughcoating.cpp): alpha_v stores the LAYER's
+#                        microfacet roughness (0 = smooth delta lobe),
+#                        dist its distribution; refraction into the layer
+#                        is smooth in both variants (as in the reference,
+#                        which approximates the rough boundary's
+#                        refraction by the smooth one)
 DIFFTRANS = 14         # diffuse transmitter (difftrans.cpp)
 HK = 15                # Hanrahan-Krueger thin-slab single scattering
 #                        (hk.cpp): reflectance stores sigmaS,
@@ -278,10 +282,10 @@ class MaterialBuilder:
                 wacc = denom
             return acc
         if t in ("coating", "roughcoating"):
-            # smooth dielectric layer over the nested BSDF (coating.cpp);
-            # roughcoating uses the same smooth layer (deviation: the
-            # layer's microfacet roughness is dropped, the inner BSDF and
-            # Fresnel/absorption terms are kept)
+            # dielectric layer over the nested BSDF (coating.cpp /
+            # roughcoating.cpp).  roughcoating gives the layer boundary a
+            # microfacet reflection lobe (alpha/distribution); refraction
+            # into the layer stays smooth, as in the reference
             inner = node.child("bsdf") or next(
                 (v for v in node.props.values() if hasattr(v, "kind")
                  and v.kind == "bsdf"), None)
@@ -294,13 +298,21 @@ class MaterialBuilder:
             sigma_a = _sv(node.get("sigmaA"), (0.0,) * 3)
             thickness = float(node.get("thickness", 1.0))
             spec = _sv(node.get("specularReflectance"), (1.0,) * 3)
-            # shift-classification roughness: inherit the INNER lobe's
-            # (reconnection keeps working on coated-diffuse; a delta-lobe
-            # bounce under a diffuse classification just fails its shift
-            # cleanly).  any_specular() still sees the delta layer.
+            layer_alpha = (float(node.get("alpha", 0.1))
+                           if t == "roughcoating" else 0.0)
+            dist = DIST_NAMES.get(node.get("distribution", "beckmann"),
+                                  DIST_BECKMANN)
+            # shift-classification roughness: the INNER lobe's for a
+            # smooth layer (reconnection keeps working on coated-diffuse;
+            # a delta-lobe bounce under a diffuse classification just
+            # fails its shift cleanly; any_specular() still sees the
+            # delta layer), min(inner, layer) for a rough layer
+            class_rough = min(self._row_roughness(rid), 1e30)
+            if layer_alpha > 0.0:
+                class_rough = min(class_rough, layer_alpha)
             return self.add_row(
                 kind=COATING, flags=flags,
-                alpha=min(self._row_roughness(rid), 1e30),
+                alpha=class_rough, alpha_v=layer_alpha, dist=dist,
                 eta=(int_ior / ext_ior,) * 3,
                 specular=spec,
                 transmittance=np.asarray(sigma_a, np.float32) * thickness,

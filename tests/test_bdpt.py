@@ -72,6 +72,26 @@ def test_gbdpt_primal_parity_no_lightimage(cbox):
     np.testing.assert_allclose(comb, img, rtol=2e-4, atol=2e-5)
 
 
+def test_gbdpt_lightimage_grads_knob(cbox):
+    """lightImageGradients=false (cost knob: skips the t=1 retrace +
+    reconnection shifts) must leave the primal estimator BIT-identical —
+    only the gradient buffers lose the light-image share."""
+    scene, st = cbox
+    import copy
+    st2 = copy.deepcopy(st)
+    st2.integrator_props["lightImageGradients"] = False
+    g_on = gb_mod.GBDPTracer(scene, st)
+    g_off = gb_mod.GBDPTracer(scene, st2)
+    assert g_on.light_image_grads and not g_off.light_image_grads
+    out_on = g_on.render(scene, seed=0, spp=2, chunk=2)
+    out_off = g_off.render(scene, seed=0, spp=2, chunk=2)
+    for k in ("primal", "very_direct"):
+        np.testing.assert_array_equal(out_on[k], out_off[k])
+    # gradients differ exactly by the t=1 shift contributions (nonzero
+    # somewhere on cbox at spp=2)
+    assert np.abs(out_on["dx"] - out_off["dx"]).max() > 0
+
+
 def test_bdpt_no_lightimage_matches_path(cbox):
     """With lightImage=false the remaining strategies re-weight to a
     complete estimator (camera excluded from MIS denominators too)."""

@@ -214,10 +214,11 @@ def test_bumpmap_constant_height_is_identity():
 # coating (src/bsdfs/coating.cpp): smooth dielectric layer over a child
 # ---------------------------------------------------------------------------
 
-def _coating_params(n, inner_kind=M.DIFFUSE, **inner_kw):
+def _coating_params(n, inner_kind=M.DIFFUSE, layer_alpha=0.0, **inner_kw):
     mb = M.MaterialBuilder()
     rid = mb.add_row(kind=inner_kind, **inner_kw)
     cid = mb.add_row(kind=M.COATING, alpha=mb._row_roughness(rid),
+                     alpha_v=layer_alpha, dist=M.DIST_GGX,
                      eta=(1.5046,) * 3, specular=(1, 1, 1),
                      transmittance=(0.0, 0.0, 0.0),
                      reflectance=mb.rows[rid]["reflectance"],
@@ -231,7 +232,9 @@ def _coating_params(n, inner_kind=M.DIFFUSE, **inner_kw):
     return pa._replace(blend=pb, blend_w=jnp.zeros(n), coat=is_c,
                        coat_eta=p.eta[..., 0],
                        coat_sigma=p.transmittance,
-                       coat_spec=p.specular)
+                       coat_spec=p.specular,
+                       coat_alpha=jnp.where(is_c, p.alpha_v, 0.0),
+                       coat_dist=p.dist)
 
 
 def test_coating_chi2_sample_vs_pdf():
@@ -282,6 +285,72 @@ def test_coating_energy_conservation():
     # ~ 0.43 for eta=1.5 over white diffuse.  >0.35 guards against
     # accidental double-counting of the transmission terms.
     assert w.mean() > 0.35
+
+
+def test_roughcoating_chi2_sample_vs_pdf():
+    """roughcoating (src/bsdfs/roughcoating.cpp): the layer's reflection
+    is a microfacet lobe with a real pdf — chi^2 over ALL valid samples
+    (no delta exclusion needed)."""
+    from test_bsdf import chi2_sphere
+    par = _coating_params(N, reflectance=(0.7, 0.7, 0.7),
+                          layer_alpha=0.25)
+    wi = jnp.asarray(np.float32([0.35, 0.1, 0.93]))
+    wi = wi / jnp.linalg.norm(wi)
+    u2 = rng.uniform_2d(31, jnp.arange(N), 0, 0)
+    uc = rng.uniform_float(31, jnp.arange(N), 0, 2)
+    bs = bsdf.sample(par, jnp.broadcast_to(wi, (N, 3)), u2, uc)
+    assert not np.asarray(bs.is_delta).any()
+    chi2_sphere(jax.tree.map(lambda a: a[:1], par), wi, bs)
+
+
+def test_roughcoating_weight_matches_eval_over_pdf():
+    par = _coating_params(N, reflectance=(0.6, 0.5, 0.4),
+                          layer_alpha=0.15)
+    wi = jnp.asarray(np.float32([0.2, -0.3, 0.93]))
+    wi = wi / jnp.linalg.norm(wi)
+    u2 = rng.uniform_2d(19, jnp.arange(N), 0, 0)
+    uc = rng.uniform_float(19, jnp.arange(N), 0, 2)
+    bs = bsdf.sample(par, jnp.broadcast_to(wi, (N, 3)), u2, uc)
+    sel = np.asarray(bs.valid & (bs.pdf > 1e-5))
+    assert sel.mean() > 0.35
+    f = np.asarray(bsdf.eval(par, jnp.broadcast_to(wi, (N, 3)), bs.wo))
+    expect = f[sel] / np.asarray(bs.pdf)[sel][:, None]
+    got = np.asarray(bs.weight)[sel]
+    np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-5)
+
+
+def test_roughcoating_energy_conservation():
+    par = _coating_params(N, reflectance=(1.0, 1.0, 1.0),
+                          layer_alpha=0.3)
+    wi = jnp.asarray(np.float32([0.3, 0.0, 0.954]))
+    wi = wi / jnp.linalg.norm(wi)
+    u2 = rng.uniform_2d(14, jnp.arange(N), 0, 0)
+    uc = rng.uniform_float(14, jnp.arange(N), 0, 2)
+    bs = bsdf.sample(par, jnp.broadcast_to(wi, (N, 3)), u2, uc)
+    w = np.asarray(jnp.where(bs.valid[..., None], bs.weight, 0.0))
+    # one-sample-MIS weights of a rough lobe can exceed 1 per sample;
+    # the MEAN must not (plus slack for MC noise at N=65536)
+    assert w.mean() <= 1.02, w.mean()
+    assert w.mean() > 0.3
+
+
+def test_roughcoating_scene_end_to_end():
+    coat = """
+      <bsdf type="roughcoating" id="floor">
+        <float name="intIOR" value="1.5"/>
+        <float name="alpha" value="0.2"/>
+        <string name="distribution" value="ggx"/>
+        <rgb name="sigmaA" value="0.05 0.1 0.05"/>
+        <float name="thickness" value="1"/>
+        <bsdf type="diffuse"><rgb name="reflectance" value="0.5 0.2 0.1"/></bsdf>
+      </bsdf>"""
+    img, scene = _render(coat, spp=8)
+    kinds = np.asarray(scene.materials.kind)
+    packed = np.asarray(scene.materials.packed)
+    rows = kinds == M.COATING
+    assert rows.any() and (packed[rows, 21] > 0.1).any()  # rough layer
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3
 
 
 def test_coating_scene_end_to_end():

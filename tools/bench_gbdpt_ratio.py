@@ -20,11 +20,13 @@ sys.path.insert(0, ROOT)
 CBOX = os.path.join(ROOT, "data/scenes/cbox/cbox.xml")
 
 
-def _time_render(cls, integrator, size, spp, depth):
+def _time_render(cls, integrator, size, spp, depth, props=None):
     from gradientdomain_mitsuba_tpu.scene import scene as sc
     scene, st = sc.load_scene(CBOX, {
         "width": str(size), "height": str(size), "spp": str(spp),
         "maxDepth": str(depth), "integrator": integrator})
+    if props:
+        st.integrator_props.update(props)
     tr = cls(scene, st)
     render = getattr(tr, "render_buffers", None) or tr.render
     out = render(scene, seed=0, spp=spp)
@@ -54,11 +56,21 @@ def main():
     for d in args.depths:
         ms_b = _time_render(BDPTracer, "bdpt", args.size, args.spp, d)
         ms_g = _time_render(GBDPTracer, "gbdpt", args.size, args.spp, d)
+        # cost knob: light image primal-only (no image-space t=1 shifts
+        # — whether the reference shifts t=1 paths is unverified, SURVEY
+        # §4.3 [?]; ours does by default, and the measured cost of that
+        # capability is the delta between these two rows)
+        ms_g0 = _time_render(GBDPTracer, "gbdpt", args.size, args.spp, d,
+                             props={"lightImageGradients": False})
         rows.append({"depth": d, "bdpt_ms_per_spp": round(ms_b, 1),
                      "gbdpt_ms_per_spp": round(ms_g, 1),
-                     "ratio": round(ms_g / ms_b, 2)})
+                     "gbdpt_nolig_ms_per_spp": round(ms_g0, 1),
+                     "ratio": round(ms_g / ms_b, 2),
+                     "ratio_nolig": round(ms_g0 / ms_b, 2)})
         print(f"depth {d}: bdpt {ms_b:.1f} ms/spp, "
-              f"gbdpt {ms_g:.1f} ms/spp, ratio {ms_g / ms_b:.2f}",
+              f"gbdpt {ms_g:.1f} ms/spp (ratio {ms_g / ms_b:.2f}), "
+              f"gbdpt[lightImageGradients=false] {ms_g0:.1f} ms/spp "
+              f"(ratio {ms_g0 / ms_b:.2f})",
               file=sys.stderr, flush=True)
     print(json.dumps({"backend": backend, "size": args.size,
                       "spp": args.spp, "rows": rows}))
