@@ -167,11 +167,15 @@ def build_table(nodes, base_dir) -> TextureTable:
                                                 (0.2,) * 3))
                 grid_widths[len(kinds) - 1] = float(
                     node.get("lineWidth", 0.01))
-            elif node.type == "vertexcolors":
+            elif node.type in ("vertexcolors", "curvature"):
                 # per-hit barycentric color arrives via the Intersection
-                # bary payload; color0 folds in a scale-wrapper factor
+                # bary payload; color0 folds in a scale-wrapper factor.
+                # curvature (curvature.cpp) bakes its per-vertex estimate
+                # into the same channel at mesh load (scene.compile_scene)
+                # and folds its own `scale` knob here.
                 kinds.append(TEX_VERTEXCOLOR)
-                c0s.append(mul)
+                c0s.append(mul * (float(node.get("scale", 1.0))
+                                  if node.type == "curvature" else 1.0))
                 c1s.append(np.zeros(3, np.float32))
             elif node.type == "wireframe":
                 kinds.append(TEX_WIREFRAME)

@@ -600,3 +600,68 @@ def make_heightfield(values: np.ndarray, shading_normals=True) -> Mesh:
                            np.stack([a, d, c], -1)]).astype(np.int32)
     nrm = compute_vertex_normals(pos, tris) if shading_normals else None
     return Mesh(pos, tris, nrm, uv.astype(np.float32))
+
+
+def vertex_curvature(positions: np.ndarray, indices: np.ndarray,
+                     mode: str = "mean") -> np.ndarray:
+    """Per-vertex discrete curvature (src/textures/curvature.cpp parity).
+
+    mode="gaussian": angle-deficit estimate K = (2*pi - sum of incident
+    angles) / A_mixed (Meyer et al. barycentric-area variant: one third
+    of the incident triangle areas).
+    mode="mean": cotangent-Laplacian estimate H = |sum_j (cot a + cot b)
+    (p - p_j)| / (4*A_mixed), signed by the angle-weighted vertex normal
+    (convex = positive).
+
+    Pure numpy, vectorized over triangles; boundary vertices get the
+    same formulas (no special boundary handling — the reference's
+    estimates are equally approximate there)."""
+    V = len(positions)
+    p0 = positions[indices[:, 0]].astype(np.float64)
+    p1 = positions[indices[:, 1]].astype(np.float64)
+    p2 = positions[indices[:, 2]].astype(np.float64)
+    fn = np.cross(p1 - p0, p2 - p0)
+    a2 = np.linalg.norm(fn, axis=-1)              # 2x area
+    area3 = np.maximum(a2, 1e-20) / 6.0           # A/3 per corner
+
+    def corner(pa, pb, pc):
+        """(angle at pa, cot of angle at pa)."""
+        u, v = pb - pa, pc - pa
+        c = np.einsum("ij,ij->i", u, v)
+        s = np.linalg.norm(np.cross(u, v), axis=-1)
+        return np.arctan2(s, c), c / np.maximum(s, 1e-20)
+
+    ang0, cot0 = corner(p0, p1, p2)
+    ang1, cot1 = corner(p1, p2, p0)
+    ang2, cot2 = corner(p2, p0, p1)
+
+    amix = np.zeros(V)
+    for k in range(3):
+        np.add.at(amix, indices[:, k], area3)
+    amix = np.maximum(amix, 1e-20)
+
+    if mode == "gaussian":
+        asum = np.zeros(V)
+        for k, ang in ((0, ang0), (1, ang1), (2, ang2)):
+            np.add.at(asum, indices[:, k], ang)
+        return ((2.0 * np.pi - asum) / amix).astype(np.float32)
+
+    # mean: Laplace-Beltrami. Edge (i,j) opposite corner k contributes
+    # cot(k) * (p_i - p_j) to vertex i (and the negation to j).
+    lap = np.zeros((V, 3))
+    nrm = np.zeros((V, 3))
+    for (i, j, cot), (pi, pj) in (
+            ((indices[:, 1], indices[:, 2], cot0), (p1, p2)),
+            ((indices[:, 2], indices[:, 0], cot1), (p2, p0)),
+            ((indices[:, 0], indices[:, 1], cot2), (p0, p1))):
+        w = cot[:, None]
+        np.add.at(lap, i, w * (pi - pj))
+        np.add.at(lap, j, w * (pj - pi))
+    for k, ang in ((0, ang0), (1, ang1), (2, ang2)):
+        np.add.at(nrm, indices[:, k], ang[:, None] * fn /
+                  np.maximum(a2, 1e-20)[:, None])
+    h = np.linalg.norm(lap, axis=-1) / (4.0 * amix)
+    # lap sums cot*(p - p_j) = -(Laplace-Beltrami)*2A, and Delta p =
+    # -2 H n (n outward) — so lap points ALONG +n on a convex surface
+    sign = np.where(np.einsum("ij,ij->i", lap, nrm) >= 0.0, 1.0, -1.0)
+    return (sign * h).astype(np.float32)

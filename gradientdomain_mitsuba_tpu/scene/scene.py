@@ -297,6 +297,21 @@ def compile_scene(desc: SceneDesc,
     ana_spheres = []    # (center, radius, material id, shape id)
     v_off = 0
 
+    def _shape_curvature_node(shape):
+        """Find a 'curvature' texture anywhere in the shape's BSDF
+        subtree (its per-vertex bake happens at mesh-load time)."""
+        stack = [v for v in shape.props.values() if hasattr(v, "kind")]
+        stack += list(shape.children)
+        while stack:
+            n = stack.pop()
+            if getattr(n, "kind", None) == "texture" and \
+                    getattr(n, "type", None) == "curvature":
+                return n
+            stack += [v for v in getattr(n, "props", {}).values()
+                      if hasattr(v, "kind")]
+            stack += list(getattr(n, "children", []) or [])
+        return None
+
     def _shape_bsdf_node(shape):
         node = shape.child("bsdf")
         if node is None:
@@ -337,10 +352,12 @@ def compile_scene(desc: SceneDesc,
 
     def _is_analytic_sphere(shape):
         # subsurface attachments need triangles for irradiance-sample
-        # placement, so SSS spheres stay tessellated
+        # placement, so SSS spheres stay tessellated; curvature textures
+        # need the mesh one-ring for their per-vertex bake
         return (shape.type == "sphere" and
                 _shape_emitter_node(shape) is None and
                 _shape_sss_node(shape) is None and
+                _shape_curvature_node(shape) is None and
                 _similarity_scale(shape.get("toWorld", np.eye(4)))
                 is not None)
 
@@ -422,9 +439,24 @@ def compile_scene(desc: SceneDesc,
         all_pos.append(pos.astype(np.float32))
         all_nrm.append(nrm.astype(np.float32))
         all_uv.append(uv.astype(np.float32))
-        all_col.append(mesh.colors.astype(np.float32)
-                       if mesh.colors is not None
-                       else np.ones((len(pos), 3), np.float32))
+        curv_node = _shape_curvature_node(shape)
+        if curv_node is not None:
+            # curvature texture (src/textures/curvature.cpp): bake the
+            # per-vertex estimate into the vertex-color channel this
+            # shape's TEX_VERTEXCOLOR row reads (positive -> red,
+            # negative -> blue, like the reference's visualization)
+            from .meshes import vertex_curvature
+            c = vertex_curvature(
+                pos.astype(np.float32), idx,
+                str(curv_node.get("curvature", "mean")))
+            col = np.zeros((len(pos), 3), np.float32)
+            col[:, 0] = np.maximum(c, 0.0)
+            col[:, 2] = np.maximum(-c, 0.0)
+            all_col.append(col)
+        elif mesh.colors is not None:
+            all_col.append(mesh.colors.astype(np.float32))
+        else:
+            all_col.append(np.ones((len(pos), 3), np.float32))
         all_idx.append(idx.astype(np.int32) + v_off)
         tri_shape.append(np.full(len(idx), s_id, np.int32))
         shape_bsdf.append(mid)
@@ -534,7 +566,7 @@ def compile_scene(desc: SceneDesc,
     # per-hit barycentric attributes: widen the packed row ONLY then
     # (fill_intersection keys on width 41)
     from .materials import IRAWAN as _IRAWAN
-    needs_bary = (any(n.type in ("vertexcolors", "wireframe")
+    needs_bary = (any(n.type in ("vertexcolors", "wireframe", "curvature")
                       for n in mb.texture_nodes) or
                   any(r["kind"] == _IRAWAN for r in mb.rows))
     tri_shade = np.zeros((len(indices), 41 if needs_bary else 29),
