@@ -97,9 +97,15 @@ def _dir_to_area(pdf_sa, d, dist2, ng_at_target):
 
 
 def _is_delta_kind(materials, bsdf_id):
-    kind = materials.kind[jnp.maximum(bsdf_id, 0)]
-    return ((kind == CONDUCTOR) | (kind == DIELECTRIC) |
-            (kind == THIN_DIELECTRIC))
+    # per-row predicate over the tiny material table, then a one-hot
+    # matmul gather per lane (a direct kind[mid] XLA gather costs ms
+    # at wavefront width on TPU; see bsdf_ops.roughness)
+    kind = materials.kind
+    delta = ((kind == CONDUCTOR) | (kind == DIELECTRIC) |
+             (kind == THIN_DIELECTRIC))
+    row = common.fast_row_gather(delta[:, None].astype(jnp.float32),
+                                 jnp.maximum(bsdf_id, 0))
+    return row[..., 0] > 0.5
 
 
 def _b3(x):
