@@ -13,14 +13,17 @@ decomposition (scene/bvh.py extract_clusters):
     [G, RBLK, K] reduce on full VPU tiles; in-kernel it would run on
     [RBLK, 1] columns at 1/128 lane utilization), sorted near-to-far
     by block-min entry distance and DMA'd to SMEM per block;
-  - each block walks its worklist with SCALAR control: recheck the
-    cluster AABB against the shrinking per-ray t bound, and
-    `pl.when(any ray pending)` gates ONE async DMA of the cluster's
+  - each block walks its worklist in 128-entry chunks: every chunk is
+    slab-tested at once on full [RBLK, 128] VPU tiles (a per-entry
+    [RBLK, 1] column test runs at 1/128 lane utilization and dominated
+    large-scene traversal), the walk stops early once every ray's hit
+    is closer than the chunk's minimum conservative entry distance
+    (near-to-far sort keys ride row 7 of each entry), and only entries
+    with a live pending bit issue ONE async DMA of the cluster's
     [16, WINDOW] triangle slab (rows 0-8 = v0/e1/e2 xyz, padded to the
     8-sublane DMA granule) HBM -> VMEM plus a pairwise
-    [1024 x 128] Moeller-Trumbore sweep per 128-triangle lane chunk
-    (rays broadcast over lanes, triangles over sublanes — full VPU
-    tiles, no gathers, no scalar inner loop).
+    Moeller-Trumbore sweep (rays broadcast over sublanes, triangles
+    over lanes — full VPU tiles, no gathers).
 
 This sidesteps what XLA cannot do well here: per-lane gathers (replaced
 by blocked DMA) and lane-divergent while loops (replaced by block-level
@@ -300,7 +303,8 @@ def _mt_kernel(window, n_clusters, any_hit):
     W = window
 
     def kernel(counts_ref, rays_ref, slab_hbm, work_hbm,
-               out_ref, prim_ref, slab_vmem, sem, wl_smem, wsem):
+               out_ref, prim_ref, slab_vmem, sem, wl_smem, wsem,
+               wl_vmem, vsem):
         ox = rays_ref[:, 0:1]
         oy = rays_ref[:, 1:2]
         oz = rays_ref[:, 2:3]
@@ -324,103 +328,149 @@ def _mt_kernel(window, n_clusters, any_hit):
         blk = pl.program_id(0)
         count = counts_ref[blk]
 
-        def cluster_body(j, _):
-            # worklist entries carry their own cluster bounds (rows 1-6)
-            # so no [K, 6] table has to sit resident in SMEM — the layout
-            # that capped the flat design at ~2k clusters
-            k = wl_smem[0, j].astype(jnp.int32)
+        def make_cluster_body(anyrow, lane):
+            def cluster_body(j, _):
+                # entry j's pending bit was computed for the whole chunk
+                # on full VPU tiles (chunk_body); extracting it here is a
+                # [1, WL_CHUNK] masked reduce — ~5 vector issues vs the
+                # ~1600 the per-entry [RBLK, 1] column AABB test cost
+                # (1/128 lane utilization), which dominated large-scene
+                # traversal (measured 2.1 s/65k incoherent rays at 28k
+                # clusters; see README large-scene table)
+                k = wl_smem[0, j].astype(jnp.int32)
+                pending_j = jnp.any(anyrow & (lane == j))
+
+                @pl.when(pending_j)
+                def _():
+                    cp = pltpu.make_async_copy(slab_hbm.at[k], slab_vmem,
+                                               sem)
+                    cp.start()
+                    cp.wait()
+                    F = jax.lax.dot_general(
+                        feats, slab_vmem[...],
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # [RBLK, 4W]
+                    dinv = 1.0 / F[:, :W]
+                    u = F[:, W:2 * W] * dinv
+                    v = F[:, 2 * W:3 * W] * dinv
+                    t = F[:, 3 * W:] * dinv
+                    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+                          (t > mint) & (t < out_ref[:, 0:1]))
+                    if any_hit:
+                        hit_any = jnp.any(ok, axis=1, keepdims=True)
+                        prim_ref[:] = jnp.where(hit_any, 0, prim_ref[:])
+                        # kill future pending tests for occluded rays
+                        out_ref[:, 0:1] = jnp.where(hit_any, -1.0,
+                                                    out_ref[:, 0:1])
+                    else:
+                        tt = jnp.where(ok, t, F32_MAX)
+                        tc = jnp.min(tt, axis=1, keepdims=True)
+                        better = tc < out_ref[:, 0:1]
+                        iw = jax.lax.broadcasted_iota(jnp.int32,
+                                                      tt.shape, 1)
+                        sel = tt == tc
+                        jm = jnp.min(jnp.where(sel, iw,
+                                               jnp.int32(2 ** 30)),
+                                     axis=1, keepdims=True)
+                        first = iw == jm
+                        uc = jnp.sum(jnp.where(first, u, 0.0), axis=1,
+                                     keepdims=True)
+                        vc = jnp.sum(jnp.where(first, v, 0.0), axis=1,
+                                     keepdims=True)
+                        out_ref[:, 1:2] = jnp.where(better, uc,
+                                                    out_ref[:, 1:2])
+                        out_ref[:, 2:3] = jnp.where(better, vc,
+                                                    out_ref[:, 2:3])
+                        prim_ref[:] = jnp.where(better, k * W + jm,
+                                                prim_ref[:])
+                        out_ref[:, 0:1] = jnp.where(better, tc,
+                                                    out_ref[:, 0:1])
+
+                return 0
+
+            return cluster_body
+
+        def chunk_cond(carry):
+            c, go = carry
+            return (c < (count + WL_CHUNK - 1) // WL_CHUNK) & go
+
+        def chunk_body(carry):
+            c, _ = carry
+            wcp = pltpu.make_async_copy(work_hbm.at[blk, c], wl_smem,
+                                        wsem)
+            wcp.start()
+            vcp = pltpu.make_async_copy(work_hbm.at[blk, c], wl_vmem,
+                                        vsem)
+            vcp.start()
+            wcp.wait()
+            vcp.wait()
+            # early termination (entries are near-to-far): once every
+            # ray's current hit is closer than the chunk's minimum
+            # conservative entry distance (row 7; monotone across
+            # chunks), no later entry can improve any ray — stop.  For
+            # any-hit, resolved rays carry t = -1, so the walk stops as
+            # soon as the whole block is occluded.
+            chunk_min_tn = jnp.min(wl_vmem[7:8, :])
+            proceed = chunk_min_tn <= jnp.max(out_ref[:, 0:1])
+            in_chunk = jnp.minimum(count - c * WL_CHUNK, WL_CHUNK)
+            # slab-test ALL chunk entries at once on full [RBLK, WL_CHUNK]
+            # VPU tiles; the scalar walk below only extracts the
+            # precomputed bits.  The t bound is chunk-start stale, which
+            # can only admit extra DMAs (the matmul epilogue re-checks
+            # t < out), never lose a hit.
             t_b = out_ref[:, 0:1]
-            tx0 = (wl_smem[1, j] - ox) * ix
-            tx1 = (wl_smem[4, j] - ox) * ix
-            ty0 = (wl_smem[2, j] - oy) * iy
-            ty1 = (wl_smem[5, j] - oy) * iy
-            tz0 = (wl_smem[3, j] - oz) * iz
-            tz1 = (wl_smem[6, j] - oz) * iz
+            tx0 = (wl_vmem[1:2, :] - ox) * ix          # [RBLK, WL_CHUNK]
+            tx1 = (wl_vmem[4:5, :] - ox) * ix
+            ty0 = (wl_vmem[2:3, :] - oy) * iy
+            ty1 = (wl_vmem[5:6, :] - oy) * iy
+            tz0 = (wl_vmem[3:4, :] - oz) * iz
+            tz1 = (wl_vmem[6:7, :] - oz) * iz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                          jnp.minimum(ty0, ty1)),
                              jnp.minimum(tz0, tz1))
             tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                          jnp.maximum(ty0, ty1)),
                              jnp.maximum(tz0, tz1))
-            pending = (tn <= tf) & (tf >= mint) & (tn <= t_b)
+            pend = (tn <= tf) & (tf >= mint) & (tn <= t_b)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, WL_CHUNK), 1)
+            anyrow = (jnp.any(pend, axis=0, keepdims=True) &
+                      (lane < in_chunk) & proceed)
 
-            @pl.when(jnp.any(pending))
+            @pl.when(jnp.any(anyrow))
             def _():
-                cp = pltpu.make_async_copy(slab_hbm.at[k], slab_vmem, sem)
-                cp.start()
-                cp.wait()
-                F = jax.lax.dot_general(
-                    feats, slab_vmem[...],
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)   # [RBLK, 4W]
-                dinv = 1.0 / F[:, :W]
-                u = F[:, W:2 * W] * dinv
-                v = F[:, 2 * W:3 * W] * dinv
-                t = F[:, 3 * W:] * dinv
-                ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
-                      (t > mint) & (t < out_ref[:, 0:1]))
-                if any_hit:
-                    hit_any = jnp.any(ok, axis=1, keepdims=True)
-                    prim_ref[:] = jnp.where(hit_any, 0, prim_ref[:])
-                    # kill future pending tests for occluded rays
-                    out_ref[:, 0:1] = jnp.where(hit_any, -1.0,
-                                                out_ref[:, 0:1])
-                else:
-                    tt = jnp.where(ok, t, F32_MAX)
-                    tc = jnp.min(tt, axis=1, keepdims=True)
-                    better = tc < out_ref[:, 0:1]
-                    iw = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
-                    sel = tt == tc
-                    j = jnp.min(jnp.where(sel, iw, jnp.int32(2 ** 30)),
-                                axis=1, keepdims=True)
-                    first = iw == j
-                    uc = jnp.sum(jnp.where(first, u, 0.0), axis=1,
-                                 keepdims=True)
-                    vc = jnp.sum(jnp.where(first, v, 0.0), axis=1,
-                                 keepdims=True)
-                    out_ref[:, 1:2] = jnp.where(better, uc,
-                                                out_ref[:, 1:2])
-                    out_ref[:, 2:3] = jnp.where(better, vc,
-                                                out_ref[:, 2:3])
-                    prim_ref[:] = jnp.where(better, k * W + j,
-                                            prim_ref[:])
-                    out_ref[:, 0:1] = jnp.where(better, tc,
-                                                out_ref[:, 0:1])
+                jax.lax.fori_loop(0, in_chunk,
+                                  make_cluster_body(anyrow, lane), 0)
 
-            return 0
+            return (c + 1, proceed)
 
-        def chunk_body(c, _):
-            wcp = pltpu.make_async_copy(work_hbm.at[blk, c], wl_smem,
-                                        wsem)
-            wcp.start()
-            wcp.wait()
-            in_chunk = jnp.minimum(count - c * WL_CHUNK, WL_CHUNK)
-            jax.lax.fori_loop(0, in_chunk, cluster_body, 0)
-            return 0
-
-        n_chunks = (count + WL_CHUNK - 1) // WL_CHUNK
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.while_loop(chunk_cond, chunk_body,
+                           (jnp.int32(0), jnp.bool_(True)))
 
     return kernel
 
 
-def _assemble_worklists(order, counts, cbounds):
+def _assemble_worklists(order, counts, cbounds, row7=None):
     """Pack per-block sorted cluster ids + their bounds into DMA chunks.
 
     order: [G, K] int32 (pending-first, near-to-far); counts: [G] int32.
     Returns work [G, NCH, 8, WL_CHUNK] f32 — entry j of chunk c sits in
     column j: row 0 = cluster id (as f32; exact below 2^24), rows 1-3 =
-    bbox min, rows 4-6 = bbox max, row 7 = padding."""
+    bbox min, rows 4-6 = bbox max, row 7 = the entry's conservative
+    near-to-far sort key tn_lb (the kernel's early-termination bound;
+    F32_MAX when absent)."""
     G, K = order.shape
     ob = cbounds[order]                                  # [G, K, 6]
+    if row7 is None:
+        row7 = jnp.full((G, K), F32_MAX)
     entries = jnp.concatenate(
         [order.astype(jnp.float32)[..., None], ob,
-         jnp.zeros((G, K, 1), jnp.float32)], axis=-1)    # [G, K, 8]
+         row7[..., None]], axis=-1)                      # [G, K, 8]
     Kp = -(-K // WL_CHUNK) * WL_CHUNK
     if Kp != K:
-        entries = jnp.concatenate(
-            [entries, jnp.zeros((G, Kp - K, 8), jnp.float32)], axis=1)
+        pad = jnp.zeros((G, Kp - K, 8), jnp.float32)
+        pad = pad.at[:, :, 7].set(F32_MAX)
+        entries = jnp.concatenate([entries, pad], axis=1)
     NCH = Kp // WL_CHUNK
     work = entries.reshape(G, NCH, WL_CHUNK, 8).transpose(0, 1, 3, 2)
     return counts.astype(jnp.int32), work
@@ -444,8 +494,13 @@ def _dense_worklists(rays, G, RBLK, cbounds):
     tn_blk = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), F32_MAX),
                      axis=1)                             # [G, K]
     counts = jnp.sum(jnp.any(pend, axis=1), axis=1, dtype=jnp.int32)
-    order = jnp.argsort(tn_blk, axis=1).astype(jnp.int32)
-    return _assemble_worklists(order, counts, cbounds)
+    key = jnp.where(jnp.any(pend, axis=1), tn_blk, F32_MAX)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    row7 = jnp.take_along_axis(key, order, axis=1)
+    return _assemble_worklists(order, counts, cbounds, row7)
+
+
+SUPER_FACTOR = 64  # clusters per supercluster in the blockwise build
 
 
 def _blockwise_worklists(rays, G, RBLK, cbounds):
@@ -461,11 +516,30 @@ def _blockwise_worklists(rays, G, RBLK, cbounds):
     tf_ub).  False positives only cost the kernel's per-ray AABB
     recheck — no DMA is issued unless a real ray still pends."""
     K = cbounds.shape[0]
+    # supercluster bounds: SUPER_FACTOR consecutive DFS-ordered clusters,
+    # bounds = member union.  The interval test + near-to-far argsort run
+    # at super granularity — the per-block argsort over all K clusters
+    # was the dominant build cost at K ~ 28k (measured ~60 of 67 ms) —
+    # then entries expand back to member clusters, which the kernel's
+    # batched chunk test prunes at ~5 vector issues per entry.
+    big = jnp.float32(F32_MAX)
+    SC = SUPER_FACTOR
+    Kp = -(-K // SC) * SC
+    if Kp != K:
+        pad = jnp.concatenate(
+            [jnp.full((Kp - K, 3), big), jnp.full((Kp - K, 3), -big)],
+            axis=1)
+        cb_pad = jnp.concatenate([cbounds, pad], axis=0)   # [Kp, 6]
+    else:
+        cb_pad = cbounds
+    scb = jnp.concatenate(
+        [jnp.min(cb_pad[:, 0:3].reshape(-1, SC, 3), axis=1),
+         jnp.max(cb_pad[:, 3:6].reshape(-1, SC, 3), axis=1)],
+        axis=1)                                            # [S, 6]
     o = rays[:, 0:3].reshape(G, RBLK, 3)
     d = rays[:, 3:6].reshape(G, RBLK, 3)
     maxt = rays[:, 7].reshape(G, RBLK)
     valid = (maxt >= 0.0)[..., None]
-    big = jnp.float32(F32_MAX)
     olo = jnp.min(jnp.where(valid, o, big), axis=1)      # [G, 3]
     ohi = jnp.max(jnp.where(valid, o, -big), axis=1)
     dlo = jnp.min(jnp.where(valid, d, big), axis=1)
@@ -473,8 +547,8 @@ def _blockwise_worklists(rays, G, RBLK, cbounds):
     tmax = jnp.max(jnp.where(valid[..., 0], maxt, 0.0), axis=1)  # [G]
     any_valid = jnp.any(valid[..., 0], axis=1)
 
-    blo = cbounds[None, :, 0:3]                          # [1, K, 3]
-    bhi = cbounds[None, :, 3:6]
+    blo = scb[None, :, 0:3]                              # [1, S, 3]
+    bhi = scb[None, :, 3:6]
     gpos = blo - ohi[:, None]                            # [G, K, 3]
     gneg = olo[:, None] - bhi
     eps = jnp.float32(1e-30)
@@ -500,11 +574,26 @@ def _blockwise_worklists(rays, G, RBLK, cbounds):
                        big)
     tf_ub = jnp.min(jnp.minimum(tf_pos, tf_neg), axis=-1)  # [G, K]
     pend = (any_valid[:, None] & (tn_lb <= tf_ub) & (tf_ub >= 0.0) &
-            (tn_lb <= tmax[:, None]) & (tn_lb < big))
+            (tn_lb <= tmax[:, None]) & (tn_lb < big))      # [G, S]
     key = jnp.where(pend, tn_lb, big)
-    counts = jnp.sum(pend, axis=1, dtype=jnp.int32)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    return _assemble_worklists(order, counts, cbounds)
+    counts_s = jnp.sum(pend, axis=1, dtype=jnp.int32)
+    order_s = jnp.argsort(key, axis=1).astype(jnp.int32)   # [G, S]
+    # expand supers to member clusters: pending supers sort first, so the
+    # leading counts_s * SC entries are exactly their members.  Padding
+    # members (>= K) keep inverted bounds from cb_pad — they never pend
+    # in-kernel, so their (clamped) ids are never used for DMA.
+    ids = (order_s[:, :, None] * SC +
+           jnp.arange(SC, dtype=jnp.int32)[None, None, :]
+           ).reshape(G, Kp)                                # [G, Kp]
+    # clamp padding members (>= K) onto the last real cluster: a
+    # duplicated entry is harmless (same bounds, same slab), whereas an
+    # id >= K would be an out-of-bounds slab DMA if it ever pended —
+    # and the kernel's slab test re-sorts bounds per axis, so inverted
+    # sentinel boxes DO pend (they behave like an infinite box)
+    ids = jnp.minimum(ids, K - 1)
+    key_sorted = jnp.take_along_axis(key, order_s, axis=1)     # [G, S]
+    row7 = jnp.repeat(key_sorted, SC, axis=1)                  # [G, Kp]
+    return _assemble_worklists(ids, counts_s * SC, cb_pad, row7)
 
 
 def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
@@ -547,6 +636,8 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
                 pltpu.VMEM((16, 4 * window), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SMEM((8, WL_CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((8, WL_CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ]),
         out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
