@@ -328,68 +328,90 @@ def _mt_kernel(window, n_clusters, any_hit):
         blk = pl.program_id(0)
         count = counts_ref[blk]
 
+        def compute_slab(k, b):
+            """Linear-MT sweep of the slab sitting in buffer b (0/1)."""
+            F = jax.lax.dot_general(
+                feats, slab_vmem[b],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # [RBLK, 4W]
+            dinv = 1.0 / F[:, :W]
+            u = F[:, W:2 * W] * dinv
+            v = F[:, 2 * W:3 * W] * dinv
+            t = F[:, 3 * W:] * dinv
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+                  (t > mint) & (t < out_ref[:, 0:1]))
+            if any_hit:
+                hit_any = jnp.any(ok, axis=1, keepdims=True)
+                prim_ref[:] = jnp.where(hit_any, 0, prim_ref[:])
+                # kill future pending tests for occluded rays
+                out_ref[:, 0:1] = jnp.where(hit_any, -1.0,
+                                            out_ref[:, 0:1])
+            else:
+                tt = jnp.where(ok, t, F32_MAX)
+                tc = jnp.min(tt, axis=1, keepdims=True)
+                better = tc < out_ref[:, 0:1]
+                iw = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                sel = tt == tc
+                jm = jnp.min(jnp.where(sel, iw, jnp.int32(2 ** 30)),
+                             axis=1, keepdims=True)
+                first = iw == jm
+                uc = jnp.sum(jnp.where(first, u, 0.0), axis=1,
+                             keepdims=True)
+                vc = jnp.sum(jnp.where(first, v, 0.0), axis=1,
+                             keepdims=True)
+                out_ref[:, 1:2] = jnp.where(better, uc, out_ref[:, 1:2])
+                out_ref[:, 2:3] = jnp.where(better, vc, out_ref[:, 2:3])
+                prim_ref[:] = jnp.where(better, k * W + jm, prim_ref[:])
+                out_ref[:, 0:1] = jnp.where(better, tc, out_ref[:, 0:1])
+
         def make_cluster_body(anyrow, lane):
-            def cluster_body(j, _):
-                # entry j's pending bit was computed for the whole chunk
-                # on full VPU tiles (chunk_body); extracting it here is a
-                # [1, WL_CHUNK] masked reduce — ~5 vector issues vs the
-                # ~1600 the per-entry [RBLK, 1] column AABB test cost
-                # (1/128 lane utilization), which dominated large-scene
-                # traversal (measured 2.1 s/65k incoherent rays at 28k
-                # clusters; see README large-scene table)
+            def cluster_body(j, carry):
+                # Software-pipelined walk: entry j's pending bit was
+                # computed for the whole chunk on full VPU tiles
+                # (chunk_body); extracting it is a [1, WL_CHUNK] masked
+                # reduce (~5 vector issues vs the ~1600 of the old
+                # per-entry [RBLK, 1] column AABB test).  A pending
+                # entry STARTS its slab DMA into the spare buffer, then
+                # sweeps the PREVIOUS pending entry's slab while the
+                # copy flies (double buffering hides whichever of
+                # DMA/compute is shorter).
+                have, pk, pb = carry
                 k = wl_smem[0, j].astype(jnp.int32)
                 pending_j = jnp.any(anyrow & (lane == j))
 
-                @pl.when(pending_j)
-                def _():
-                    cp = pltpu.make_async_copy(slab_hbm.at[k], slab_vmem,
-                                               sem)
-                    cp.start()
-                    cp.wait()
-                    F = jax.lax.dot_general(
-                        feats, slab_vmem[...],
-                        (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)  # [RBLK, 4W]
-                    dinv = 1.0 / F[:, :W]
-                    u = F[:, W:2 * W] * dinv
-                    v = F[:, 2 * W:3 * W] * dinv
-                    t = F[:, 3 * W:] * dinv
-                    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
-                          (t > mint) & (t < out_ref[:, 0:1]))
-                    if any_hit:
-                        hit_any = jnp.any(ok, axis=1, keepdims=True)
-                        prim_ref[:] = jnp.where(hit_any, 0, prim_ref[:])
-                        # kill future pending tests for occluded rays
-                        out_ref[:, 0:1] = jnp.where(hit_any, -1.0,
-                                                    out_ref[:, 0:1])
-                    else:
-                        tt = jnp.where(ok, t, F32_MAX)
-                        tc = jnp.min(tt, axis=1, keepdims=True)
-                        better = tc < out_ref[:, 0:1]
-                        iw = jax.lax.broadcasted_iota(jnp.int32,
-                                                      tt.shape, 1)
-                        sel = tt == tc
-                        jm = jnp.min(jnp.where(sel, iw,
-                                               jnp.int32(2 ** 30)),
-                                     axis=1, keepdims=True)
-                        first = iw == jm
-                        uc = jnp.sum(jnp.where(first, u, 0.0), axis=1,
-                                     keepdims=True)
-                        vc = jnp.sum(jnp.where(first, v, 0.0), axis=1,
-                                     keepdims=True)
-                        out_ref[:, 1:2] = jnp.where(better, uc,
-                                                    out_ref[:, 1:2])
-                        out_ref[:, 2:3] = jnp.where(better, vc,
-                                                    out_ref[:, 2:3])
-                        prim_ref[:] = jnp.where(better, k * W + jm,
-                                                prim_ref[:])
-                        out_ref[:, 0:1] = jnp.where(better, tc,
-                                                    out_ref[:, 0:1])
+                def pend_fn(args):
+                    have, pk, pb = args
+                    b = 1 - pb
+                    pltpu.make_async_copy(slab_hbm.at[k],
+                                          slab_vmem.at[b],
+                                          sem.at[b]).start()
 
-                return 0
+                    @pl.when(have == 1)
+                    def _():
+                        pltpu.make_async_copy(slab_hbm.at[pk],
+                                              slab_vmem.at[pb],
+                                              sem.at[pb]).wait()
+                        compute_slab(pk, pb)
+
+                    return (jnp.int32(1), k, b)
+
+                def skip_fn(args):
+                    return args
+
+                return jax.lax.cond(pending_j, pend_fn, skip_fn,
+                                    (have, pk, pb))
 
             return cluster_body
+
+        def drain(carry):
+            have, pk, pb = carry
+
+            @pl.when(have == 1)
+            def _():
+                pltpu.make_async_copy(slab_hbm.at[pk], slab_vmem.at[pb],
+                                      sem.at[pb]).wait()
+                compute_slab(pk, pb)
 
         def chunk_cond(carry):
             c, go = carry
@@ -439,8 +461,10 @@ def _mt_kernel(window, n_clusters, any_hit):
 
             @pl.when(jnp.any(anyrow))
             def _():
-                jax.lax.fori_loop(0, in_chunk,
-                                  make_cluster_body(anyrow, lane), 0)
+                carry = jax.lax.fori_loop(
+                    0, in_chunk, make_cluster_body(anyrow, lane),
+                    (jnp.int32(0), jnp.int32(0), jnp.int32(1)))
+                drain(carry)
 
             return (c + 1, proceed)
 
@@ -633,8 +657,8 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[out_spec, prim_spec],
             scratch_shapes=[
-                pltpu.VMEM((16, 4 * window), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 16, 4 * window), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((8, WL_CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.VMEM((8, WL_CHUNK), jnp.float32),
