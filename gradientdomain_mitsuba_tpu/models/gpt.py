@@ -937,10 +937,15 @@ class GPTracer:
 
     # ------------------------------------------------------------------
     def samples_per_batch(self, n_samples):
-        """~64k lanes per dispatch (each lane carries 5 lockstep paths);
-        measured fastest on v5e."""
+        """Lanes per dispatch (each lane carries 5 lockstep paths).
+        Default 256k lanes: the per-op latency floor dominates below
+        ~200k lanes (measured on v5e: 64k-lane passes reach <2% of HBM
+        speed-of-light), while HBM working-set stays <1 GB well past 1M
+        lanes.  Override with GDMT_LANES (target lanes per dispatch)."""
+        import os
+        target = int(os.environ.get("GDMT_LANES", str(1 << 18)))
         N = self.settings.width * self.settings.height
-        spb = max(1, (1 << 16) // max(N, 1))
+        spb = max(1, target // max(N, 1))
         while n_samples % spb:
             spb -= 1
         return spb

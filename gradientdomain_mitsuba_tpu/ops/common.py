@@ -67,9 +67,28 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
     over the jnp clustered path at 8k tris); the two-level clustered jnp
     traversal on CPU (Mosaic kernels only run on real TPUs)."""
     import jax
+    import os
     on_cpu = jax.default_backend() == "cpu"
     if n_tris <= BRUTE_FORCE_MAX_TRIS:
         if not on_cpu:
+            if os.environ.get("GDMT_PALLAS_SWEEP", "1") != "0":
+                # Fused Pallas sweep: the jnp matmul sweep materializes
+                # [N, 4Tp] in HBM (2.7 GB per 1.3M-ray wavefront at the
+                # 256k-lane batch size) and re-reads it for every
+                # epilogue pass — 63% of the cbox G-PT render.  The
+                # kernel keeps the term tile in VMEM; HBM traffic drops
+                # to rays-in + hits-out (~60 B/ray).
+                from . import pallas_sweep as psw
+                closest_k = psw.make_sweep_intersector(n_tris)
+                occl_k = psw.make_sweep_occluder(n_tris)
+
+                def closest(o, d, mint, maxt, geom):
+                    return closest_k(o, d, mint, maxt, geom.linC)
+
+                def occl(o, d, mint, maxt, geom):
+                    return occl_k(o, d, mint, maxt, geom.linC)
+                return add_sphere_intersections(closest, occl)
+
             def closest(o, d, mint, maxt, geom):
                 return isec.intersect_matmul(o, d, mint, maxt, geom.linC)
 

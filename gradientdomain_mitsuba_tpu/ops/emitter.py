@@ -13,6 +13,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as m
 from ..core import warp
@@ -34,11 +35,19 @@ class DirectSample(NamedTuple):
     is_delta: jnp.ndarray   # [N] bool — point/spot/directional sample
 
 
-def _searchsorted_segment(cdf, lo, hi, u, iters=24):
+def _searchsorted_segment(cdf, lo, hi, u, iters=None):
     """Vectorized lower-bound binary search of u in cdf[lo:hi] (flat CDF with
-    per-emitter segments).  Returns index into the flat array."""
+    per-emitter segments).  Returns index into the flat array.
+
+    `iters` defaults to ceil(log2(len(cdf)))+1 — the CDF length is STATIC
+    (total emitter-triangle count baked at scene build), so small scenes
+    compile a 1-2 step search instead of a worst-case 24-step sequential
+    gather loop (which was ~30% of the cbox G-PT render: each step is a
+    262k-lane dynamic gather the VPU cannot fuse)."""
     lo = lo.astype(jnp.int32)
     hi = hi.astype(jnp.int32)
+    if iters is None:
+        iters = max(1, int(np.ceil(np.log2(max(int(cdf.shape[0]), 2)))) + 1)
 
     def body(_, state):
         lo_, hi_ = state

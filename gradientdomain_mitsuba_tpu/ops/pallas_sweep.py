@@ -28,14 +28,14 @@ coefficients once) instead of >150 MB.  Padding triangles have all-zero
 columns => det = 0 => u = 0 * inf = NaN fails every comparison (closest)
 and ad = 0 fails ok (any-hit), exactly like the jnp sweeps.
 
-MEASURED (v5e, round 3): standalone dispatch 878 us vs 1190 us for the
-jnp matmul sweep per 64k-ray closest (1.35x), BUT inside a fused
-jit loop both land at ~380-400 us — the small-scene render program is
-per-op-overhead-bound, not HBM-bound, so the VMEM-residency win doesn't
-materialize at these sizes.  NOT wired into choose_intersector for now;
-kept (with the interpret-mode test in tests/test_pallas.py) as the
-building block for a future whole-bounce Pallas fusion where the ray
-wavefront never round-trips HBM between traversal and shading.
+MEASURED (v5e, round 3): at 64k-lane batches the win is hidden by per-op
+dispatch overhead, but at the 256k-lane batches GDMT_LANES now defaults
+to, the headline cbox G-PT render drops 1.33 s -> 0.73 s (49.6 -> 90.3
+Mrays/s measured) when this kernel replaces the jnp matmul sweep — wired
+into choose_intersector for small scenes on TPU (GDMT_PALLAS_SWEEP=0
+restores the jnp sweep).  Correctness is pinned by the interpret-mode
+test in tests/test_pallas.py plus the whole default suite running both
+paths (CPU uses the jnp sweep; TPU this one).
 """
 from __future__ import annotations
 
@@ -139,12 +139,19 @@ def _occl_kernel(n_chunks, Ct, a_ref, rays_ref, out_ref):
 
 
 def _prep_coeffs(linC, Tp, Ct):
-    """linC [10, 4T] -> [n_chunks, 4*Ct, KDIM] chunked row blocks."""
+    """linC [10, 4T] -> [n_chunks, 4*Ct, KDIM] chunked row blocks.
+    Tp may be SMALLER than linC's own column padding (the scene builder
+    pads the soup to 128; the epilogue's VPU cost is linear in Tp, so
+    the kernel trims to the 8-row granule above the real count —
+    trimmed padding rows are all-zero columns that never hit anyway)."""
     T = linC.shape[1] // 4
     blocks = jnp.stack([linC[:, 0:T], linC[:, T:2 * T],
                         linC[:, 2 * T:3 * T], linC[:, 3 * T:]], 0)
-    blocks = jnp.concatenate(
-        [blocks, jnp.zeros((4, 10, Tp - T), linC.dtype)], axis=2)
+    if Tp > T:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((4, 10, Tp - T), linC.dtype)], axis=2)
+    elif Tp < T:
+        blocks = blocks[:, :, :Tp]
     a = jnp.transpose(blocks, (0, 2, 1))                    # [4, Tp, 10]
     a = jnp.concatenate([a, jnp.zeros((4, Tp, KDIM - 10), a.dtype)], 2)
     nch = Tp // Ct
@@ -182,14 +189,23 @@ def _sweep_call(kernel, n_out_rows, n_chunks, Ct, a, rays, Np):
     )(a, rays)
 
 
+def _chunking(n_tris, linC):
+    """Chunk sizes from the REAL triangle count (8-row granule): the
+    scene builder pads linC to 128 columns per block, but the epilogue's
+    VPU cost is linear in the padded count, so trim to the real soup
+    (capped by linC's own static width)."""
+    T = min(linC.shape[1] // 4, _round_up(max(n_tris, 8), 64))
+    Ct = min(CHUNK_T, T)
+    Tp = _round_up(T, Ct)
+    return Tp // Ct, Ct, Tp
+
+
 def make_sweep_intersector(n_tris: int):
     """Closest-hit over the whole soup via the fused Pallas sweep.
     Signature matches intersect_matmul: (o, d, mint, maxt, linC) -> Hit."""
-    Ct = min(CHUNK_T, _round_up(max(n_tris, 8), 8))
-    Tp = _round_up(max(n_tris, 8), Ct)
-    n_chunks = Tp // Ct
 
     def closest(o, d, mint, maxt, linC):
+        n_chunks, Ct, Tp = _chunking(n_tris, linC)
         N = o.shape[0]
         Np = _round_up(N, TILE)
         rays = _pack_rays(o, d, mint, maxt, Np)
@@ -206,11 +222,9 @@ def make_sweep_intersector(n_tris: int):
 
 def make_sweep_occluder(n_tris: int):
     """Any-hit variant (sign-fixed test, no divisions)."""
-    Ct = min(CHUNK_T, _round_up(max(n_tris, 8), 8))
-    Tp = _round_up(max(n_tris, 8), Ct)
-    n_chunks = Tp // Ct
 
     def occluded(o, d, mint, maxt, linC):
+        n_chunks, Ct, Tp = _chunking(n_tris, linC)
         N = o.shape[0]
         Np = _round_up(N, TILE)
         rays = _pack_rays(o, d, mint, maxt, Np)
