@@ -413,8 +413,45 @@ class GBDPTracer(BDPTracer):
                     ok_end=ok_end, ok_end_s0=ok_end_s0)
 
     # ------------------------------------------------------------------
+    def _t1_prev(self, scene, light4, y04, s):
+        """(prev_p, prev_ng, prev_ok, c_prev) behind the t=1 endpoint:
+        y_{s-2} for s>=3, the emitter point y_0 for s==2."""
+        kl = s - 2
+        if s >= 3:
+            prev_p = light4.p[:, kl - 1]
+            prev_ng = light4.ng[:, kl - 1]
+            prev_ok = light4.valid[:, kl - 1]
+            c_prev = self._classify_diffuse(
+                scene, light4.bsdf_id[:, kl - 1], prev_ok)
+        else:
+            prev_p, prev_ng = y04.p, y04.ng
+            prev_ok = y04.ok
+            c_prev = prev_ok  # emitter surface: always connectable
+        return prev_p, prev_ng, prev_ok, c_prev
+
+    def _t1_cam_rays(self, scene, film_base, N, W, H):
+        """Camera retrace rays through the 4 neighbors of the base t=1
+        splat position (batched across strategies by the caller)."""
+        M = 4 * N
+        film_o = (film_base[None] +
+                  jnp.asarray(OFFSETS)[:, None, :]).reshape(M, 2)
+        return sensor_ops.sample_ray(scene.camera, W, H, film_o,
+                                     jnp.full((M, 2), 0.5))
+
+    def _t1_occ_ray(self, scene, light4, y04, s, its1, eps):
+        """Reconnection-visibility ray z'_1 -> prev for one t=1 strategy
+        (origin, dir, maxt); concatenated across strategies into one
+        occlusion dispatch by the caller."""
+        prev_p, prev_ng, _, _ = self._t1_prev(scene, light4, y04, s)
+        to1 = its1.p - prev_p
+        d2 = jnp.maximum(m.squared_length(to1), 1e-12)
+        dist = jnp.sqrt(d2)
+        dirp = to1 / _b3(dist)
+        return (common.offset_ray_origin(prev_p, prev_ng, dirp, eps),
+                dirp, dist - 2 * eps)
+
     def _t1_offset(self, scene, light4, y04, s, film_base, N, eps, W, H,
-                   c_light_end):
+                   c_light_end, its1=None, occ=None):
         """Image-space shift of a light-tracing path (t=1, reference
         gbdpt_proc.cpp light-image handling): retrace the camera ray
         through film_base + offset -> z'_1, reconnect z'_1 -> y_{s-2},
@@ -428,29 +465,18 @@ class GBDPTracer(BDPTracer):
         diffuse — the same piecewise map as the eye-subpath shifts."""
         kl = s - 2
         M = 4 * N
-        if s >= 3:
-            prev_p = light4.p[:, kl - 1]
-            prev_ng = light4.ng[:, kl - 1]
-            prev_ok = light4.valid[:, kl - 1]
-            c_prev = self._classify_diffuse(
-                scene, light4.bsdf_id[:, kl - 1], prev_ok)
-        else:  # s == 2: previous vertex is the emitter point y_0
-            prev_p, prev_ng = y04.p, y04.ng
-            prev_ok = y04.ok
-            c_prev = prev_ok  # emitter surface: always connectable
+        prev_p, prev_ng, prev_ok, c_prev = self._t1_prev(
+            scene, light4, y04, s)
 
         pf_base = _remap0(light4.pdf_fwd[:, kl])
         jbase = self._camera_pdf_area(scene, light4.p[:, kl],
                                       light4.ng[:, kl])
-        u_half = jnp.full((M, 2), 0.5)
 
-        film_o = (film_base[None] +
-                  jnp.asarray(OFFSETS)[:, None, :]).reshape(M, 2)
-        o_c, d_c = sensor_ops.sample_ray(scene.camera, W, H, film_o,
-                                         u_half)
-        hit = self.closest(o_c, d_c, jnp.zeros(M), jnp.full(M, 3e38),
-                           scene.geom)
-        its1 = common.fill_intersection(scene, o_c, d_c, hit)
+        if its1 is None:
+            o_c, d_c = self._t1_cam_rays(scene, film_base, N, W, H)
+            hit = self.closest(o_c, d_c, jnp.zeros(M), jnp.full(M, 3e38),
+                               scene.geom)
+            its1 = common.fill_intersection(scene, o_c, d_c, hit)
         c_off = self._classify_diffuse(scene, its1.bsdf_id, its1.valid)
 
         to1 = its1.p - prev_p
@@ -459,9 +485,10 @@ class GBDPTracer(BDPTracer):
         dirp = to1 / _b3(dist)
         conv_rc = jnp.abs(m.dot(dirp, its1.ng)) / d2
 
-        occ = self.occluded(
-            common.offset_ray_origin(prev_p, prev_ng, dirp, eps),
-            dirp, jnp.zeros(M), dist - 2 * eps, scene.geom)
+        if occ is None:
+            occ = self.occluded(
+                common.offset_ray_origin(prev_p, prev_ng, dirp, eps),
+                dirp, jnp.zeros(M), dist - 2 * eps, scene.geom)
         ok = (its1.valid & prev_ok & light4.valid[:, kl] & c_light_end &
               c_off & c_prev & ~occ)
 
@@ -627,22 +654,79 @@ class GBDPTracer(BDPTracer):
             return self._classify_diffuse(scene, light.bsdf_id[:, s - 2],
                                           light.valid[:, s - 2])
 
+        # s>=2, t>=4 connection pairs: scanned through ONE compiled body
+        # when the strategy table is large (compile time of the unrolled
+        # double loop grows ~quadratically with depth; bdpt.py applies the
+        # same treatment to its s>=2,t>=2 block).  t in {2,3} stays
+        # unrolled: those rows use the e==1 occlusion-reuse / endpoint
+        # special cases.  GDMT_SCAN_STRATEGIES=1 forces, =0 disables.
+        import os as _os
+        scan_pairs = [(s, t) for t in range(4, self.TE + 2)
+                      for s in range(2, self.SM + 1)
+                      if s + t - 1 <= self.depth]
+        all_pairs = sum(1 for t in range(2, self.TE + 2)
+                        for s in range(2, self.SM + 1)
+                        if s + t - 1 <= self.depth)
+        scan_env = _os.environ.get("GDMT_SCAN_STRATEGIES", "")
+        use_scan = bool(scan_pairs) and (
+            scan_env == "1" or (scan_env != "0" and all_pairs > 21))
+
+        # ---- t=1 strategies: ALL traversal work batched across s --------
+        # (was one occlusion + one retrace + one visibility dispatch PER
+        # strategy — 38% of depth-6 runtime; now 3 dispatches total)
+        t1_list = ([s for s in range(2, self.SM + 1) if s <= self.depth]
+                   if self.light_image else [])
+        occ_t1 = self._batched_t1_occlusion(scene, light, t1_list, N, eps)
+        t1_data = {}
+        for s in t1_list:
+            pos, val, sri = self._strategy_t1(scene, eye, light, y0, s, N,
+                                              eps, W, H, occ=occ_t1[s])
+            t1_data[s] = dict(pos=pos, val=val, sri=sri)
+        if t1_list and self.light_image_grads:
+            M = 4 * N
+            nb = len(t1_list)
+            cam = [self._t1_cam_rays(scene, t1_data[s]["pos"], N, W, H)
+                   for s in t1_list]
+            o_c = jnp.concatenate([c[0] for c in cam])
+            d_c = jnp.concatenate([c[1] for c in cam])
+            hit = self.closest(o_c, d_c, jnp.zeros(nb * M),
+                               jnp.full(nb * M, 3e38), scene.geom)
+            its1_all = common.fill_intersection(scene, o_c, d_c, hit)
+            sl = lambda tree, i: jax.tree.map(
+                lambda a: a[i * M:(i + 1) * M], tree)
+            orays = [self._t1_occ_ray(scene, light4, y04, s,
+                                      sl(its1_all, i), eps)
+                     for i, s in enumerate(t1_list)]
+            occ_all = self.occluded(
+                jnp.concatenate([r[0] for r in orays]),
+                jnp.concatenate([r[1] for r in orays]),
+                jnp.zeros(nb * M),
+                jnp.concatenate([r[2] for r in orays]), scene.geom)
+            for i, s in enumerate(t1_list):
+                t1_data[s]["its1"] = sl(its1_all, i)
+                t1_data[s]["occ"] = occ_all[i * M:(i + 1) * M]
+
         for t in range(1, self.TE + 2):
             for s in range(0, self.SM + 1):
                 k_edges = s + t - 1
                 if s + t < 2 or k_edges > self.depth:
                     continue
+                if use_scan and s >= 2 and t >= 4:
+                    continue  # handled by the scanned block below
                 if t == 1:
                     if s < 2 or not self.light_image:
                         continue
-                    pos, val, sri_base = self._strategy_t1(
-                        scene, eye, light, y0, s, N, eps, W, H)
+                    pos = t1_data[s]["pos"]
+                    val = t1_data[s]["val"]
+                    sri_base = t1_data[s]["sri"]
                     splat_pos.append(pos)
                     splat_val.append(val * _b3(1.0 / (1.0 + sri_base)))
                     if self.light_image_grads:
                         v_off, sri_off, r = self._t1_offset(
                             scene, light4, y04, s, pos, N, eps, W, H,
-                            jnp.tile(classify_light_end(s), (4,)))
+                            jnp.tile(classify_light_end(s), (4,)),
+                            its1=t1_data[s].get("its1"),
+                            occ=t1_data[s].get("occ"))
                         g = pair_grad(val[None], sri_base[None], v_off,
                                       sri_off, r, r > 0)
                         t1_pos.append(pos)
@@ -709,6 +793,59 @@ class GBDPTracer(BDPTracer):
                 grad = grad + pair_grad(
                     c_base[None], sri_base[None], c_off, sri_off,
                     r4[:, :, e], ok)
+
+        if use_scan and scan_pairs:
+            # scanned s>=2, t>=4 block: every pair here has endpoint slot
+            # e >= 2, so the structure is uniform (suffix factorization in
+            # all-diffuse scenes, full 4N offset re-eval otherwise) and
+            # ONE compiled body serves the whole class.
+            tally = self.ray_tally is not None
+            use_suffix = not self.any_specular
+
+            def body(carry, st_pair):
+                primal_c, grad_c, rays = carry
+                s, t = st_pair[0], st_pair[1]
+                e = t - 2
+                c_base, sri_base, auxd = self._strategy_connect_dyn(
+                    scene, eye, light, y0, s, t, N, eps)
+                w_base = 1.0 / (1.0 + sri_base)
+                primal_c = primal_c + c_base * _b3(w_base)
+                cle = self._classify_diffuse(
+                    scene, light.bsdf_id[:, s - 2], light.valid[:, s - 2])
+                ok = ok_recon4[:, :, e] | (ok_end4[:, :, e] & cle[None])
+                if use_suffix:
+                    bb = eye.beta[:, e]
+                    vb = V4["view"].beta[:, e].reshape(4, N, 3)
+                    ratio = jnp.where(
+                        (jnp.max(bb, -1) > 0)[None, :, None],
+                        vb / jnp.maximum(bb, 1e-30)[None], 0.0)
+                    c_off = c_base[None] * ratio
+                    tl = lambda a: jnp.tile(a, (4,))
+                    sri_off = self._mis_sum_dyn(
+                        V4["view"], light4, y04, s, t,
+                        tl(auxd["pdf_rev_pt"]),
+                        tl(auxd["pdf_rev_pt_minus"]),
+                        tl(auxd["pdf_rev_qs"]),
+                        tl(auxd["pdf_rev_qs_minus"])).reshape(4, N)
+                else:
+                    c_off, sri_off, _ = self._strategy_connect_dyn(
+                        scene, V4["view"], light4, y04, s, t, 4 * N, eps)
+                    c_off = c_off.reshape(4, N, 3)
+                    sri_off = sri_off.reshape(4, N)
+                grad_c = grad_c + pair_grad(
+                    c_base[None], sri_base[None], c_off, sri_off,
+                    r4[:, :, e], ok)
+                if tally:
+                    rays = rays + common.drain_tally(self)
+                return (primal_c, grad_c, rays), None
+
+            rays0 = (common.drain_tally(self) if tally
+                     else jnp.zeros(()))
+            (primal, grad, rays_out), _ = jax.lax.scan(
+                body, (primal, grad, rays0),
+                jnp.asarray(scan_pairs, jnp.int32))
+            if tally:
+                self.ray_tally.append(rays_out)
 
         def cat(parts, shape):
             if parts:

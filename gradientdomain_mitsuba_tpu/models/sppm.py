@@ -182,14 +182,8 @@ class SPPMTracer(PathTracer):
         cnt = em.tri_count[e]
         flat = em_ops._searchsorted_segment(em.tri_cdf, off,
                                             off + cnt - 1, u_res)
-        tri = em.tri_index[flat]
-        i0 = scene.geom.indices[tri]
-        p0 = scene.geom.positions[i0[..., 0]]
-        p1 = scene.geom.positions[i0[..., 1]]
-        p2 = scene.geom.positions[i0[..., 2]]
-        bary = warp.square_to_uniform_triangle(u2(PHOTON_DIM_BASE + 1))
-        pos0 = p0 + bary[..., 0:1] * (p1 - p0) + bary[..., 1:2] * (p2 - p0)
-        ng0 = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+        pos0, ng0 = em_ops.sample_emitter_triangle(
+            scene, flat, u2(PHOTON_DIM_BASE + 1))
         d_local = warp.square_to_cosine_hemisphere(u2(PHOTON_DIM_BASE + 3))
         ss0, ts0 = m.build_frame(ng0)
         d0_area = m.to_world(d_local, ss0, ts0, ng0)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as m
 from ..core.rng import DimAllocator as DA
@@ -68,6 +69,10 @@ class VolPathTracer(PathTracer):
         # budget per segment (the `trackingSteps` knob; expected steps =
         # majorant optical depth of the segment)
         self.has_het = bool(getattr(settings, "has_het_media", False))
+        # gridvolume-driven microflake orientation fields: STATIC flag so
+        # scenes without them compile no vector-grid lookups
+        self.has_orient = bool(
+            (np.asarray(scene.media.orient_offset) >= 0).any())
         self.track_steps = int(
             settings.integrator_props.get("trackingSteps", 64))
         # the loop must out-run per-lane depth + null crossings
@@ -192,6 +197,10 @@ class VolPathTracer(PathTracer):
             # ================= MEDIUM EVENT branch =========================
             p_med = s["o"] + ds_med.t[..., None] * s["d"]
             wi_world = -s["d"]
+            if self.has_orient:
+                # spatially-varying microflake fiber axis at the scatter
+                # point (gridvolume orientation field)
+                ph_flake = med_ops.flake_at(scene.media, cur_med, p_med)
 
             # phase NEE
             u_sel = u1(seed, pixel_id, sample_idx,

@@ -60,6 +60,21 @@ def _searchsorted_segment(cdf, lo, hi, u, iters=None):
     return lo_f
 
 
+def sample_emitter_triangle(scene, flat, u_pos):
+    """Position + unit normal on the flat-indexed emitter triangle.
+
+    ONE packed row gather (EmitterTable.tri_geo [sumT, 12] = p0 | e1 |
+    e2 | ng) replaces the 4-gather dependent chain tri_index -> indices
+    -> positions x3 (the chain was four sequential [N,3] gather fusions
+    + relayout copies, 2.2 ms of every 4.9 ms G-PT bounce on v5e)."""
+    from .common import fast_row_gather
+    row = fast_row_gather(scene.emitters.tri_geo, flat)
+    bary = warp.square_to_uniform_triangle(u_pos)
+    pos = (row[..., 0:3] + bary[..., 0:1] * row[..., 3:6] +
+           bary[..., 1:2] * row[..., 6:9])
+    return pos, row[..., 9:12]
+
+
 def num_lights(scene):
     """Static count of selectable emitters (area + env)."""
     E = int(scene.emitters.radiance.shape[0]) if int(
@@ -100,15 +115,7 @@ def sample_direct(scene, n_area: int, env_kind: int, p_ref, u_sel, u_pos,
     off = em.tri_offset[e]
     cnt = em.tri_count[e]
     flat = _searchsorted_segment(em.tri_cdf, off, off + cnt - 1, u_resc)
-    tri = em.tri_index[flat]
-    i0 = scene.geom.indices[tri]
-    p0 = scene.geom.positions[i0[..., 0]]
-    p1 = scene.geom.positions[i0[..., 1]]
-    p2 = scene.geom.positions[i0[..., 2]]
-    bary = warp.square_to_uniform_triangle(u_pos)
-    pos = (p0 + bary[..., 0:1] * (p1 - p0) + bary[..., 1:2] * (p2 - p0))
-    ng = jnp.cross(p1 - p0, p2 - p0)
-    ng = m.normalize(ng)
+    pos, ng = sample_emitter_triangle(scene, flat, u_pos)
 
     to_l = pos - p_ref
     dist2 = jnp.maximum(m.squared_length(to_l), 1e-12)

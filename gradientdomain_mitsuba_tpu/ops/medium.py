@@ -279,6 +279,61 @@ def density_at(media, mid, p):
     return jnp.where(het & (mid >= 0), dens, 1.0)
 
 
+def flake_at(media, mid, p):
+    """Per-lane SGGX flake [N, 4] with a gridvolume-driven fiber axis
+    (the reference's heterogeneous <volume name="orientation"> consumed
+    by microflake.cpp via gridvolume.cpp lookupVector: trilinear
+    interpolation of the vector field, then normalization).  Rows
+    without an orientation grid (orient_offset < 0), points outside the
+    volume, and degenerate interpolated vectors all fall back to the
+    row's constant flake axis."""
+    idx = jnp.clip(mid, 0, media.het.shape[0] - 1)
+    fl = media.flake[idx]                                # [N, 4]
+    off = media.orient_offset[idx]
+    has = off >= 0
+    w2g = media.orient_w2g[idx]
+    q = (jnp.einsum("nij,nj->ni", w2g[:, :3, :3], p) + w2g[:, :3, 3])
+    res = media.orient_res[idx]
+    nx, ny, nz = res[:, 0], res[:, 1], res[:, 2]
+    inside = jnp.all((q >= 0.0) & (q <= 1.0), -1)
+
+    fx = jnp.clip(q[:, 0] * (nx - 1), 0.0, (nx - 1).astype(jnp.float32))
+    fy = jnp.clip(q[:, 1] * (ny - 1), 0.0, (ny - 1).astype(jnp.float32))
+    fz = jnp.clip(q[:, 2] * (nz - 1), 0.0, (nz - 1).astype(jnp.float32))
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    tz = (fz - z0)[..., None]
+
+    base = jnp.maximum(off, 0)
+    c3 = jnp.arange(3, dtype=jnp.int32)
+
+    def at(z, y, x):
+        flat = base + 3 * ((z * ny + y) * nx + x)
+        return media.orient_data[flat[:, None] + c3[None, :]]  # [N, 3]
+
+    v000 = at(z0, y0, x0); v001 = at(z0, y0, x1)
+    v010 = at(z0, y1, x0); v011 = at(z0, y1, x1)
+    v100 = at(z1, y0, x0); v101 = at(z1, y0, x1)
+    v110 = at(z1, y1, x0); v111 = at(z1, y1, x1)
+    c00 = v000 * (1 - tx) + v001 * tx
+    c01 = v010 * (1 - tx) + v011 * tx
+    c10 = v100 * (1 - tx) + v101 * tx
+    c11 = v110 * (1 - tx) + v111 * tx
+    v = ((c00 * (1 - ty) + c01 * ty) * (1 - tz) +
+         (c10 * (1 - ty) + c11 * ty) * tz)
+    norm = jnp.sqrt(jnp.maximum(m.squared_length(v), 0.0))
+    ok = has & inside & (norm > 1e-6)
+    axis = jnp.where(ok[..., None], v / jnp.maximum(norm, 1e-12)[..., None],
+                     fl[..., 0:3])
+    return jnp.concatenate([axis, fl[..., 3:4]], -1)
+
+
 def _majorant(media, mid):
     """Scalar majorant extinction per lane: max_density * max_c sigma_t."""
     idx = jnp.clip(mid, 0, media.het.shape[0] - 1)

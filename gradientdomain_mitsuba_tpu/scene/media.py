@@ -66,6 +66,14 @@ class MediumTable(NamedTuple):
     grid_res: np.ndarray   # [M, 3] i32 (nx, ny, nz)
     world_to_grid: np.ndarray  # [M, 4, 4] world -> [0,1]^3 volume space
     max_density: np.ndarray    # [M] majorant density
+    # microflake orientation volumes (gridvolume-driven per-voxel fiber
+    # axes, the reference's heterogeneous <volume name="orientation">
+    # consumed by microflake.cpp): xyz-interleaved flattened vector
+    # grids; offset -1 = constant axis from `flake` (ops/medium.flake_at)
+    orient_data: np.ndarray = np.zeros(3, np.float32)   # [3*Go]
+    orient_offset: np.ndarray = -np.ones(1, np.int32)   # [M] element offs
+    orient_res: np.ndarray = np.ones((1, 3), np.int32)  # [M, 3]
+    orient_w2g: np.ndarray = np.eye(4, dtype=np.float32)[None]  # [M,4,4]
 
 
 _UNIT_GRID = np.ones(1, np.float32)
@@ -91,12 +99,14 @@ def vacuum_table() -> MediumTable:
                        **_hom_grid_fields(1))
 
 
-def load_vol(path: str) -> Tuple[np.ndarray, np.ndarray]:
+def load_vol(path: str, average: bool = True
+             ) -> Tuple[np.ndarray, np.ndarray]:
     """Mitsuba .vol grid file (src/volume/gridvolume.cpp fileToVolume):
     'VOL' magic, version 3, int32 type (1 = float32), int32 xres/yres/
     zres, int32 channels, 6 float32 bbox, then data with x fastest.
-    Returns (data [nz, ny, nx] scalar (multi-channel averaged), bbox
-    [2, 3])."""
+    Returns (data [nz, ny, nx] scalar (multi-channel averaged) — or
+    [nz, ny, nx, ch] raw channels when average=False (orientation
+    volumes) — and bbox [2, 3])."""
     with open(path, "rb") as f:
         magic = f.read(3)
         if magic != b"VOL":
@@ -110,7 +120,9 @@ def load_vol(path: str) -> Tuple[np.ndarray, np.ndarray]:
         bbox = np.array(struct.unpack("<6f", f.read(24)),
                         np.float32).reshape(2, 3)
         data = np.fromfile(f, dtype="<f4", count=nx * ny * nz * ch)
-    data = data.reshape(nz, ny, nx, ch).mean(-1).astype(np.float32)
+    data = data.reshape(nz, ny, nx, ch).astype(np.float32)
+    if average:
+        data = data.mean(-1)
     return data, bbox
 
 
@@ -124,6 +136,8 @@ class MediaBuilder:
         self.base_dir = base_dir
         # per-row grid payloads: (data [nz,ny,nx] or None, w2g [4,4])
         self.grids: List[Tuple] = []
+        # per-row orientation payloads: (data [nz,ny,nx,3], w2g) or None
+        self.orients: List = []
 
     def _volume_child(self, node: Plugin, name: str):
         v = node.get(name)
@@ -200,6 +214,7 @@ class MediaBuilder:
         mid = len(self.rows)
         self.rows.append((sigma_s, sigma_a, kind, g, 0, flake))
         self.grids.append((None, None))
+        self.orients.append(None)
         self._by_node[key] = (mid, node)
         return mid
 
@@ -231,9 +246,44 @@ class MediaBuilder:
         sigma_a = sigma_t_unit - sigma_s
         data, w2g = self._load_density(node)
         kind, g, flake = self._parse_phase(node)
+        # <volume name="orientation">: per-voxel microflake fiber axes
+        # (gridvolume.cpp lookupVector consumed by microflake.cpp).  A
+        # constvolume vector just overrides the flake axis; a gridvolume
+        # becomes a spatially-varying axis field (ops/medium.flake_at).
+        orient = None
+        ovol = self._volume_child(node, "orientation")
+        if ovol is not None and kind == PHASE_MICROFLAKE:
+            med_tw = np.asarray(node.get("toWorld", np.eye(4)), np.float64)
+            if ovol.type == "constvolume":
+                vec = np.asarray(
+                    spectrum_value(ovol.get("value"), (0.0, 0.0, 1.0)),
+                    np.float64)
+                n = float(np.linalg.norm(vec))
+                if n > 1e-9:
+                    flake = np.array([vec[0] / n, vec[1] / n, vec[2] / n,
+                                      flake[3]], np.float32)
+            elif ovol.type == "gridvolume":
+                data3, bbox = load_vol(
+                    os.path.join(self.base_dir, ovol.get("filename")),
+                    average=False)
+                if data3.ndim != 4 or data3.shape[-1] != 3:
+                    raise ValueError(
+                        "orientation gridvolume must have 3 channels")
+                vol_tw = np.asarray(ovol.get("toWorld", np.eye(4)),
+                                    np.float64)
+                span = np.maximum(bbox[1] - bbox[0], 1e-12)
+                g2b = np.eye(4)
+                g2b[:3, :3] = np.diag(span)
+                g2b[:3, 3] = bbox[0]
+                orient = (data3,
+                          np.linalg.inv(med_tw @ vol_tw @ g2b))
+            else:
+                raise ValueError(
+                    f"orientation volume '{ovol.type}' not supported")
         mid = len(self.rows)
         self.rows.append((sigma_s, sigma_a, kind, g, 1, flake))
         self.grids.append((data, w2g))
+        self.orients.append(orient)
         self._by_node[key] = (mid, node)
         return mid
 
@@ -305,6 +355,23 @@ class MediaBuilder:
                 res.append((nx, ny, nz))
                 w2gs.append(np.asarray(w2g, np.float32))
                 maxd.append(float(data.max()))
+        # pack orientation grids (xyz-interleaved, x fastest)
+        odatas, ooffs, ores, ow2g = [], [], [], []
+        ocur = 0
+        for orient in self.orients:
+            if orient is None:
+                ooffs.append(-1)
+                ores.append((1, 1, 1))
+                ow2g.append(_EYE4)
+            else:
+                d3, w2 = orient
+                flat = d3.ravel().astype(np.float32)
+                odatas.append(flat)
+                ooffs.append(ocur)
+                ocur += flat.size
+                nz, ny, nx = d3.shape[:3]
+                ores.append((nx, ny, nz))
+                ow2g.append(np.asarray(w2, np.float32))
         return MediumTable(
             sigma_s=ss, sigma_a=sa, sigma_t=ss + sa,
             phase_kind=np.asarray([r[2] for r in self.rows], np.int32),
@@ -315,7 +382,12 @@ class MediaBuilder:
             grid_offset=np.asarray(offsets, np.int32),
             grid_res=np.asarray(res, np.int32),
             world_to_grid=np.stack(w2gs).astype(np.float32),
-            max_density=np.asarray(maxd, np.float32))
+            max_density=np.asarray(maxd, np.float32),
+            orient_data=(np.concatenate(odatas).astype(np.float32)
+                         if odatas else np.zeros(3, np.float32)),
+            orient_offset=np.asarray(ooffs, np.int32),
+            orient_res=np.asarray(ores, np.int32),
+            orient_w2g=np.stack(ow2g).astype(np.float32))
 
 
 def medium_node(plugin: Plugin, name: str):

@@ -86,6 +86,11 @@ class EmitterTable(NamedTuple):
     env_cdf_rows: np.ndarray  # [He+1] marginal CDF over rows
     env_cdf_cols: np.ndarray  # [He, We+1] conditional CDF per row
     env_pdf: np.ndarray       # [He, We] solid-angle pdf per texel
+    # packed per-emitter-triangle geometry [sumT, 12]: p0 | p1-p0 | p2-p0 |
+    # unit ng — ONE row gather per NEE/emission sample instead of the
+    # 4-gather dependent chain tri_index->indices->positions x3 (the chain
+    # was 2.2 ms of every 4.9 ms G-PT bounce on v5e; see ops/emitter.py)
+    tri_geo: np.ndarray = np.zeros((1, 12), np.float32)
 
 
 class SSSTable(NamedTuple):
@@ -887,7 +892,20 @@ def _build_emitters(desc, area_emitters, tri_shape, p0, p1, p2):
     texel_sa = (2 * np.pi / We) * (np.pi / He) * np.sin(theta)[:, None]
     env_pdf = (w / w.sum() / np.maximum(texel_sa, 1e-12)).astype(np.float32)
 
+    flat_ids = np.concatenate(tidx).astype(np.int64)
+    if len(p0) > 0:
+        g0 = p0[flat_ids]
+        ge1 = p1[flat_ids] - g0
+        ge2 = p2[flat_ids] - g0
+        gng = np.cross(ge1, ge2)
+        gng = gng / np.maximum(np.linalg.norm(gng, axis=-1, keepdims=True),
+                               1e-30)
+        tri_geo = np.concatenate([g0, ge1, ge2, gng], 1).astype(np.float32)
+    else:
+        tri_geo = np.zeros((len(flat_ids), 12), np.float32)
+
     return EmitterTable(
+        tri_geo=tri_geo,
         delta_kind=np.asarray(dk, np.int32),
         delta_pos=np.asarray(dp, np.float32),
         delta_dir=np.asarray(dd, np.float32),

@@ -125,3 +125,43 @@ def test_gbdpt_gradient_consistency():
     assert rms_err / rms_fd < 0.55, (rms_err, rms_fd)
     corr = np.corrcoef(dx[mx].ravel(), fd_x[mx].ravel())[0, 1]
     assert corr > 0.85, corr
+
+
+def test_bdpt_scan_matches_unrolled():
+    """The scanned dynamic-(s,t) strategy kernel (one compiled body via
+    lax.scan, models/bdpt.py _strategy_connect_dyn/_mis_sum_dyn) must be
+    bit-identical to the unrolled static strategy loop (GDMT r3: compile
+    time of the unrolled loop grows quadratically with depth)."""
+    scene, st = sc.load_scene(
+        CBOX, {"width": "16", "height": "16", "spp": "4", "maxDepth": "5"})
+    os.environ["GDMT_SCAN_STRATEGIES"] = "0"
+    try:
+        a = bdpt_mod.BDPTracer(scene, st).render(scene, seed=3, spp=4)
+        os.environ["GDMT_SCAN_STRATEGIES"] = "1"
+        b = bdpt_mod.BDPTracer(scene, st).render(scene, seed=3, spp=4)
+    finally:
+        del os.environ["GDMT_SCAN_STRATEGIES"]
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_gbdpt_scan_matches_unrolled():
+    """G-BDPT's scanned s>=2,t>=4 block (suffix-factorized class) must be
+    bit-identical to the unrolled loop: primal, gradients, and
+    light-image splats all go through the dynamic kernels."""
+    scene, st = sc.load_scene(
+        CBOX, {"width": "16", "height": "16", "spp": "2", "maxDepth": "6"})
+    outs = {}
+    for mode in ("0", "1"):
+        os.environ["GDMT_SCAN_STRATEGIES"] = mode
+        try:
+            g = gb_mod.GBDPTracer(scene, st)
+            outs[mode] = g.render(scene, seed=5, spp=2)
+        finally:
+            del os.environ["GDMT_SCAN_STRATEGIES"]
+    for k in ("primal", "dx", "dy", "very_direct"):
+        a, b = np.asarray(outs["0"][k]), np.asarray(outs["1"][k])
+        assert np.isfinite(a).all(), k
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6,
+                                   err_msg=k)

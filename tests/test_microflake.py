@@ -115,3 +115,115 @@ def test_scattering_furnace_microflake():
     img, _, _ = _render(xml, "volpath", size=16, spp=32, max_depth=16)
     assert np.isfinite(img).all()
     np.testing.assert_allclose(img.mean((0, 1)), 1.0, rtol=0.03)
+
+
+# --- gridvolume-driven orientation fields (round 3) -----------------------
+
+def _write_vol3(path, data, bbox=((0, 0, 0), (1, 1, 1))):
+    """data [nz, ny, nx, 3] float32 -> Mitsuba .vol v3 (3 channels)."""
+    import struct
+    nz, ny, nx, ch = data.shape
+    assert ch == 3
+    with open(path, "wb") as f:
+        f.write(b"VOL")
+        f.write(bytes([3]))
+        f.write(struct.pack("<5i", 1, nx, ny, nz, 3))
+        f.write(struct.pack("<6f", *bbox[0], *bbox[1]))
+        data.astype("<f4").tofile(f)
+
+
+def test_flake_at_interpolates_and_normalizes():
+    """flake_at: trilinear vector interpolation + normalization
+    (gridvolume.cpp lookupVector), constant-axis fallback outside the
+    volume and for rows without an orientation grid."""
+    from gradientdomain_mitsuba_tpu.scene import media as media_mod
+    base = media_mod.vacuum_table()
+    # one het row: orientation grid 2 voxels along x: +x then +z
+    od = np.array([[[[1, 0, 0], [0, 0, 1]]]], np.float32)  # [1,1,2,3]
+    tab = base._replace(
+        het=np.ones(1, np.int32),
+        flake=np.array([[0, 1, 0, 0.3]], np.float32),
+        orient_data=od.ravel(),
+        orient_offset=np.zeros(1, np.int32),
+        orient_res=np.array([[2, 1, 1]], np.int32),
+        orient_w2g=np.eye(4, dtype=np.float32)[None])
+    mid = jnp.zeros(3, jnp.int32)
+    p = jnp.array([[0.25, 0.5, 0.5],    # 3/4 +x, 1/4 +z
+                   [0.0, 0.5, 0.5],     # exactly +x
+                   [2.0, 0.5, 0.5]])    # outside -> constant axis
+    fl = med_ops.flake_at(tab, mid, p)
+    v = np.array([0.75, 0.0, 0.25])
+    np.testing.assert_allclose(fl[0, :3], v / np.linalg.norm(v), atol=1e-6)
+    np.testing.assert_allclose(fl[1, :3], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(fl[2, :3], [0, 1, 0], atol=1e-6)  # fallback
+    np.testing.assert_allclose(fl[:, 3], 0.3, atol=1e-6)
+    # rows without a grid: constant axis everywhere
+    fl0 = med_ops.flake_at(base._replace(
+        flake=np.array([[0, 0, 1, 0.5]], np.float32)), mid, p)
+    np.testing.assert_allclose(fl0[:, :3], [[0, 0, 1]] * 3, atol=1e-6)
+
+
+def test_orientation_grid_constant_matches_vector(tmp_path):
+    """A constant orientation GRID must render identically to the same
+    axis given as the phase's constant orientation vector (the grid path
+    interpolates the same axis everywhere)."""
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    from gradientdomain_mitsuba_tpu.models.volpath import VolPathTracer
+    from tests.test_hetmedia import write_vol
+
+    dens = np.full((2, 2, 2), 0.8, np.float32)
+    dvol = str(tmp_path / "d.vol")
+    write_vol(dvol, dens, bbox=((-1, -1, -1), (1, 1, 1)))
+    ovol = str(tmp_path / "o.vol")
+    axis = np.array([0.6, 0.0, 0.8], np.float32)
+    _write_vol3(ovol, np.broadcast_to(axis, (2, 2, 2, 3)).copy(),
+                bbox=((-1, -1, -1), (1, 1, 1)))
+
+    def xml(orient_elem):
+        return f"""<scene version="0.5.0">
+  <integrator type="volpath"><integer name="maxDepth" value="4"/></integrator>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <transform name="toWorld">
+      <lookat origin="0 0 5" target="0 0 0" up="0 1 0"/>
+    </transform>
+    <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="12"/><integer name="height" value="12"/>
+      <rfilter type="box"/>
+    </film>
+  </sensor>
+  <shape type="cube">
+    <bsdf type="null"/>
+    <medium type="heterogeneous" name="interior">
+      <volume name="density" type="gridvolume">
+        <string name="filename" value="{dvol}"/>
+      </volume>
+      {orient_elem}
+      <phase type="microflake"><float name="stddev" value="0.3"/></phase>
+      <float name="scale" value="1.5"/>
+    </medium>
+  </shape>
+  <shape type="rectangle">
+    <transform name="toWorld">
+      <scale x="2" y="2" z="1"/><translate x="0" y="0" z="-3"/>
+    </transform>
+    <emitter type="area"><rgb name="radiance" value="4, 4, 4"/></emitter>
+  </shape>
+</scene>"""
+
+    grid_elem = (f'<volume name="orientation" type="gridvolume">'
+                 f'<string name="filename" value="{ovol}"/></volume>')
+    vec_elem = ('<volume name="orientation" type="constvolume">'
+                '<vector name="value" x="0.6" y="0.0" z="0.8"/></volume>')
+    imgs = {}
+    for name, elem in (("grid", grid_elem), ("vec", vec_elem)):
+        p = tmp_path / f"{name}.xml"
+        p.write_text(xml(elem))
+        scene, st = sc.load_scene(str(p), {})
+        tr = VolPathTracer(scene, st)
+        assert tr.has_orient == (name == "grid")
+        imgs[name] = np.asarray(tr.render(scene, seed=0, spp=4))
+        assert np.isfinite(imgs[name]).all()
+    np.testing.assert_allclose(imgs["grid"], imgs["vec"],
+                               rtol=2e-5, atol=2e-6)

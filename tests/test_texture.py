@@ -216,3 +216,84 @@ def test_aniso_isotropic_matches_trilinear(tmp_path):
     aniso = np.asarray(T.eval_texture(tex, tid, uv, (area, jac)))
     tri = np.asarray(T.eval_texture(tex, tid, uv, area))
     np.testing.assert_allclose(aniso, tri, atol=0.12)
+
+
+def test_aniso_filter_vs_ewa_quadrature(tmp_path):
+    """The fixed-8-tap anisotropic filter ('EWA-class', ops/texture.py
+    _aniso_sample) against a brute-force elliptical-Gaussian quadrature
+    of the level-0 image (true EWA reference): on a strongly anisotropic
+    footprint whose major axis runs ALONG vertical stripes, the 8-tap
+    filter must preserve the stripe signal that isotropic trilinear
+    filtering (LOD from footprint area) washes out."""
+    import jax.numpy as jnp
+    from gradientdomain_mitsuba_tpu.ops import texture as tex_ops
+    from gradientdomain_mitsuba_tpu.scene.ir import Plugin
+    from gradientdomain_mitsuba_tpu.utils import exr
+
+    # 64x64 vertical stripes, period 8 texels (constant along v)
+    W = H = 64
+    x = np.arange(W)
+    img = np.broadcast_to(
+        (0.25 + 0.5 * ((x // 4) % 2))[None, :, None],
+        (H, W, 3)).astype(np.float32)
+    path = str(tmp_path / "stripes.exr")
+    exr.write(path, img, half=False)
+
+    node = Plugin(kind="texture", type="bitmap",
+                  props={"filename": "stripes.exr", "filterType": "ewa"})
+    tex = tex_ops.build_table([node], str(tmp_path))
+
+    # footprint: 1 texel wide in u (minor), 16 texels long in v (major)
+    n_pts = 16
+    uv = np.stack([np.linspace(0.1, 0.9, n_pts),
+                   np.full(n_pts, 0.5)], -1).astype(np.float32)
+    major = np.array([0.0, 16.0 / H], np.float32)   # uv units
+    minor = np.array([1.0 / W, 0.0], np.float32)
+    jac = np.broadcast_to(
+        np.stack([major, minor], -1), (n_pts, 2, 2)).copy()
+    area = float(np.linalg.norm(major) * np.linalg.norm(minor))
+
+    tid = jnp.zeros(n_pts, jnp.int32)
+    aniso = np.asarray(tex_ops.eval_texture(
+        tex, tid, jnp.asarray(uv),
+        uv_footprint=(jnp.full(n_pts, area), jnp.asarray(jac))))[:, 0]
+    iso = np.asarray(tex_ops.eval_texture(
+        tex, tid, jnp.asarray(uv),
+        uv_footprint=jnp.full(n_pts, area)))[:, 0]
+
+    # brute-force EWA quadrature of the same separable Gaussian
+    # (exp(-8 t^2) along each ellipse axis, t in (-.5, .5)) over the
+    # level-0 image with bilinear point taps
+    def bilin(u, v):
+        xx = (u % 1.0) * W - 0.5
+        yy = ((1.0 - v) % 1.0) * H - 0.5
+        x0 = np.floor(xx).astype(int)
+        y0 = np.floor(yy).astype(int)
+        fx, fy = xx - x0, yy - y0
+        p = img[..., 0]
+        g = lambda yi, xi: p[np.mod(yi, H), np.mod(xi, W)]
+        return (g(y0, x0) * (1 - fx) * (1 - fy) +
+                g(y0, x0 + 1) * fx * (1 - fy) +
+                g(y0 + 1, x0) * (1 - fx) * fy +
+                g(y0 + 1, x0 + 1) * fx * fy)
+
+    ts = np.linspace(-0.5, 0.5, 41)
+    ref = np.zeros(n_pts)
+    for i in range(n_pts):
+        acc = wsum = 0.0
+        for t in ts:
+            for s in ts:
+                w = np.exp(-8.0 * (t * t + s * s))
+                p = uv[i] + t * major + s * minor
+                acc += w * bilin(p[0], p[1])
+                wsum += w
+        ref[i] = acc / wsum
+
+    err_aniso = np.abs(aniso - ref).mean()
+    err_iso = np.abs(iso - ref).mean()
+    # the isotropic path blurs the stripes to their mean; the 8-tap
+    # anisotropic filter must track the quadrature reference much closer
+    assert err_aniso < 0.5 * err_iso, (err_aniso, err_iso)
+    assert err_aniso < 0.06, err_aniso
+    # and it must preserve more stripe contrast than the isotropic blur
+    assert aniso.std() > 1.25 * iso.std(), (aniso.std(), iso.std())
