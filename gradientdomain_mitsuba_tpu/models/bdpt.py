@@ -74,6 +74,12 @@ class SubPath(NamedTuple):
     #                        from its successor (walk's own reverse pdf)
     delta: jnp.ndarray     # [N, D] vertex BSDF is pure delta
     valid: jnp.ndarray     # [N, D]
+    # OPTIONAL [N, D, 2] per-vertex shading-frame azimuth of dp/du
+    # (fill_intersection bary cols 4:6), stored ONLY when the scene has
+    # woven-cloth (irawan) BSDFs so strategy re-evals can reconstruct
+    # the bent-cylinder specular lobe (round-2 deviation: re-evals fell
+    # back to the diffuse term).  None compiles the payload away.
+    aux: jnp.ndarray = None
 
 
 class LightStart(NamedTuple):
@@ -110,6 +116,15 @@ def _is_delta_kind(materials, bsdf_id):
 
 def _b3(x):
     return x[..., None]
+
+
+def synth_bary_from_az(az):
+    """Neutral bary payload carrying only the yarn azimuth cols 4:6
+    (fill_intersection layout) — lets woven-cloth evals at stored/replayed
+    vertices reconstruct the specular lobe."""
+    one = jnp.ones_like(az[..., 0])
+    return jnp.stack([one, one, one, jnp.full_like(one, 3.4e38),
+                      az[..., 0], az[..., 1]], -1)
 
 
 class BDPTracer:
@@ -153,6 +168,9 @@ class BDPTracer:
         self.SM = self.depth                 # max s (y_0..y_{SM-1})
         self.filter_kind = film_ops.FILTERS.get(settings.rfilter, 0)
         self.has_textures = settings.has_textures
+        # woven-cloth (irawan) present: subpaths store the yarn azimuth
+        # so strategy re-evals keep the specular term (SubPath.aux)
+        self.has_cloth = bool(int(settings.has_textures) & 16)
         self._u1, self._u2 = make_sampler(settings.sampler, settings.spp)
         self.light_image = bool(
             settings.integrator_props.get("lightImage", True))
@@ -223,7 +241,9 @@ class BDPTracer:
             emitter_id=empty((), -1, jnp.int32),
             beta=empty((3,)), pdf_fwd=empty(()), pdf_rev=empty(()),
             delta=empty((), False, jnp.bool_),
-            valid=empty((), False, jnp.bool_))
+            valid=empty((), False, jnp.bool_),
+            aux=(jnp.stack([empty(()) + 1.0, empty(())], -1)
+                 if self.has_cloth else None))
 
         o, d, beta, pdf_sa = o0, d0, beta0, pdf_sa0
         alive = jnp.ones(N, bool)
@@ -268,7 +288,10 @@ class BDPTracer:
                 pdf_fwd=sp.pdf_fwd.at[:, k].set(
                     jnp.where(alive, pdf_fwd, 0.0)),
                 delta=sp.delta.at[:, k].set(jnp.where(alive, delta, False)),
-                valid=sp.valid.at[:, k].set(alive))
+                valid=sp.valid.at[:, k].set(alive),
+                aux=(upd(sp.aux, its.bary[..., 4:6])
+                     if sp.aux is not None and its.bary is not None
+                     else sp.aux))
 
             # sample continuation at vertex k
             ss, ts = m.build_frame(its.ns)
@@ -410,13 +433,22 @@ class BDPTracer:
         return y0, sp
 
     # -- BSDF evaluation at a stored vertex ---------------------------------
+    def _vertex_bary(self, sp: SubPath, k):
+        """Synthesized bary payload for strategy re-evals at vertex k:
+        neutral vertex-color/edge-distance columns + the stored yarn
+        azimuth (SubPath.aux).  None when the scene has no cloth."""
+        if sp.aux is None:
+            return None
+        return synth_bary_from_az(sp.aux[:, k])
+
     def _eval_at(self, scene, sp: SubPath, k, wo_world):
         """(f*cos, pdf_sa, None) at vertex k toward world direction wo."""
         ss, ts = m.build_frame(sp.ns[:, k])
         wi = m.to_local(sp.wi[:, k], ss, ts, sp.ns[:, k])
         wo = m.to_local(wo_world, ss, ts, sp.ns[:, k])
         par = common.material_params(scene, self.has_textures,
-                                     sp.bsdf_id[:, k], sp.uv[:, k])
+                                     sp.bsdf_id[:, k], sp.uv[:, k],
+                                     bary=self._vertex_bary(sp, k))
         f = self._beval(par, wi, wo)
         pdf = self._bpdf(par, wi, wo)
         return f, pdf
@@ -431,7 +463,8 @@ class BDPTracer:
         dirp = to_prev / jnp.sqrt(d2)[..., None]
         ssf, tsf = m.build_frame(sp.ns[:, k])
         par = common.material_params(scene, self.has_textures,
-                                     sp.bsdf_id[:, k], sp.uv[:, k])
+                                     sp.bsdf_id[:, k], sp.uv[:, k],
+                                     bary=self._vertex_bary(sp, k))
         pdf_sa = self._bpdf(
             par, m.to_local(d_new_in, ssf, tsf, sp.ns[:, k]),
             m.to_local(dirp, ssf, tsf, sp.ns[:, k]))

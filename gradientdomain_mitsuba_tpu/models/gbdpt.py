@@ -69,7 +69,7 @@ from ..ops import bsdf as bsdf_ops
 from ..ops import common, film as film_ops
 from ..ops import sensor as sensor_ops
 from .bdpt import (BDPTracer, SubPath, _b3, _dir_to_area, _is_delta_kind,
-                   _remap0)
+                   _remap0, synth_bary_from_az)
 from .gpt import OFFSETS, half_vector_copy
 
 
@@ -183,7 +183,7 @@ class GBDPTracer(BDPTracer):
         v = dict(p=eye.p, ng=eye.ng, ns=eye.ns, uv=eye.uv, wi=eye.wi,
                  bsdf_id=eye.bsdf_id, emitter_id=eye.emitter_id,
                  beta=eye.beta, pdf_fwd=eye.pdf_fwd, pdf_rev=eye.pdf_rev,
-                 delta=eye.delta)
+                 delta=eye.delta, aux=eye.aux)
         rfac = jnp.ones((N, TE))
         prefix_ok = [jnp.zeros(N, bool) for _ in range(TE)]
         jun_struct = [jnp.zeros(N, bool) for _ in range(TE)]
@@ -205,9 +205,13 @@ class GBDPTracer(BDPTracer):
         v["pdf_fwd"] = set3(v["pdf_fwd"], 0, pf0_off, ok0)
         v["delta"] = v["delta"].at[:, 0].set(
             _is_delta_kind(scene.materials, its1.bsdf_id))
+        if v["aux"] is not None and its1.bary is not None:
+            v["aux"] = v["aux"].at[:, 0].set(its1.bary[..., 4:6])
 
         cur = dict(p=its1.p, ng=its1.ng, ns=its1.ns, uv=its1.uv,
                    bsdf_id=its1.bsdf_id, wi=-d_cam)
+        if self.has_cloth and its1.bary is not None:
+            cur["az"] = its1.bary[..., 4:6]
         beta_cur = jnp.ones((N, 3))
         replaying = ok0
 
@@ -222,8 +226,10 @@ class GBDPTracer(BDPTracer):
             # frames/params at the current offset vertex
             ssc, tsc = m.build_frame(cur["ns"])
             wi_c = m.to_local(cur["wi"], ssc, tsc, cur["ns"])
-            par_c = common.material_params(scene, self.has_textures,
-                                           cur["bsdf_id"], cur["uv"])
+            par_c = common.material_params(
+                scene, self.has_textures, cur["bsdf_id"], cur["uv"],
+                bary=(synth_bary_from_az(cur["az"]) if "az" in cur
+                      else None))
 
             # base bounce z_{k+1} -> z_{k+2}: geometry + solid-angle pdf
             dir_b = -eye.wi[:, kn]
@@ -367,10 +373,15 @@ class GBDPTracer(BDPTracer):
                     v["pdf_rev"] = set3(v["pdf_rev"], k - 1, pr_hv, adv)
 
                 # advance the replay head
-                for key, val in (("p", its_n.p), ("ng", its_n.ng),
-                                 ("ns", its_n.ns), ("uv", its_n.uv),
-                                 ("bsdf_id", its_n.bsdf_id),
-                                 ("wi", -wo_w)):
+                if v["aux"] is not None and its_n.bary is not None:
+                    v["aux"] = set3(v["aux"], kn, its_n.bary[..., 4:6],
+                                    adv)
+                repl = [("p", its_n.p), ("ng", its_n.ng),
+                        ("ns", its_n.ns), ("uv", its_n.uv),
+                        ("bsdf_id", its_n.bsdf_id), ("wi", -wo_w)]
+                if "az" in cur and its_n.bary is not None:
+                    repl.append(("az", its_n.bary[..., 4:6]))
+                for key, val in repl:
                     mk = jnp.reshape(adv, adv.shape +
                                      (1,) * (val.ndim - 1))
                     cur[key] = jnp.where(mk, val, cur[key])
@@ -408,7 +419,7 @@ class GBDPTracer(BDPTracer):
                        uv=v["uv"], bsdf_id=v["bsdf_id"],
                        emitter_id=v["emitter_id"], beta=v["beta"],
                        pdf_fwd=v["pdf_fwd"], pdf_rev=v["pdf_rev"],
-                       delta=v["delta"], valid=valid)
+                       delta=v["delta"], valid=valid, aux=v["aux"])
         return dict(view=view, rcum=rcum, ok_recon=ok_recon,
                     ok_end=ok_end, ok_end_s0=ok_end_s0)
 
@@ -541,7 +552,10 @@ class GBDPTracer(BDPTracer):
             pdf_rev=pdf_rev_fix,
             delta=light4.delta.at[:, kl].set(
                 _is_delta_kind(scene.materials, its1.bsdf_id)),
-            valid=light4.valid.at[:, kl].set(ok))
+            valid=light4.valid.at[:, kl].set(ok),
+            aux=(light4.aux.at[:, kl].set(its1.bary[..., 4:6])
+                 if light4.aux is not None and its1.bary is not None
+                 else light4.aux))
 
         # eye is only shape-inspected by _mis_sum for t=1 (its loop
         # over eye-side techniques is empty); pass the light view.

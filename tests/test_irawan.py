@@ -190,3 +190,57 @@ def test_scene_renders_with_pattern(tmp_path):
     # denim kd is blue-dominant
     mean = img.reshape(-1, 3)[lum.reshape(-1) > 0].mean(0)
     assert mean[2] > mean[0]
+
+
+def test_bdpt_matches_path_on_cloth(tmp_path):
+    """BDPT strategy re-evals must include the cloth SPECULAR term
+    (SubPath.aux yarn azimuth, round-3 fix): bdpt and path estimate the
+    same integral on a woven-cloth scene.  Before the fix the s>=1
+    connection strategies evaluated diffuse-only cloth, biasing BDPT
+    low on specular-heavy views."""
+    xml = textwrap.dedent("""\
+        <scene version="0.5.0">
+          <integrator type="bdpt"><integer name="maxDepth" value="3"/></integrator>
+          <sensor type="perspective">
+            <float name="fov" value="45"/>
+            <transform name="toWorld">
+              <lookat origin="0, 1.2, 2.2" target="0, 0, 0" up="0, 1, 0"/>
+            </transform>
+            <sampler type="independent"><integer name="sampleCount" value="8"/></sampler>
+            <film type="hdrfilm">
+              <integer name="width" value="20"/><integer name="height" value="20"/>
+              <rfilter type="box"/>
+            </film>
+          </sensor>
+          <shape type="rectangle">
+            <transform name="toWorld">
+              <rotate x="1" angle="-90"/><scale value="2"/>
+            </transform>
+            <bsdf type="irawan">
+              <string name="filename" value="cotton_denim.wif"/>
+              <float name="repeatU" value="6"/>
+              <float name="repeatV" value="6"/>
+            </bsdf>
+          </shape>
+          <shape type="rectangle">
+            <transform name="toWorld">
+              <rotate x="1" angle="90"/>
+              <translate x="0" y="2.5" z="0"/>
+            </transform>
+            <emitter type="area"><rgb name="radiance" value="6, 6, 6"/></emitter>
+          </shape>
+        </scene>
+    """)
+    p = tmp_path / "cloth_bdpt.xml"
+    p.write_text(xml)
+    from gradientdomain_mitsuba_tpu.models.bdpt import BDPTracer
+    from gradientdomain_mitsuba_tpu.models.path import PathTracer
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    scene, st = sc.load_scene(str(p))
+    b = BDPTracer(scene, st)
+    assert b.has_cloth
+    img = np.asarray(b.render(scene, seed=0, spp=48, chunk=8))
+    ref = np.asarray(PathTracer(scene, st).render(scene, seed=9, spp=512))
+    assert np.isfinite(img).all()
+    ratio = img.mean() / ref.mean()
+    assert abs(ratio - 1) < 0.04, ratio
