@@ -171,6 +171,9 @@ class RenderSettings:
     # nested <integrator> children as (type, props) pairs (multichannel/
     # adaptive wrappers)
     integrator_children: List[Any] = field(default_factory=list)
+    # host prep-phase wall-clock breakdown (parse/mesh/bvh_build/clusters/
+    # layout/slabs/shade + geometry-cache state) — SURVEY §6.4/§6.5
+    prep_times: Dict[str, Any] = field(default_factory=dict)
 
 
 _BSDF_KINDS = ("bsdf",)
@@ -262,15 +265,76 @@ def _expand_instances(shapes):
         if grp is None:
             raise ValueError("<instance> must reference a <shapegroup>")
         iw = np.asarray(shape.get("toWorld", np.eye(4)), np.float64)
-        for sub in grp.children:
+        for j, sub in enumerate(grp.children):
             if sub.kind != "shape":
                 continue
             sw = np.asarray(sub.get("toWorld", np.eye(4)), np.float64)
             props = dict(sub.props)
             props["toWorld"] = iw @ sw
+            # instances of one shapegroup share the object-space mesh:
+            # tag them so compile_scene tessellates/loads it ONCE
+            props["_mesh_key"] = (id(grp), j)
             out.append(Plugin(kind="shape", type=sub.type, props=props,
                               children=sub.children, id=None))
     return out
+
+
+def _pack_tri_shade(tris, order, psel, valid_slot, indices, normals, uvs,
+                    vcolors, tri_shape, sb, se, sf, needs_bary):
+    """Packed per-triangle shading rows [Tp, 29|41], computed DIRECTLY in
+    the padded cluster-major layout (one fused [Tp] gather per attribute;
+    building in original order then permuting cost two full [T, 29]
+    permute copies plus 29 strided column writes, ~9 s at 3M tris).
+
+    Columns: [0:3] geometric normal, [3:12] vertex normals, [12:18]
+    vertex UVs, [18] bsdf id, [19] emitter id, [20] shape id, [21]
+    face-normal flag, [22] UV area per world area (mipmap LOD), [23:29]
+    dp/du + dp/dv tangents; bary extension: [29:38] vertex colors,
+    [38:41] triangle heights (wireframe edge distances)."""
+    opsel = order[psel]                         # [Tp] original tri per slot
+    idxp = indices[opsel]                       # [Tp, 3] vertex ids
+    e1w = np.asarray(tris.e1, np.float32)
+    e2w = np.asarray(tris.e2, np.float32)
+    ng_all = np.cross(e1w, e2w)
+    area2 = np.linalg.norm(ng_all, axis=-1)        # 2x world area
+    ng_all /= np.maximum(area2[..., None], 1e-20)
+    shape_of_tri = tri_shape[opsel]
+    uv0 = uvs[idxp[:, 0]]
+    uv1 = uvs[idxp[:, 1]]
+    uv2 = uvs[idxp[:, 2]]
+    e1uv = uv1 - uv0
+    e2uv = uv2 - uv0
+    uv_area2 = np.abs(e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0])
+    # dp/du, dp/dv — UV-aligned tangents (bumpmap/normalmap perturbation
+    # + EWA anisotropy; zero when UVs degenerate)
+    det_uv = e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0]
+    ok_uv = np.abs(det_uv) > 1e-12
+    inv_det = np.where(ok_uv, 1.0 / np.where(ok_uv, det_uv, 1.0), 0.0)
+    cols = [ng_all,
+            normals[idxp[:, 0]], normals[idxp[:, 1]], normals[idxp[:, 2]],
+            uv0, uv1, uv2,
+            sb[shape_of_tri][:, None], se[shape_of_tri][:, None],
+            shape_of_tri[:, None], sf[shape_of_tri][:, None],
+            (uv_area2 / np.maximum(area2, 1e-20))[:, None],
+            (e2uv[:, 1:2] * e1w - e1uv[:, 1:2] * e2w) * inv_det[:, None],
+            (-e2uv[:, 0:1] * e1w + e1uv[:, 0:1] * e2w) * inv_det[:, None]]
+    if needs_bary:
+        # per-vertex colors + triangle heights 2A/|edge_i| with edge_i
+        # opposite vertex i — bary_i * h_i = world distance to edge_i
+        # (wireframe's edge test needs only these 3 scalars)
+        cols += [vcolors[idxp[:, 0]], vcolors[idxp[:, 1]],
+                 vcolors[idxp[:, 2]]]
+        v0w = np.asarray(tris.v0, np.float32)
+        p1w = v0w + e1w
+        p2w = v0w + e2w
+        for (ea, eb) in ((p1w, p2w), (p2w, v0w), (v0w, p1w)):
+            elen = np.linalg.norm(eb - ea, axis=-1)
+            cols.append((area2 / np.maximum(elen, 1e-20))[:, None])
+    tri_shade = np.concatenate(
+        [np.asarray(c, np.float32) for c in cols], axis=1)
+    tri_shade[~valid_slot] = 0.0
+    tri_shade[~valid_slot, 18:20] = -1.0  # bsdf/emitter ids
+    return tri_shade
 
 
 def compile_scene(desc: SceneDesc,
@@ -280,7 +344,10 @@ def compile_scene(desc: SceneDesc,
     The caller moves SceneData to device with jax.device_put (replicated
     across the mesh for multi-chip rendering).
     """
+    import time as _time
     from .media import MediaBuilder, medium_node, unnamed_medium
+    prep_times: Dict[str, Any] = {}
+    _t_mesh0 = _time.time()
     mb = MaterialBuilder()
     medb = MediaBuilder(desc.base_dir)
 
@@ -371,6 +438,7 @@ def compile_scene(desc: SceneDesc,
     # fall back to tessellation
     any_tris = any(not _is_analytic_sphere(s) for s in expanded)
 
+    _mesh_memo: Dict[Any, Any] = {}
     for s_id, shape in enumerate(expanded):
         if any_tris and _is_analytic_sphere(shape):
             tw = np.asarray(shape.get("toWorld", np.eye(4)), np.float64)
@@ -389,7 +457,13 @@ def compile_scene(desc: SceneDesc,
             shape_interior.append(im)
             shape_exterior.append(em)
             continue
-        mesh = _shape_mesh(shape, desc.base_dir)
+        mkey = shape.props.get("_mesh_key")
+        if mkey is not None and mkey in _mesh_memo:
+            mesh = _mesh_memo[mkey]
+        else:
+            mesh = _shape_mesh(shape, desc.base_dir)
+            if mkey is not None:
+                _mesh_memo[mkey] = mesh
         to_world = shape.get("toWorld", np.eye(4))
         pos = cm.transform_point(
             np.asarray(to_world, np.float64), mesh.positions.astype(np.float64))
@@ -480,14 +554,16 @@ def compile_scene(desc: SceneDesc,
     indices = np.concatenate(all_idx)
     vcolors = np.concatenate(all_col)
     tri_shape = np.concatenate(tri_shape)
+    prep_times["mesh"] = _time.time() - _t_mesh0
 
     # --- BVH over all triangles -------------------------------------------
+    # Built (or loaded from the disk cache keyed by geometry hash —
+    # SURVEY §6.4) by scene/prep_cache.py: BVH, cluster decomposition,
+    # padded cluster-major layout, Pallas DMA slabs, linear-MT table.
     p0 = positions[indices[:, 0]]
     p1 = positions[indices[:, 1]]
     p2 = positions[indices[:, 2]]
-    tree = bvh_mod.build(p0, p1, p2)
-    order = tree.prim_order
-    T = len(order)
+    T = len(p0)
     # cluster decomposition for the TPU traversal; window grows with the
     # scene so K stays bounded (phase-1 cost is O(N*K))
     import os as _os
@@ -498,149 +574,64 @@ def compile_scene(desc: SceneDesc,
         # window capped at 256: beyond that the in-kernel [RBLK, 4W]
         # matmul epilogue exceeds the VMEM budget.  Large scenes instead
         # grow K; past DENSE_WORKLIST_MAX_K clusters the traversal
-        # switches to the block-conservative worklist build
-        # (ops/pallas_trace.py), which is O(G*K) and scales to
+        # switches to the supercluster worklist build
+        # (ops/pallas_trace.py), which is O(N*S) and scales to
         # multi-million-triangle scenes.
         target = int(np.clip(-(-T // 1024), 64, 256)) if T > 64 \
             else max(T, 1)
-    c_off, c_cnt, c_min, c_max = bvh_mod.extract_clusters(tree, target)
-    window = int(c_cnt.max()) if len(c_cnt) else 1
-    window = max(128, -(-window // 128) * 128)  # lane-aligned pallas DMA
-    K = len(c_off)
+    from . import prep_cache
+    geo = prep_cache.load_or_build(p0, p1, p2, target, prep_times)
+    window = int(geo["window"])
+    order = np.asarray(geo["order"])
+    psel = np.asarray(geo["psel"])
+    valid_slot = np.asarray(geo["valid_slot"])
+    K = len(geo["c_off"])
 
-    # CLUSTER-MAJOR padded layout: cluster k owns prim slots
-    # [k*window, k*window + count_k); the tail of each window is degenerate
-    # padding.  Every traversal path (brute scan, SoA BVH, clustered jnp,
-    # Pallas DMA) shares this one layout, and DMA offsets are lane-aligned
-    # by construction.
-    Tp = K * window
-    perm = np.full(Tp, -1, np.int64)          # padded slot -> bvh-order idx
-    new_of_bvh = np.empty(T, np.int64)        # bvh-order idx -> padded slot
-    for k in range(K):
-        sl = np.arange(c_cnt[k])
-        perm[k * window + sl] = c_off[k] + sl
-        new_of_bvh[c_off[k] + sl] = k * window + sl
-    valid_slot = perm >= 0
-    psel = np.maximum(perm, 0)
-
-    def lay(a, fill=0.0):
-        out = a[order][psel]
-        out[~valid_slot] = fill
-        return out
-
-    tris = TriSoup(
-        v0=lay(p0).astype(np.float32),
-        e1=lay(p1 - p0).astype(np.float32),
-        e2=lay(p2 - p0).astype(np.float32),
-        orig_id=np.where(valid_slot, order[psel], -1).astype(np.int32))
+    tris = TriSoup(v0=geo["v0"], e1=geo["e1"], e2=geo["e2"],
+                   orig_id=geo["orig_id"])
     clusters = ClusterArrays(
-        bmin=c_min, bmax=c_max,
+        bmin=geo["c_min"], bmax=geo["c_max"],
         offset=(np.arange(K, dtype=np.int32) * window))
-    # remap BVH leaf codes into the padded layout (leaf ranges stay
-    # contiguous inside their cluster)
-    from .bvh import LEAF_BITS
+    tri9 = geo["tri9"]
 
-    def remap_codes(codes):
-        codes = codes.copy()
-        leaf = codes < 0
-        raw = -codes[leaf] - 1
-        offs = raw >> LEAF_BITS
-        cnts = raw & ((1 << LEAF_BITS) - 1)
-        new_offs = np.where(cnts > 0, new_of_bvh[np.minimum(offs, T - 1)],
-                            0).astype(np.int64)
-        codes[leaf] = (-((new_offs << LEAF_BITS) | cnts) - 1).astype(
-            np.int32)
-        return codes
-
-    tree.child0 = remap_codes(tree.child0)
-    tree.child1 = remap_codes(tree.child1)
-    # [K, 16, window] cluster-major slabs for the Pallas traversal DMA:
-    # rows 0-8 = v0/e1/e2 xyz, rows 9-15 zero padding (Mosaic requires
-    # DMA slice sublane counts to be multiples of 8; leading-index
-    # slicing is the clean DMA pattern)
-    tri9 = np.zeros((K, 16, window), np.float32)
-    tri9[:, :9] = (np.stack([tris.v0.T, tris.e1.T, tris.e2.T])
-                   .reshape(9, K, window).transpose(1, 0, 2))
-
-    # packed shading rows (BVH order)
-    ng_all = np.cross(p1 - p0, p2 - p0)
-    area2 = np.linalg.norm(ng_all, axis=-1)        # 2x world area
-    ng_all /= np.maximum(area2[..., None], 1e-20)
-    shape_of_tri = tri_shape
-    # vertexcolors/wireframe textures and woven-cloth (irawan) BSDFs need
-    # per-hit barycentric attributes: widen the packed row ONLY then
-    # (fill_intersection keys on width 41)
+    # packed shading rows — computed DIRECTLY in the padded cluster-major
+    # layout (one fused [Tp] gather per attribute; the previous
+    # build-in-original-order-then-permute form cost two full [T, 29]
+    # permute copies plus 29 strided column writes, ~9 s at 3M tris)
+    _t_shade0 = _time.time()
     from .materials import IRAWAN as _IRAWAN
     needs_bary = (any(n.type in ("vertexcolors", "wireframe", "curvature")
                       for n in mb.texture_nodes) or
                   any(r["kind"] == _IRAWAN for r in mb.rows))
-    tri_shade = np.zeros((len(indices), 41 if needs_bary else 29),
-                         np.float32)
-    tri_shade[:, 0:3] = ng_all
-    tri_shade[:, 3:6] = normals[indices[:, 0]]
-    tri_shade[:, 6:9] = normals[indices[:, 1]]
-    tri_shade[:, 9:12] = normals[indices[:, 2]]
-    tri_shade[:, 12:14] = uvs[indices[:, 0]]
-    tri_shade[:, 14:16] = uvs[indices[:, 1]]
-    tri_shade[:, 16:18] = uvs[indices[:, 2]]
     sb = np.asarray(shape_bsdf, np.int32)
     se = np.asarray(shape_emitter, np.int32)
     sf = np.asarray(shape_face_n, bool)
-    tri_shade[:, 18] = sb[shape_of_tri]
-    tri_shade[:, 19] = se[shape_of_tri]
-    tri_shade[:, 20] = shape_of_tri
-    tri_shade[:, 21] = sf[shape_of_tri]
-    # [22]: UV area per world area (mipmap LOD, common.primary_uv_footprint)
-    uv0 = uvs[indices[:, 0]]
-    e1uv = uvs[indices[:, 1]] - uv0
-    e2uv = uvs[indices[:, 2]] - uv0
-    uv_area2 = np.abs(e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0])
-    tri_shade[:, 22] = uv_area2 / np.maximum(area2, 1e-20)
-    # [23:26] dp/du, [26:29] dp/dv — UV-aligned tangents (bumpmap/
-    # normalmap perturbation + EWA anisotropy; zero when UVs degenerate)
-    det_uv = e1uv[:, 0] * e2uv[:, 1] - e1uv[:, 1] * e2uv[:, 0]
-    ok_uv = np.abs(det_uv) > 1e-12
-    inv_det = np.where(ok_uv, 1.0 / np.where(ok_uv, det_uv, 1.0), 0.0)
-    e1w = p1 - p0
-    e2w = p2 - p0
-    tri_shade[:, 23:26] = (e2uv[:, 1:2] * e1w - e1uv[:, 1:2] * e2w) * \
-        inv_det[:, None]
-    tri_shade[:, 26:29] = (-e2uv[:, 0:1] * e1w + e1uv[:, 0:1] * e2w) * \
-        inv_det[:, None]
-    if needs_bary:
-        # [29:38] per-vertex colors; [38:41] triangle heights 2A/|edge_i|
-        # with edge_i opposite vertex i — bary_i * h_i = world distance
-        # to edge_i (wireframe's edge test needs only these 3 scalars)
-        tri_shade[:, 29:32] = vcolors[indices[:, 0]]
-        tri_shade[:, 32:35] = vcolors[indices[:, 1]]
-        tri_shade[:, 35:38] = vcolors[indices[:, 2]]
-        for i, (ea, eb) in enumerate(((p1, p2), (p2, p0), (p0, p1))):
-            elen = np.linalg.norm(eb - ea, axis=-1)
-            tri_shade[:, 38 + i] = area2 / np.maximum(elen, 1e-20)
-    tri_shade = tri_shade[order][psel]
-    tri_shade[~valid_slot] = 0.0
-    tri_shade[~valid_slot, 18:20] = -1.0  # bsdf/emitter ids
-    bvh_arrays = BVHArrays(
-        child0_min=tree.child0_min, child0_max=tree.child0_max,
-        child1_min=tree.child1_min, child1_max=tree.child1_max,
-        child0=tree.child0, child1=tree.child1)
 
-    # linear-MT coefficient table (ops/intersect.py intersect_matmul):
-    # only built for small scenes, where the single-level matmul sweep is
-    # the TPU traversal of choice (same threshold choose_intersector
-    # dispatches on) — [10, 4*Tp] is dead weight beyond that
-    from ..ops.common import BRUTE_FORCE_MAX_TRIS
-    from ..ops.intersect import build_linear_mt
-    from ..ops.pallas_trace import build_mt_slabs, pack_cluster_bounds
-    if T <= BRUTE_FORCE_MAX_TRIS:
-        # small scene: single-level matmul sweep over the whole soup
-        linC = build_linear_mt(tris.v0, tris.e1, tris.e2)
-        mt_slabs = np.zeros((1, 16, 4), np.float32)
+    def _build_tri_shade():
+        return _pack_tri_shade(tris, order, psel, valid_slot, indices,
+                               normals, uvs, vcolors, tri_shape,
+                               sb, se, sf, needs_bary)
+
+    _geo_key = prep_times.get("geom_key")
+    if _geo_key is not None:
+        _shade_key = prep_cache.hash_arrays(
+            indices, normals, uvs, vcolors if needs_bary else None,
+            tri_shape, sb, se, sf,
+            extra=f"{_geo_key}|bary={needs_bary}|shade-v1")
+        tri_shade = prep_cache.load_or_build_array(
+            _shade_key, _build_tri_shade, T, prep_times, tag="shade")
     else:
-        # large scene: per-cluster slabs for the Pallas v3 kernel
-        linC_full = build_linear_mt(tris.v0, tris.e1, tris.e2)
-        mt_slabs = build_mt_slabs(linC_full, window)
-        linC = np.zeros((10, 4), np.float32)
+        tri_shade = _build_tri_shade()
+    prep_times["shade"] = _time.time() - _t_shade0
+    bvh_arrays = BVHArrays(
+        child0_min=geo["tree_c0min"], child0_max=geo["tree_c0max"],
+        child1_min=geo["tree_c1min"], child1_max=geo["tree_c1max"],
+        child0=geo["tree_c0"], child1=geo["tree_c1"])
+
+    # linear-MT coefficient table (small scenes) / per-cluster Pallas v3
+    # slabs (large scenes) — built by prep_cache alongside the BVH
+    linC = geo["linC"]
+    mt_slabs = geo["mt_slabs"]
 
     if ana_spheres:
         sph_center = np.stack([a[0] for a in ana_spheres])
@@ -655,7 +646,7 @@ def compile_scene(desc: SceneDesc,
 
     geom = Geometry(
         tris=tris, bvh=bvh_arrays, clusters=clusters,
-        tri9=tri9, cbounds=pack_cluster_bounds(clusters),
+        tri9=tri9, cbounds=geo["cbounds"],
         linC=linC, mt_slabs=mt_slabs,
         tri_shade=tri_shade,
         positions=positions, normals=normals,
@@ -673,7 +664,8 @@ def compile_scene(desc: SceneDesc,
 
     # --- camera + film ------------------------------------------------------
     camera, settings = _build_sensor(desc)
-    settings.stack_depth = 2 * tree.depth + 4
+    settings.stack_depth = 2 * int(geo["tree_depth"]) + 4
+    settings.prep_times = prep_times
     settings.cluster_window = window
     settings.num_emitters = len(area_emitters)
     settings.env_kind = int(emitters.env_kind)
@@ -711,7 +703,9 @@ def compile_scene(desc: SceneDesc,
                 v = type(cur)(v)
             setattr(settings, k, v)
 
-    extent = float(np.linalg.norm(tree.scene_max - tree.scene_min))
+    scene_lo = np.minimum(np.minimum(p0, p1), p2).min(0)
+    scene_hi = np.maximum(np.maximum(p0, p1), p2).max(0)
+    extent = float(np.linalg.norm(scene_hi - scene_lo))
     textures = build_table(mb.texture_nodes, desc.base_dir)
     from ..ops.texture import TEX_WIREFRAME as _TEX_WIRE
     if any(int(k) == _TEX_WIRE and gwv == 0.0
@@ -765,6 +759,7 @@ def compile_scene(desc: SceneDesc,
         textures=textures,
         ray_eps=np.float32(max(extent, 1e-3) * 1e-4),
         media=media, sss=sss)
+    prep_times["total"] = _time.time() - _t_mesh0
     return scene, settings
 
 
@@ -1122,6 +1117,11 @@ def _resolve_fov(sensor, width, height):
 
 def load_scene(path, variables=None, overrides=None):
     """Convenience: XML file -> (SceneData, RenderSettings)."""
+    import time as _time
     from . import xml_loader
+    t0 = _time.time()
     desc = xml_loader.load(path, variables)
-    return compile_scene(desc, overrides)
+    parse_s = _time.time() - t0
+    scene, settings = compile_scene(desc, overrides)
+    settings.prep_times["parse"] = parse_s
+    return scene, settings
