@@ -327,6 +327,11 @@ def flake_at(media, mid, p):
     c11 = v110 * (1 - tx) + v111 * tx
     v = ((c00 * (1 - ty) + c01 * ty) * (1 - tz) +
          (c10 * (1 - ty) + c11 * ty) * tz)
+    # grid-space fiber vector -> WORLD space via the linear part of
+    # (medium toWorld @ volume toWorld), then normalize — gridvolume
+    # lookupVector semantics (src/volume/gridvolume.cpp): without this,
+    # any rotated toWorld yields wrong flake orientations
+    v = jnp.einsum("nij,nj->ni", media.orient_l2w[idx], v)
     norm = jnp.sqrt(jnp.maximum(m.squared_length(v), 0.0))
     ok = has & inside & (norm > 1e-6)
     axis = jnp.where(ok[..., None], v / jnp.maximum(norm, 1e-12)[..., None],

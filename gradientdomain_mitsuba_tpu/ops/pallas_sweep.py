@@ -50,9 +50,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import Hit
 
 F32_MAX = np.float32(3.0e38)
-TILE = 2048        # rays per grid step (lane-dim blocks of the [8, N] array)
-CHUNK_T = 512      # triangles per MXU dot (VMEM: 4*512*TILE*4B epilogue tile)
+TILE = 2048        # max rays per grid step (lane-dim blocks of [8, N])
+CHUNK_T = 512      # triangles per MXU dot
 KDIM = 16          # feature rows, 10 real + 6 zero pad (sublane granule)
+F_TILE_BYTES = 4 << 20  # cap on the [4*Ct, tile] f32 MXU output tile:
+#   with the epilogue temps (~4 more [Ct, tile] arrays) this keeps the
+#   kernel inside the ~16 MB v5e VMEM budget at every soup size
+#   (ADVICE r3: Ct=512 x tile=2048 was 16.8 MB for F alone)
+
+
+def _lane_tile(Ct: int) -> int:
+    """Rays per grid step such that the MXU output tile stays under
+    F_TILE_BYTES (4*Ct*tile*4 bytes), floored to the 128-lane granule,
+    clamped to [512, TILE]."""
+    t = F_TILE_BYTES // (16 * max(Ct, 1))
+    return int(max(512, min(TILE, (t // 128) * 128)))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -173,17 +185,18 @@ def _pack_rays(o, d, mint, maxt, Np):
 
 
 def _sweep_call(kernel, n_out_rows, n_chunks, Ct, a, rays, Np):
-    grid = Np // TILE
+    tile = _lane_tile(Ct)
+    grid = Np // tile
     return pl.pallas_call(
         functools.partial(kernel, n_chunks, Ct),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((n_chunks, 4 * Ct, KDIM), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_out_rows, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n_out_rows, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out_rows, Np), jnp.float32),
     )(a, rays)
@@ -207,7 +220,7 @@ def make_sweep_intersector(n_tris: int):
     def closest(o, d, mint, maxt, linC):
         n_chunks, Ct, Tp = _chunking(n_tris, linC)
         N = o.shape[0]
-        Np = _round_up(N, TILE)
+        Np = _round_up(N, _lane_tile(Ct))
         rays = _pack_rays(o, d, mint, maxt, Np)
         a = _prep_coeffs(linC, Tp, Ct)
         out = _sweep_call(_sweep_kernel, 8, n_chunks, Ct, a, rays, Np)
@@ -226,7 +239,7 @@ def make_sweep_occluder(n_tris: int):
     def occluded(o, d, mint, maxt, linC):
         n_chunks, Ct, Tp = _chunking(n_tris, linC)
         N = o.shape[0]
-        Np = _round_up(N, TILE)
+        Np = _round_up(N, _lane_tile(Ct))
         rays = _pack_rays(o, d, mint, maxt, Np)
         a = _prep_coeffs(linC, Tp, Ct)
         out = _sweep_call(_occl_kernel, 8, n_chunks, Ct, a, rays, Np)

@@ -74,6 +74,10 @@ class MediumTable(NamedTuple):
     orient_offset: np.ndarray = -np.ones(1, np.int32)   # [M] element offs
     orient_res: np.ndarray = np.ones((1, 3), np.int32)  # [M, 3]
     orient_w2g: np.ndarray = np.eye(4, dtype=np.float32)[None]  # [M,4,4]
+    # linear part of (medium toWorld @ volume toWorld): grid-space fiber
+    # vectors transform to WORLD space before normalization (the
+    # reference's gridvolume lookupVector semantics)
+    orient_l2w: np.ndarray = np.eye(3, dtype=np.float32)[None]  # [M,3,3]
 
 
 _UNIT_GRID = np.ones(1, np.float32)
@@ -276,7 +280,8 @@ class MediaBuilder:
                 g2b[:3, :3] = np.diag(span)
                 g2b[:3, 3] = bbox[0]
                 orient = (data3,
-                          np.linalg.inv(med_tw @ vol_tw @ g2b))
+                          np.linalg.inv(med_tw @ vol_tw @ g2b),
+                          (med_tw @ vol_tw)[:3, :3])
             else:
                 raise ValueError(
                     f"orientation volume '{ovol.type}' not supported")
@@ -356,15 +361,16 @@ class MediaBuilder:
                 w2gs.append(np.asarray(w2g, np.float32))
                 maxd.append(float(data.max()))
         # pack orientation grids (xyz-interleaved, x fastest)
-        odatas, ooffs, ores, ow2g = [], [], [], []
+        odatas, ooffs, ores, ow2g, ol2w = [], [], [], [], []
         ocur = 0
         for orient in self.orients:
             if orient is None:
                 ooffs.append(-1)
                 ores.append((1, 1, 1))
                 ow2g.append(_EYE4)
+                ol2w.append(np.eye(3, dtype=np.float32))
             else:
-                d3, w2 = orient
+                d3, w2, l2w = orient
                 flat = d3.ravel().astype(np.float32)
                 odatas.append(flat)
                 ooffs.append(ocur)
@@ -372,6 +378,7 @@ class MediaBuilder:
                 nz, ny, nx = d3.shape[:3]
                 ores.append((nx, ny, nz))
                 ow2g.append(np.asarray(w2, np.float32))
+                ol2w.append(np.asarray(l2w, np.float32))
         return MediumTable(
             sigma_s=ss, sigma_a=sa, sigma_t=ss + sa,
             phase_kind=np.asarray([r[2] for r in self.rows], np.int32),
@@ -387,7 +394,8 @@ class MediaBuilder:
                          if odatas else np.zeros(3, np.float32)),
             orient_offset=np.asarray(ooffs, np.int32),
             orient_res=np.asarray(ores, np.int32),
-            orient_w2g=np.stack(ow2g).astype(np.float32))
+            orient_w2g=np.stack(ow2g).astype(np.float32),
+            orient_l2w=np.stack(ol2w).astype(np.float32))
 
 
 def medium_node(plugin: Plugin, name: str):

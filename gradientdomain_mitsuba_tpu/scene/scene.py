@@ -573,10 +573,9 @@ def compile_scene(desc: SceneDesc,
     else:
         # window capped at 256: beyond that the in-kernel [RBLK, 4W]
         # matmul epilogue exceeds the VMEM budget.  Large scenes instead
-        # grow K; past DENSE_WORKLIST_MAX_K clusters the traversal
-        # switches to the supercluster worklist build
-        # (ops/pallas_trace.py), which is O(N*S) and scales to
-        # multi-million-triangle scenes.
+        # grow K; the supercluster worklist build (ops/pallas_trace.py)
+        # is O(N*S) with S = K/SUPER_FACTOR, so the XLA-side cull scales
+        # to multi-million-triangle scenes.
         target = int(np.clip(-(-T // 1024), 64, 256)) if T > 64 \
             else max(T, 1)
     from . import prep_cache

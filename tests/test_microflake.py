@@ -227,3 +227,51 @@ def test_orientation_grid_constant_matches_vector(tmp_path):
         assert np.isfinite(imgs[name]).all()
     np.testing.assert_allclose(imgs["grid"], imgs["vec"],
                                rtol=2e-5, atol=2e-6)
+
+
+def test_flake_orientation_rotated_toworld(tmp_path):
+    """A rotated medium toWorld must rotate gridvolume fiber axes into
+    world space (gridvolume.cpp lookupVector applies the volumeToWorld
+    linear part before normalization) — ADVICE r3: the identity-transform
+    tests could not catch a missing rotation."""
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    from tests.test_hetmedia import write_vol
+
+    dens = np.full((2, 2, 2), 0.8, np.float32)
+    dvol = str(tmp_path / "d.vol")
+    write_vol(dvol, dens, bbox=((-1, -1, -1), (1, 1, 1)))
+    ovol = str(tmp_path / "o.vol")
+    # constant +x fiber axis in the volume's LOCAL space
+    _write_vol3(ovol, np.broadcast_to(
+        np.array([1, 0, 0], np.float32), (2, 2, 2, 3)).copy(),
+        bbox=((-1, -1, -1), (1, 1, 1)))
+
+    xml = f"""<scene version="0.5.0">
+  <integrator type="volpath"/>
+  <sensor type="perspective">
+    <sampler type="independent"><integer name="sampleCount" value="1"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="4"/><integer name="height" value="4"/>
+    </film>
+  </sensor>
+  <shape type="cube">
+    <bsdf type="null"/>
+    <medium type="heterogeneous" name="interior">
+      <transform name="toWorld"><rotate z="1" angle="90"/></transform>
+      <volume name="density" type="gridvolume">
+        <string name="filename" value="{dvol}"/>
+      </volume>
+      <volume name="orientation" type="gridvolume">
+        <string name="filename" value="{ovol}"/>
+      </volume>
+      <phase type="microflake"><float name="stddev" value="0.3"/></phase>
+    </medium>
+  </shape>
+</scene>"""
+    p = tmp_path / "rot.xml"
+    p.write_text(xml)
+    scene, st = sc.load_scene(str(p), {})
+    mid = jnp.zeros(1, jnp.int32)
+    # the rotated medium still covers the origin; local +x -> world +y
+    fl = med_ops.flake_at(scene.media, mid, jnp.zeros((1, 3)))
+    np.testing.assert_allclose(np.asarray(fl[0, :3]), [0, 1, 0], atol=1e-5)

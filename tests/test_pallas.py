@@ -161,37 +161,42 @@ def _rand_rays(rs, N, lo=50, hi=500, tmax=3e38):
     return o, d, jnp.zeros(N), jnp.full(N, tmax)
 
 
-def test_blockwise_worklist_is_superset_of_dense():
-    """Every cluster any ray in a block can hit (per-ray exact test) must
-    appear among the first `count` entries of that block's conservative
-    worklist — the property that makes the O(G*K) build safe."""
+def test_super_worklist_covers_per_ray_pending():
+    """Every SUPERCLUSTER any ray in a block can enter (per-ray exact
+    numpy AABB test) must appear among the first `count` entries of that
+    block's worklist — the property that makes the kernel's on-chip
+    member expansion safe (no pending cluster can be skipped)."""
     scene, st, slabs = _mats_scene_with_slabs()
     cb = jnp.asarray(scene.geom.cbounds)
     rs = np.random.RandomState(11)
-    RBLK = 512
+    RBLK = ptr.MT_RBLK
     o, d, mint, maxt = _rand_rays(rs, RBLK, tmax=700.0)
-    rays = jnp.concatenate([o, d, mint[:, None], maxt[:, None]], axis=1)
-    # sort for coherence as the real path does
     so, sd, smi, sma, _ = ptr.sort_rays(
         o, d, mint, maxt, cb[:, 0:3].min(0), cb[:, 3:6].max(0))
     rays = jnp.concatenate([so, sd, smi[:, None], sma[:, None]], axis=1)
-    cnt_d, work_d = ptr._dense_worklists(rays, 1, RBLK, cb)
-    cnt_b, work_b = ptr._blockwise_worklists(rays, 1, RBLK, cb)
+    cnt, work = ptr._super_worklists(rays, 1, RBLK, cb)
 
-    def ids(work, cnt):
-        # [G, NCH, 8, C] -> entry stream row 0
-        flat = np.asarray(work)[0, :, 0, :].reshape(-1)
-        return set(flat[:int(cnt[0])].astype(np.int64).tolist())
+    # exact per-ray pending supers in numpy
+    scb = np.asarray(ptr._super_bounds(cb))
+    o_n = np.asarray(so)[:, None]
+    d_n = np.asarray(sd)[:, None]
+    invd = np.where(np.abs(d_n) > 1e-12, 1.0 / d_n, 1e30)
+    t0 = (scb[None, :, 0:3] - o_n) * invd
+    t1 = (scb[None, :, 3:6] - o_n) * invd
+    tn = np.minimum(t0, t1).max(-1)
+    tf = np.maximum(t0, t1).min(-1)
+    pend = ((tn <= tf) & (tf >= np.asarray(smi)[:, None]) &
+            (tn <= np.asarray(sma)[:, None]))
+    exact = set(np.nonzero(pend.any(0))[0].tolist())
 
-    exact = ids(work_d, np.asarray(cnt_d))
-    cons = ids(work_b, np.asarray(cnt_b))
-    assert exact <= cons, sorted(exact - cons)
+    flat = np.asarray(work)[0, :, 0, :].reshape(-1)
+    listed = set(flat[:int(np.asarray(cnt)[0])].astype(np.int64).tolist())
+    assert exact <= listed, sorted(exact - listed)
 
 
-def test_pallas_mt_blockwise_matches_brute(interpret_pallas, monkeypatch):
-    """Force the block-conservative worklist build (as used when
-    K > DENSE_WORKLIST_MAX_K) and check the kernel still matches brute."""
-    monkeypatch.setattr(ptr, "DENSE_WORKLIST_MAX_K", 0)
+def test_pallas_mt_blockwise_matches_brute(interpret_pallas):
+    """Random incoherent rays through the super-worklist kernel must
+    match the brute-force reference."""
     scene, st, slabs = _mats_scene_with_slabs()
     K = scene.geom.clusters.offset.shape[0]
     rs = np.random.RandomState(5)
