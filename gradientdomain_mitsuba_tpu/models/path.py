@@ -55,6 +55,7 @@ class PathTracer:
             self, *common.choose_intersector(
                 settings, n_tris,
                 int(scene.geom.clusters.offset.shape[0])))
+        self.large_scene = n_tris > common.BRUTE_FORCE_MAX_TRIS
         self.count_rays = False  # set True BEFORE first render
         self.ray_tally = None
         self.last_ray_count = None
@@ -291,10 +292,17 @@ class PathTracer:
 
     # -- full frame -----------------------------------------------------------
     def samples_per_batch(self, n_samples):
-        """Batch samples only for SMALL frames: ~64k lanes per dispatch
-        measured fastest on v5e (bigger wavefronts blow the working set)."""
+        """Lanes per dispatch: ~64k measured fastest on v5e for the
+        small-scene matmul-sweep path; the large-scene cluster traversal
+        instead AMORTIZES its per-call worklist build + dispatch floor
+        over bigger wavefronts, so it targets GDMT_LANES (default 256k)
+        lanes per dispatch."""
+        import os
         N = self.settings.width * self.settings.height
-        spb = max(1, (1 << 16) // max(N, 1))
+        large = getattr(self, "large_scene", False)  # cluster-path scene
+        target = int(os.environ.get(
+            "GDMT_LANES", str(1 << 18 if large else 1 << 16)))
+        spb = max(1, target // max(N, 1))
         while n_samples % spb:
             spb -= 1
         return spb

@@ -44,6 +44,12 @@ from .intersect import ClusterArrays, Hit
 
 F32_MAX = np.float32(3.0e38)
 TCHUNK = 128  # triangles per lane sweep
+SPAN = 4      # zero-slab tail padding on the cluster table (lets span
+#               reads run off the end; kept for layout stability)
+DEPTH = 8     # member-slab DMA pipeline depth: per-member rounds were
+#               DMA-LATENCY bound (~2 us start->wait vs ~0.3 us compute);
+#               a DEPTH-deep ring keeps copies in flight so rounds run at
+#               issue/compute throughput instead
 
 
 def _rblk(window: int) -> int:
@@ -284,14 +290,17 @@ def pack_cluster_bounds(clusters: ClusterArrays) -> np.ndarray:
 
 def build_mt_slabs(linC: np.ndarray, window: int) -> np.ndarray:
     """Reshape the scene-wide [10, 4*Tp] linear-MT coefficient matrix
-    into per-cluster DMA slabs [K, 16, 4*window] (rows padded 10 -> 16
-    for the 8-sublane DMA granule; zero rows are harmless under the
-    matmul)."""
+    into per-cluster DMA slabs [K + SPAN-1, 16, 4*window] (rows padded
+    10 -> 16 for the 8-sublane DMA granule; zero rows are harmless under
+    the matmul).  The SPAN-1 all-zero tail clusters let the kernel's
+    span DMA of [k, k+SPAN) run off the end of the table safely (zero
+    coefficients => det = 0 => never hit)."""
     Tp = linC.shape[1] // 4
     K = Tp // window
     seg = linC.reshape(10, 4, K, window)          # [10, out, K, W]
-    slabs = np.zeros((K, 16, 4 * window), np.float32)
-    slabs[:, :10, :] = seg.transpose(2, 0, 1, 3).reshape(K, 10, 4 * window)
+    slabs = np.zeros((K + SPAN - 1, 16, 4 * window), np.float32)
+    slabs[:K, :10, :] = seg.transpose(2, 0, 1, 3).reshape(
+        K, 10, 4 * window)
     return slabs
 
 
@@ -299,7 +308,7 @@ WL_CHUNK = 128          # worklist entries per SMEM chunk (one per column)
 BIGI = 1 << 30          # plain int: jnp scalars here become captured consts
 
 
-def _mt_kernel(window, sc_pad, any_hit):
+def _mt_kernel(window, sc_pad, n_clusters, any_hit):
     """v4 kernel: SUPER-granularity worklists, member expansion on-chip.
 
     The v3 kernel walked worklists of CLUSTER entries built in XLA; at
@@ -325,10 +334,10 @@ def _mt_kernel(window, sc_pad, any_hit):
     W = window
     SCp = sc_pad
 
-    def kernel(counts_ref, rays_ref, slab_hbm, mb_hbm, work_hbm,
+    def kernel(counts_ref, rays_ref, slab_hbm, mb_ref, work_hbm,
                out_ref, prim_ref,
-               slab_vmem, slab_sem, mb_vmem, mb_sem, mb_smem, mbs_sem,
-               wl_smem, wsem, wl_vmem, vsem):
+               slab_vmem, slab_sem, slot_k, wl_smem, wsem, wl_vmem,
+               vsem):
         ox = rays_ref[:, 0:1]
         oy = rays_ref[:, 1:2]
         oz = rays_ref[:, 2:3]
@@ -373,13 +382,13 @@ def _mt_kernel(window, sc_pad, any_hit):
                              jnp.maximum(tz0, tz1))
             return (tn <= tf) & (tf >= mint) & (tn <= t_b)
 
-        def compute_slab(k, b):
-            """Linear-MT sweep of the slab sitting in buffer b (0/1).
+        def compute_slab(k, slot):
+            """Linear-MT sweep of the slab in ring slot `slot`.
             DEFAULT precision = bf16x3 passes (~f32 accuracy for these
             sums); HIGHEST (bf16x6) doubled the MXU passes and was half
             the measured large-scene wall."""
             F = jax.lax.dot_general(
-                feats, slab_vmem[b],
+                feats, slab_vmem[slot],
                 (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32)      # [RBLK, 4W]
@@ -417,47 +426,68 @@ def _mt_kernel(window, sc_pad, any_hit):
 
         def process_super(s):
             """Member expansion of super s: DMA its bounds slab, test
-            all members on one VPU tile, sweep pending members' triangle
-            slabs (double-buffered DMA pipelined against the matmul)."""
-            mcp = pltpu.make_async_copy(mb_hbm.at[s], mb_vmem, mb_sem)
-            mcp.start()
-            scp = pltpu.make_async_copy(mb_hbm.at[s], mb_smem, mbs_sem)
-            scp.start()
-            mcp.wait()
-            scp.wait()
-            # member pend: rows 1-6 bounds (worklist layout), row 0 = id
-            # (-1 marks padding members past K)
-            pend = slab_pend(mb_vmem, SCp) & (mb_vmem[0:1, :] >= 0.0)
+            all members on one VPU tile, then sweep pending members'
+            triangle slabs through a DEPTH-deep DMA pipeline.  The
+            member-bounds table is VMEM-RESIDENT (constant index_map
+            input, ~32 B/cluster) — the per-super HBM round trip it
+            replaces (two serial DMA start->waits, ~4 us x ~15-35k super
+            visits/call) was the measured wall after the member DMAs
+            were pipelined.  Member ids need no table at all: member
+            lane m of super s IS cluster s*SC + m by construction."""
+            # member pend: rows 1-6 bounds (worklist layout); lanes past
+            # the real cluster count are padding
+            rows = mb_ref[s]                                 # [8, SCp]
+            pend = (slab_pend(rows, SCp) &
+                    (s * SCp + lane_m < n_clusters))
             anymem = jnp.any(pend, axis=0, keepdims=True)    # [1, SCp]
+            k_base = s * SCp
 
-            def mbody(carry):
-                m, have, pk, pb = carry
-                k = mb_smem[0, m].astype(jnp.int32)
-                b = 1 - pb
-                pltpu.make_async_copy(slab_hbm.at[k], slab_vmem.at[b],
-                                      slab_sem.at[b]).start()
+            # DEPTH-deep software pipeline: the per-member round was
+            # DMA-LATENCY bound (~2 us start->wait vs ~0.3 us of
+            # compute), so keep up to DEPTH slab copies in flight — a
+            # ring of slots, each slot's cluster id parked in SMEM.
+            def start_next(m, n_started):
+                """Start the DMA for pending lane m into its ring slot;
+                returns the following pending lane."""
+                k = k_base + m
+                slot = jax.lax.rem(n_started, jnp.int32(DEPTH))
+                slot_k[slot] = k
+                pltpu.make_async_copy(slab_hbm.at[k],
+                                      slab_vmem.at[slot],
+                                      slab_sem.at[slot]).start()
+                return jnp.min(jnp.where(anymem & (lane_m > m), lane_m,
+                                         BIGI))
 
-                @pl.when(have == 1)
-                def _():
-                    pltpu.make_async_copy(slab_hbm.at[pk],
-                                          slab_vmem.at[pb],
-                                          slab_sem.at[pb]).wait()
-                    compute_slab(pk, pb)
-
-                m2 = jnp.min(jnp.where(anymem & (lane_m > m), lane_m,
-                                       BIGI))
-                return (m2, jnp.int32(1), k, b)
+            def prefill(carry):
+                m, n_started = carry
+                m2 = start_next(m, n_started)
+                return (m2, n_started + 1)
 
             m0 = jnp.min(jnp.where(anymem, lane_m, BIGI))
-            _, have, pk, pb = jax.lax.while_loop(
-                lambda c: c[0] < SCp, mbody,
-                (m0, jnp.int32(0), jnp.int32(0), jnp.int32(1)))
+            m_next, n_started = jax.lax.while_loop(
+                lambda c: (c[0] < SCp) & (c[1] < DEPTH), prefill,
+                (m0, jnp.int32(0)))
 
-            @pl.when(have == 1)
-            def _():
-                pltpu.make_async_copy(slab_hbm.at[pk], slab_vmem.at[pb],
-                                      slab_sem.at[pb]).wait()
-                compute_slab(pk, pb)
+            def drain_one(carry):
+                m_next, n_started, n_done = carry
+                slot = jax.lax.rem(n_done, jnp.int32(DEPTH))
+                pk = slot_k[slot]
+                pltpu.make_async_copy(slab_hbm.at[pk],
+                                      slab_vmem.at[slot],
+                                      slab_sem.at[slot]).wait()
+                compute_slab(pk, slot)
+                # slot is free again: feed the pipeline
+                started = jnp.where(m_next < SCp, n_started + 1,
+                                    n_started)
+                m2 = jax.lax.cond(
+                    m_next < SCp,
+                    lambda: start_next(m_next, n_started),
+                    lambda: m_next)
+                return (m2, started, n_done + 1)
+
+            jax.lax.while_loop(
+                lambda c: c[2] < c[1], drain_one,
+                (m_next, n_started, jnp.int32(0)))
 
         def chunk_cond(carry):
             c, go = carry
@@ -493,12 +523,21 @@ def _mt_kernel(window, sc_pad, any_hit):
 
             @pl.when(jnp.any(anyrow))
             def _():
-                def sbody(carry):
-                    j = carry
+                def nxt(j):
+                    # per-super early exit: entries are near-to-far, so
+                    # once the next pending super's entry distance (row
+                    # 7) exceeds EVERY ray's current hit, nothing behind
+                    # it can improve the block.  anyrow's per-ray bound
+                    # is chunk-start stale; this re-check uses fresh t.
+                    tmax = jnp.max(out_ref[:, 0:1])
+                    return jnp.min(jnp.where(
+                        anyrow & (lane > j) & (wl_vmem[7:8, :] <= tmax),
+                        lane, BIGI))
+
+                def sbody(j):
                     s = wl_smem[0, j].astype(jnp.int32)
                     process_super(s)
-                    return jnp.min(jnp.where(anyrow & (lane > j), lane,
-                                             BIGI))
+                    return nxt(j)
 
                 j0 = jnp.min(jnp.where(anyrow, lane, BIGI))
                 jax.lax.while_loop(lambda j: j < WL_CHUNK, sbody, j0)
@@ -626,9 +665,27 @@ def _super_worklists(rays, G, RBLK, cbounds):
                                batch_size=bsz)           # [G, S] each
     key = jnp.where(pend, tn_blk, big)
     counts_s = jnp.sum(pend, axis=1, dtype=jnp.int32)
-    order_s = jnp.argsort(key, axis=1).astype(jnp.int32)   # [G, S]
-    row7 = jnp.take_along_axis(key, order_s, axis=1)
+    order_s, row7 = _rank_sort(key)
     return _assemble_worklists(order_s, counts_s, scb, row7)
+
+
+def _rank_sort(key):
+    """Near-to-far ordering of [G, S] rows WITHOUT lax.sort: on the
+    measured backend a bitonic sort costs ~100 ms regardless of size
+    (pass-count x per-pass dispatch), while this O(G*S^2) rank-by-
+    comparison is a handful of fused VPU passes (~20M elementwise ops at
+    S=140).  Ties break by index, so ranks are a permutation."""
+    S = key.shape[1]
+    iot = jnp.arange(S, dtype=jnp.int32)
+    a = key[:, :, None]          # entry s
+    b = key[:, None, :]          # entry s'
+    before = (b < a) | ((b == a) & (iot[None, :, None] > iot[None, None, :]))
+    rank = jnp.sum(before, axis=2).astype(jnp.int32)       # [G, S]
+    onehot = rank[:, :, None] == iot[None, None, :]        # [G, S, r]
+    order = jnp.sum(jnp.where(onehot, iot[None, :, None], 0),
+                    axis=1).astype(jnp.int32)              # [G, S]
+    sorted_key = jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+    return order, sorted_key
 
 
 def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
@@ -662,16 +719,16 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
             grid=(G,),
             in_specs=[ray_spec,
                       pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY),
+                      # member-bounds table: VMEM-resident across all
+                      # grid steps (constant index_map => fetched once)
+                      pl.BlockSpec(mb.shape, lambda i, *_: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[out_spec, prim_spec],
             scratch_shapes=[
-                pltpu.VMEM((2, 16, 4 * window), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((8, SUPER_FACTOR), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SMEM((8, SUPER_FACTOR), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((DEPTH, 16, 4 * window), jnp.float32),
+                pltpu.SemaphoreType.DMA((DEPTH,)),
+                pltpu.SMEM((DEPTH,), jnp.int32),
                 pltpu.SMEM((8, WL_CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.VMEM((8, WL_CHUNK), jnp.float32),
@@ -725,7 +782,7 @@ RAY_SORT = os.environ.get("GDMT_RAY_SORT", "0") != "0"
 
 
 def make_pallas_mt_intersector(window: int, n_clusters: int):
-    kernel = _mt_kernel(window, SUPER_FACTOR, any_hit=False)
+    kernel = _mt_kernel(window, SUPER_FACTOR, n_clusters, any_hit=False)
 
     @jax.jit
     def intersect(o, d, mint, maxt, slabs, cbounds):
@@ -749,7 +806,7 @@ def make_pallas_mt_intersector(window: int, n_clusters: int):
 
 
 def make_pallas_mt_occluder(window: int, n_clusters: int):
-    kernel = _mt_kernel(window, SUPER_FACTOR, any_hit=True)
+    kernel = _mt_kernel(window, SUPER_FACTOR, n_clusters, any_hit=True)
 
     @jax.jit
     def occluded(o, d, mint, maxt, slabs, cbounds):

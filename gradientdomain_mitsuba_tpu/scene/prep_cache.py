@@ -31,7 +31,7 @@ from . import bvh as bvh_mod
 
 # Bump whenever the BVH builder, cluster extraction, padded layout, slab
 # packing, or linear-MT coefficient format changes semantically.
-GEOM_CACHE_VERSION = "r4-1"
+GEOM_CACHE_VERSION = "r4-2"  # r4-2: mt_slabs gained a SPAN-1 zero tail
 
 CACHE_MIN_TRIS = 100_000
 

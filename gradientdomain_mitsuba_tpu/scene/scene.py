@@ -576,7 +576,11 @@ def compile_scene(desc: SceneDesc,
         # grow K; the supercluster worklist build (ops/pallas_trace.py)
         # is O(N*S) with S = K/SUPER_FACTOR, so the XLA-side cull scales
         # to multi-million-triangle scenes.
-        target = int(np.clip(-(-T // 1024), 64, 256)) if T > 64 \
+        # cap 128: the in-kernel epilogue + matmul cost per pending
+        # cluster is linear in the window, and per-ray pending counts
+        # grow sublinearly as windows shrink (measured net win on the
+        # 3M-tri forest)
+        target = int(np.clip(-(-T // 1024), 64, 128)) if T > 64 \
             else max(T, 1)
     from . import prep_cache
     geo = prep_cache.load_or_build(p0, p1, p2, target, prep_times)
