@@ -112,3 +112,22 @@ def test_tile_queue_gives_up_after_max_retries(cbox):
         tile_queue.render_tiles_queued(g, scene, seed=3, n_samples=1,
                                        tile_rows=8, max_retries=2,
                                        fail_hook=always_fail)
+
+
+def test_gbdpt_sharded_matches_single(cbox):
+    """G-BDPT over 8 virtual devices == single-chip, INCLUDING the
+    light image whose t=1 splats land on foreign shards (merged with a
+    psum over the mesh) — VERDICT r3 next-item #5."""
+    from gradientdomain_mitsuba_tpu.models import gbdpt as gbdpt_mod
+    scene, st = cbox
+    import copy
+    st2 = copy.deepcopy(st)
+    st2.integrator = "gbdpt"
+    st2.max_depth = 3
+    g = gbdpt_mod.GBDPTracer(scene, st2)
+    single = g.render(scene, seed=2, spp=2, chunk=2)
+    mesh = tiles.make_mesh()
+    multi = tiles.render_tiles_gbdpt(g, scene, mesh, 2, 2)
+    for k in single:
+        np.testing.assert_allclose(multi[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
