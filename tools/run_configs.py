@@ -34,9 +34,16 @@ def render_ref(scene, st, spp):
     return np.asarray(pt.render(scene, seed=999, spp=spp))
 
 
-def run_gd(scene_path, integrator, mode, over, spp, ref_spp, label):
+def run_gd(scene_path, integrator, mode, over, spp, ref_spp, label,
+           results=None):
+    """One gradient-domain config: relMSE vs a long PT reference at
+    EQUAL SPP (vs the same-spp plain-PT render) and at EQUAL TIME (vs a
+    plain-PT render given the same wall-clock budget as render +
+    reconstruct) — the papers' protocol (SURVEY §7 rows 1 & 5).  Both
+    L1 and L2 reconstructions are reported from the same buffers."""
     import jax
     from gradientdomain_mitsuba_tpu.models import poisson
+    from gradientdomain_mitsuba_tpu.models.path import PathTracer
     from gradientdomain_mitsuba_tpu.scene import scene as sc
 
     scene, st = sc.load_scene(scene_path, over)
@@ -49,18 +56,56 @@ def run_gd(scene_path, integrator, mode, over, spp, ref_spp, label):
     else:
         from gradientdomain_mitsuba_tpu.models.gbdpt import GBDPTracer
         tracer = GBDPTracer(scene, st)
-    bufs = tracer.render(scene, seed=0, spp=spp)        # warm compile
+    # warm compile BOTH stages (render and the reconstructs) so the
+    # timed wall below is steady-state device time, not XLA compiles
+    warm = tracer.render(scene, seed=0, spp=spp)
+    for m in ("L1", "L2"):
+        np.asarray(poisson.reconstruct(warm, alpha=0.2, mode=m))
     t0 = time.time()
     bufs = tracer.render(scene, seed=1, spp=spp)
-    final = np.asarray(poisson.reconstruct(bufs, alpha=0.2, mode=mode))
+    final_main = np.asarray(poisson.reconstruct(bufs, alpha=0.2, mode=mode))
     wall = time.time() - t0
+    other = "L1" if mode == "L2" else "L2"
+    finals = {mode: final_main,
+              other: np.asarray(poisson.reconstruct(bufs, alpha=0.2,
+                                                    mode=other))}
     primal = np.asarray(bufs["primal"]) + np.asarray(bufs["very_direct"])
-    r_fin = relmse(final, ref)
-    r_pri = relmse(primal, ref)
-    gain = r_pri / max(r_fin, 1e-12)
-    print(f"{label:44s} {wall:7.2f}s  relMSE(final) {r_fin:.5f}  "
-          f"relMSE(primal) {r_pri:.5f}  gain {gain:4.1f}x")
-    return r_fin < r_pri
+
+    # plain PT at EQUAL SPP (also the probe for the per-spp rate)
+    pt = PathTracer(scene, st)
+    pt.render(scene, seed=0, spp=spp)                   # warm compile
+    t0 = time.time()
+    img_pt_spp = np.asarray(pt.render(scene, seed=1, spp=spp))
+    wall_pt = time.time() - t0
+    # plain PT at EQUAL TIME: same wall budget as GD render+reconstruct
+    spp_eq = max(1, int(round(spp * wall / max(wall_pt, 1e-9))))
+    t0 = time.time()
+    img_pt_time = np.asarray(pt.render(scene, seed=2, spp=spp_eq))
+    wall_pt_eq = time.time() - t0
+
+    r_fin = relmse(finals[mode], ref)
+    row = {
+        "label": label, "integrator": integrator, "mode": mode,
+        "spp": spp, "wall_s": round(wall, 3),
+        "relmse_final_L1": relmse(finals["L1"], ref),
+        "relmse_final_L2": relmse(finals["L2"], ref),
+        "relmse_primal": relmse(primal, ref),
+        "relmse_pt_equal_spp": relmse(img_pt_spp, ref),
+        "pt_equal_time_spp": spp_eq,
+        "pt_equal_time_wall_s": round(wall_pt_eq, 3),
+        "relmse_pt_equal_time": relmse(img_pt_time, ref),
+    }
+    row["gain_equal_spp"] = row["relmse_pt_equal_spp"] / max(r_fin, 1e-12)
+    row["gain_equal_time"] = (row["relmse_pt_equal_time"] /
+                              max(r_fin, 1e-12))
+    if results is not None:
+        results.append(row)
+    print(f"{label:40s} {wall:7.2f}s  relMSE {r_fin:.5f}  "
+          f"PT@spp {row['relmse_pt_equal_spp']:.5f} "
+          f"(gain {row['gain_equal_spp']:.1f}x)  "
+          f"PT@time[{spp_eq}spp] {row['relmse_pt_equal_time']:.5f} "
+          f"(gain {row['gain_equal_time']:.1f}x)")
+    return r_fin < row["relmse_pt_equal_spp"]
 
 
 def main():
@@ -68,18 +113,21 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--ref-spp", type=int, default=2048)
+    ap.add_argument("--json", type=str, default=None,
+                    help="write per-config results as JSON")
     args = ap.parse_args()
 
     sz = {"width": str(args.size), "height": str(args.size)}
     data = os.path.join(ROOT, "data/scenes")
     ok = []
+    results = []
 
     # 1: G-PT Cornell box, L2
     ok.append(run_gd(os.path.join(data, "cbox/cbox.xml"), "gpt", "L2",
                      dict(sz, spp=str(args.spp), maxDepth="6",
                           integrator="gpt"),
                      args.spp, args.ref_spp,
-                     "#1 G-PT cbox L2"))
+                     "#1 G-PT cbox L2", results))
     # 2: G-PT Veach-door-class interior (glossy metal door + thin-glass
     #    insert, light only in the far room), L1 — data/scenes/door
     ok.append(run_gd(os.path.join(data, "door/door.xml"),
@@ -87,7 +135,7 @@ def main():
                      dict(sz, spp=str(args.spp), maxDepth="8",
                           integrator="gpt"),
                      args.spp, args.ref_spp,
-                     "#2 G-PT Veach door L1"))
+                     "#2 G-PT Veach door L1", results))
     # 3: G-BDPT caustic scene (glass+mirror spheres, small bright
     #    emitter; t=1 light tracing dominates) — data/scenes/caustics
     ok.append(run_gd(os.path.join(data, "caustics/caustics.xml"),
@@ -95,13 +143,13 @@ def main():
                      dict(sz, spp=str(max(args.spp // 2, 4)),
                           maxDepth="8", integrator="gbdpt"),
                      max(args.spp // 2, 4), args.ref_spp,
-                     "#3 G-BDPT caustics L1"))
+                     "#3 G-BDPT caustics L1", results))
     # 4: envmap + textured rough BSDFs + DoF
     ok.append(run_gd(os.path.join(data, "envmap/envmap.xml"), "gpt", "L1",
                      dict(sz, spp=str(args.spp), maxDepth="6",
                           integrator="gpt"),
                      args.spp, args.ref_spp,
-                     "#4 G-PT envmap+textures+DoF L1"))
+                     "#4 G-PT envmap+textures+DoF L1", results))
 
     # 5: large instanced BVH — data/scenes/forest (~3.2M tris after
     #    instance baking); scalable via --forest-tris using the
@@ -145,6 +193,26 @@ def main():
           f"{wall:7.2f}s  {rays/wall/1e6:6.1f} Mrays/s  build {build_s:.0f}s"
           f"  finite+lit {sane}{multi}")
     ok.append(sane)
+    results.append({
+        "label": "#5 forest 3M-tri PT", "integrator": "path",
+        "n_tris": n_tris, "wall_s": round(wall, 3),
+        "mrays_per_sec": round(rays / wall / 1e6, 3),
+        "scene_prep_s": round(build_s, 1), "finite_and_lit": sane,
+        "multichip": multi.strip("; ")})
+
+    if args.json:
+        import json as _json
+        import platform
+        import jax as _jax
+        payload = {
+            "size": args.size, "spp": args.spp, "ref_spp": args.ref_spp,
+            "backend": _jax.default_backend(),
+            "device": str(_jax.devices()[0]),
+            "configs": results,
+        }
+        with open(args.json, "w") as f:
+            _json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
 
     print("PASS" if all(ok) else "SOME CONFIGS REGRESSED", flush=True)
 
