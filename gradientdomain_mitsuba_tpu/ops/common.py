@@ -106,14 +106,22 @@ def choose_intersector(settings, n_tris: int, n_clusters: int = 0):
                                        chunk=chunk)
         return add_sphere_intersections(closest, occl)
     if n_clusters > 0 and not on_cpu:
-        # v3: sorted rays + per-cluster linear-MT matmul sweeps on the
-        # MXU (pallas_trace.py); v2 (make_pallas_intersector) kept for
-        # comparison benchmarks
+        # v7 (default): bitmask pair records + grouped member sweeps —
+        # all data-dependent selection in XLA, pure-scalar member
+        # extraction in-kernel (see pallas_trace.py v7 section).
+        # GDMT_KERNEL=v4 selects the super-worklist walk kernel for
+        # comparison; v2 (make_pallas_intersector) kept for benchmarks.
         from . import pallas_trace as ptr
-        closest_p = ptr.make_pallas_mt_intersector(
-            settings.cluster_window, n_clusters)
-        occl_p = ptr.make_pallas_mt_occluder(settings.cluster_window,
-                                             n_clusters)
+        if os.environ.get("GDMT_KERNEL", "pairs") == "pairs":
+            closest_p = ptr.make_pair_intersector(
+                settings.cluster_window, n_clusters)
+            occl_p = ptr.make_pair_occluder(settings.cluster_window,
+                                            n_clusters)
+        else:
+            closest_p = ptr.make_pallas_mt_intersector(
+                settings.cluster_window, n_clusters)
+            occl_p = ptr.make_pallas_mt_occluder(settings.cluster_window,
+                                                 n_clusters)
 
         def closest(o, d, mint, maxt, geom):
             return closest_p(o, d, mint, maxt, geom.mt_slabs,

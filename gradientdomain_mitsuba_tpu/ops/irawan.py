@@ -141,9 +141,11 @@ def resolve_features(scene, mid, uv, bary):
     [u_arc, v_twist, axis_cos, axis_sin, kappa, intensity].
 
     bary carries the shading-frame azimuth of dp/du in cols 4:6
-    (ops/common.fill_intersection); without it (bidirectional subpath
-    re-evals) the caller leaves cloth = None and eval falls back to the
-    diffuse term only — documented in PARITY.md."""
+    (ops/common.fill_intersection).  Bidirectional subpath re-evals
+    synthesize this payload from the per-vertex yarn-azimuth aux stored
+    on SubPath (models/bdpt.py), so the specular lobe survives there
+    too; only a caller that passes cloth=None falls back to the diffuse
+    term."""
     from .common import fast_row_gather
     row = fast_row_gather(scene.materials.packed, mid)
     pid = row[..., 18].astype(jnp.int32)          # dist column

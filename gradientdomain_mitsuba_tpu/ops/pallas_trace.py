@@ -824,3 +824,461 @@ def make_pallas_mt_occluder(window: int, n_clusters: int):
         return p >= 0
 
     return occluded
+
+
+# ===========================================================================
+# Traversal v7: bitmask pair records + grouped member sweeps (round-based)
+# ===========================================================================
+#
+# In-render xplane profiles of the v4 kernel on the 4.5M-tri forest showed
+# the wall is CONTROL, not compute: every data-dependent decision inside the
+# kernel (per-super fresh-t vector-min walks, per-member min-masked-iota
+# extraction) serializes a VPU->scalar sync (~1 us), and at 64-ray blocks the
+# per-block pending-cluster UNION is 16-42x the per-ray pending set (flop
+# dilution).  v7 removes both:
+#
+#   - RAY BLOCKS SHRINK to RB=8 (one f32 VPU sublane tile): the measured
+#     block union drops to 2.75x (camera) / 6.8x (bounce) of the per-ray
+#     pending set on the forest;
+#   - ALL data-dependent selection moves to XLA, which emits per-block
+#     RECORDS of (super id, 128-bit member pend bitmask): exact-capacity
+#     [G*SS] scatter — no compaction overflow cases at all;
+#   - the kernel walks records with PURE SCALAR control (bit-scan member
+#     extraction, ~15 scalar ops/member, no vector->scalar syncs), streams
+#     triangle slabs through a 2*GW DMA ring, and evaluates members in
+#     GROUPS of GW=8: one [RB,16]x[16,GW*4W] matmul pass + ONE argmin
+#     epilogue per group instead of per member;
+#   - rounds: a lax.while_loop re-expands records every SS supers per
+#     block with FRESH per-ray hit distances, so far clusters behind
+#     resolved hits are pruned without any in-kernel early-exit logic
+#     (the per-round member test uses t_cur as the ray extent).
+#
+# Reference semantics: closest-hit/any-hit triangle query of
+# src/librender/skdtree.cpp + triaccel.h [unverifiable - mount empty];
+# exact linear-MT arithmetic shared with v3/v4 (build_mt_slabs).
+
+PAIR_RB = int(os.environ.get("GDMT_PAIR_RB", "8"))
+PAIR_SS = int(os.environ.get("GDMT_PAIR_SS", "16"))
+PAIR_GW = 8
+# Ray BLOCKS per grid STEP: at RB=8 a 256k-ray wavefront is 32k grid
+# steps, and the per-step fixed cost (two sub-KB state copies, a record
+# DMA, pipeline bookkeeping — measured ~15 us/step on the forest) is 20x
+# the per-block compute.  One step now walks NB blocks from one record
+# DMA, amortizing the fixed cost NB-fold; the per-BLOCK record layout
+# (and so the XLA expand stage) is unchanged.
+PAIR_NB = int(os.environ.get("GDMT_PAIR_NB", "32"))
+
+
+def _ctz_onehot(low):
+    """Index of the single set bit in `low` (scalar i32, two's complement
+    safe): sum of mask tests.  ~15 scalar ops, no float tricks."""
+    m = jnp.int32(0)
+    for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
+                        (4, 0xF0F0F0F0), (8, 0xFF00FF00),
+                        (16, 0xFFFF0000)):
+        mm = jnp.int32(np.int32(np.uint32(mask)))
+        m = m + jnp.where((low & mm) != 0, jnp.int32(shift), 0)
+    return m
+
+
+def _v7_kernel(window, n_clusters, any_hit):
+    """Grid = STEPS of NB ray blocks.  Scalar prefetch: rc [G] per-block
+    record counts.  Inputs: rays [NB*RB,8] / state-in [NB*RB,4] f32 /
+    prim-in [NB*RB,1] i32 (blocked), slab table (ANY), record table
+    (ANY).  Outputs: state/prim (blocked).  Records: 8-i32 cells =
+    (super, bits0..3, pad...), 16 per 128-lane row, RPB rows per block,
+    NB*RPB contiguous rows per step (one double-buffered DMA)."""
+    W = window
+    RB = PAIR_RB
+    SS = PAIR_SS
+    GW = PAIR_GW
+    NB = PAIR_NB
+    SC = SUPER_FACTOR
+
+    RPB = SS // 16           # record rows per block (16 records/row)
+    NR = NB * RPB            # record rows per step
+    assert SS % 16 == 0 and NR % 8 == 0
+
+    def kernel(rc_ref, rays_ref, stin_ref, prin_ref, slab_hbm, rec_hbm,
+               stout_ref, prout_ref,
+               slab_vmem, slab_sem, kv_smem, rec_smem, rec_sem,
+               feat_vmem):
+        si = pl.program_id(0)
+        NS = pl.num_programs(0)
+
+        # --- record stream: FIXED SLOTS — block b of step si owns rows
+        # [si*NR + b*RPB, +RPB) of rec_hbm [G*RPB, 128] i32; empty slots
+        # carry bits=0 and are skipped via the rc scalar-prefetch.  Fixed
+        # slots kill the XLA-side compaction scatter (measured 24 ms/
+        # round at 32k blocks); one NR-row DMA per step, double buffered.
+        def rec_start(ss, slot):
+            pltpu.make_async_copy(rec_hbm.at[pl.ds(ss * NR, NR)],
+                                  rec_smem.at[slot],
+                                  rec_sem.at[slot]).start()
+
+        @pl.when(si == 0)
+        def _():
+            rec_start(0, 0)
+
+        @pl.when(si + 1 < NS)
+        def _():
+            rec_start(si + 1, (si + 1) % 2)
+
+        # out := in (blocks with no records keep their state)
+        stout_ref[:] = stin_ref[:]
+        prout_ref[:] = prin_ref[:]
+
+        # --- whole-step ray features (linear-MT lhs), staged to VMEM so
+        # per-block flushes can slice rows dynamically ------------------
+        ox = rays_ref[:, 0:1]
+        oy = rays_ref[:, 1:2]
+        oz = rays_ref[:, 2:3]
+        dx = rays_ref[:, 3:4]
+        dy = rays_ref[:, 4:5]
+        dz = rays_ref[:, 5:6]
+        zeros = jnp.zeros_like(ox)
+        feat_vmem[:] = jnp.concatenate(
+            [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx,
+             dx, dy, dz, ox, oy, oz, jnp.ones_like(ox),
+             zeros, zeros, zeros, zeros, zeros, zeros], axis=1)
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, GW), 1)
+
+        pltpu.make_async_copy(
+            rec_hbm.at[pl.ds(si * NR, NR)],
+            rec_smem.at[si % 2], rec_sem.at[si % 2]).wait()
+
+        def flush(b, done, cnt):
+            """Sweep block b's members [done, min(done+GW, cnt)): wait
+            their slab DMAs, one grouped matmul+epilogue pass."""
+            half = jax.lax.rem(done // GW, jnp.int32(2))
+            nv = jnp.minimum(cnt - done, GW)
+            row0 = b * RB
+
+            def wait_body(p, _):
+                slot = half * GW + p
+                pk = kv_smem[slot]
+                pltpu.make_async_copy(slab_hbm.at[pk],
+                                      slab_vmem.at[slot],
+                                      slab_sem.at[slot]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nv, wait_body, 0)
+
+            feats = feat_vmem[pl.ds(row0, RB), :]
+            mint = rays_ref[pl.ds(row0, RB), 6:7]
+            t_cur = stout_ref[pl.ds(row0, RB), 0:1]
+
+            # grouped linear-MT: GW static sub-sweeps, one shared argmin
+            tts = []
+            uus = []
+            vvs = []
+            kvec = jnp.zeros((1, GW), jnp.int32)
+            for p in range(GW):
+                slot_s = half * GW + p
+                F = jax.lax.dot_general(
+                    feats, slab_vmem[slot_s],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)   # [RB, 4W]
+                den = F[:, :W]
+                r = 1.0 / den
+                u = F[:, W:2 * W] * r
+                v = F[:, 2 * W:3 * W] * r
+                t = F[:, 3 * W:] * r
+                ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
+                      (t > mint) & (t < t_cur) & (p < nv))
+                tts.append(jnp.where(ok, t, F32_MAX))
+                if not any_hit:
+                    uus.append(u)
+                    vvs.append(v)
+                    kvec = jnp.where(lane_g == p, kv_smem[slot_s], kvec)
+            tt = jnp.concatenate(tts, axis=1)             # [RB, GW*W]
+            if any_hit:
+                occ = jnp.any(tt < F32_MAX, axis=1, keepdims=True)
+                prout_ref[pl.ds(row0, RB), :] = jnp.where(
+                    occ, 0, prout_ref[pl.ds(row0, RB), :])
+                stout_ref[pl.ds(row0, RB), 0:1] = jnp.where(
+                    occ, -1.0, t_cur)
+            else:
+                uu = jnp.concatenate(uus, axis=1)
+                vv = jnp.concatenate(vvs, axis=1)
+                tc = jnp.min(tt, axis=1, keepdims=True)
+                better = tc < t_cur
+                iw = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+                jm = jnp.min(jnp.where(tt == tc, iw, BIGI),
+                             axis=1, keepdims=True)
+                first = iw == jm
+                uc = jnp.sum(jnp.where(first, uu, 0.0), axis=1,
+                             keepdims=True)
+                vc = jnp.sum(jnp.where(first, vv, 0.0), axis=1,
+                             keepdims=True)
+                p_win = jm // W                            # [RB, 1]
+                k_win = jnp.sum(
+                    jnp.where(lane_g == p_win, kvec, 0), axis=1,
+                    keepdims=True)                         # [RB, 1]
+                prim_c = k_win * W + jax.lax.rem(jm, jnp.int32(W))
+                stout_ref[pl.ds(row0, RB), 0:1] = jnp.where(
+                    better, tc, t_cur)
+                stout_ref[pl.ds(row0, RB), 1:2] = jnp.where(
+                    better, uc, stout_ref[pl.ds(row0, RB), 1:2])
+                stout_ref[pl.ds(row0, RB), 2:3] = jnp.where(
+                    better, vc, stout_ref[pl.ds(row0, RB), 2:3])
+                prout_ref[pl.ds(row0, RB), :] = jnp.where(
+                    better, prim_c, prout_ref[pl.ds(row0, RB), :])
+
+        def block_body(b, _):
+            rc = rc_ref[si * NB + b]
+
+            def issue(k, cnt, done):
+                """Start the slab DMA for member k; flush the oldest
+                group first when the 2*GW ring is full."""
+                done = jax.lax.cond(
+                    cnt - done == 2 * GW,
+                    lambda d: (flush(b, d, cnt), d + GW)[1],
+                    lambda d: d, done)
+                slot = jax.lax.rem(cnt, jnp.int32(2 * GW))
+                kv_smem[slot] = k
+                pltpu.make_async_copy(slab_hbm.at[k], slab_vmem.at[slot],
+                                      slab_sem.at[slot]).start()
+                return cnt + 1, done
+
+            def rec_body(r, carry):
+                cnt, done = carry
+                row = b * RPB + r // 16
+                col = jax.lax.rem(r, jnp.int32(16)) * 8
+                s = rec_smem[si % 2, row, col]
+                for w in range(4):
+                    bw0 = rec_smem[si % 2, row, col + 1 + w]
+
+                    def bit_body(c):
+                        bw, cnt, done = c
+                        low = bw & (-bw)
+                        m = _ctz_onehot(low)
+                        k = s * SC + w * 32 + m
+                        cnt, done = issue(k, cnt, done)
+                        return (bw & (bw - 1), cnt, done)
+
+                    _, cnt, done = jax.lax.while_loop(
+                        lambda c: c[0] != 0, bit_body, (bw0, cnt, done))
+                return (cnt, done)
+
+            cnt, done = jax.lax.fori_loop(0, rc, rec_body,
+                                          (jnp.int32(0), jnp.int32(0)))
+
+            def drain(c):
+                cnt, done = c
+                flush(b, done, cnt)
+                return (cnt, done + GW)
+
+            jax.lax.while_loop(lambda c: c[1] < c[0], drain, (cnt, done))
+            return 0
+
+        jax.lax.fori_loop(0, NB, block_body, 0)
+
+    return kernel
+
+
+def _v7_phase1(rays, G, RB, cbounds):
+    """Per-block pending SUPERS, near-to-far: (order [G,S], scnt [G]).
+    Same dense per-ray AABB test as _super_worklists, without the bounds
+    worklist assembly (v7 re-reads bounds from the member table on the
+    XLA side each round instead)."""
+    big = jnp.float32(F32_MAX)
+    scb = _super_bounds(cbounds)
+    S = scb.shape[0]
+
+    def block_pend(blk):
+        o = blk[:, 0:3][:, None]
+        d = blk[:, 3:6][:, None]
+        mint = blk[:, 6][:, None]
+        maxt = blk[:, 7][:, None]
+        invd = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 1e30)
+        t0 = (scb[None, :, 0:3] - o) * invd
+        t1 = (scb[None, :, 3:6] - o) * invd
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        pend = (tn <= tf) & (tf >= mint) & (tn <= maxt)
+        tn_min = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), big),
+                         axis=0)
+        return jnp.any(pend, axis=0), tn_min
+
+    bsz = max(1, min(G, (1 << 23) // max(RB * S, 1)))
+    pend, tn_blk = jax.lax.map(block_pend, rays.reshape(G, RB, 8),
+                               batch_size=bsz)
+    key = jnp.where(pend, tn_blk, big)
+    scnt = jnp.sum(pend, axis=1, dtype=jnp.int32)
+    # near-to-far order per block: lax.sort along the minor axis (the
+    # O(G*S^2) rank-by-comparison used by v4 was the #2 device cost of
+    # the whole render at RB=8 block counts — 0.46 ms per 217-row chunk)
+    iot = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], key.shape)
+    _, order = jax.lax.sort((key, iot), dimension=1, num_keys=1)
+    return order, scnt
+
+
+def _v7_expand(rays, st, order, scnt, cursor, mb, G, RB):
+    """One round's records: window of SS supers per block starting at
+    cursor, member bitmasks from EXACT per-ray member-AABB tests bounded
+    by the current per-ray hit distance (st[:, 0]).  Returns
+    (rec [G*SS + SS, 8] i32, off [G+1] i32, cursor')."""
+    SS = PAIR_SS
+    SC = SUPER_FACTOR
+    S = mb.shape[0]
+    idx = cursor[:, None] + jnp.arange(SS, dtype=jnp.int32)[None, :]
+    valid = idx < scnt[:, None]
+    sel = jnp.take_along_axis(order, jnp.minimum(idx, S - 1),
+                              axis=1)                     # [G, SS]
+    t_cur = st[:, 0].reshape(G, RB)
+
+    def blk_members(args):
+        blk, selg, tcg = args                  # [RB,8], [SS], [RB]
+        mbs = mb[selg]                         # [SS, 8, SC]
+        mint = blk[:, 6]
+        # per-axis 2D-friendly formulation: every op's minor axis is SC
+        # (the [RB, SS, 3, SC] middle-axis reduce ran at ~3x the cost)
+        tn = jnp.full((RB, SS, SC), -jnp.float32(F32_MAX))
+        tf = jnp.full((RB, SS, SC), jnp.float32(F32_MAX))
+        for ax in range(3):
+            dax = blk[:, 3 + ax]
+            iax = jnp.where(jnp.abs(dax) > 1e-12, 1.0 / dax, 1e30)
+            oo = blk[:, ax, None, None]
+            ii = iax[:, None, None]
+            lo = (mbs[None, :, 1 + ax, :] - oo) * ii
+            hi = (mbs[None, :, 4 + ax, :] - oo) * ii
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        pend = ((tn <= tf) & (tf >= mint[:, None, None]) &
+                (tn <= tcg[:, None, None]) &
+                (mbs[None, :, 0, :] >= 0))
+        anyp = jnp.any(pend, axis=0)                       # [SS, SC]
+        w32 = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))
+        bits = jnp.sum(anyp.reshape(SS, 4, 32) *
+                       w32[None, None, :], axis=-1,
+                       dtype=jnp.int32)                    # [SS, 4]
+        return bits
+
+    bsz = max(1, (1 << 22) // max(RB * SS * SC, 1))
+    bits = jax.lax.map(blk_members,
+                       (rays.reshape(G, RB, 8), sel, t_cur),
+                       batch_size=bsz)                     # [G, SS, 4]
+    bits = jnp.where(valid[:, :, None], bits, 0)
+    # FIXED record slots: block g's SS record slots are rows
+    # [g*RPB, (g+1)*RPB) of the packed [*, 128] table (16 records x 8
+    # i32 per row) — no global compaction scatter (measured 24 ms/round
+    # at 32k blocks).  Records ARE compacted WITHIN each block (a cheap
+    # [G, SS] 2-key sort, stable so near-to-far order survives) and the
+    # per-block count rides a scalar-prefetch so the kernel's record
+    # loop runs exactly rc times (empty-slot scalar walks measured
+    # ~1.2 s/render at SS=16).
+    has = ((bits[..., 0] | bits[..., 1] | bits[..., 2] |
+            bits[..., 3]) != 0)                            # [G, SS]
+    iot = jnp.broadcast_to(jnp.arange(SS, dtype=jnp.int32)[None],
+                           has.shape)
+    _, perm = jax.lax.sort(((~has).astype(jnp.int32), iot),
+                           dimension=1, num_keys=1)
+    rows = jnp.concatenate(
+        [sel[..., None], bits,
+         jnp.zeros((G, SS, 3), jnp.int32)], axis=-1)       # [G, SS, 8]
+    rows = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
+    rc = jnp.sum(has, axis=1, dtype=jnp.int32)             # [G]
+    RPB = SS // 16
+    rec2d = rows.reshape(G * RPB, 128)
+    cursor2 = jnp.minimum(cursor + SS, scnt)
+    return rec2d, rc, cursor2
+
+
+def _v7_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
+    RB = PAIR_RB
+    SS = PAIR_SS
+    NB = PAIR_NB
+    N = o.shape[0]
+    pad = (-N) % (RB * NB)
+    Np = N + pad
+    G = Np // RB             # ray blocks (record/expand granularity)
+    NS = G // NB             # grid steps
+    RPB = SS // 16
+
+    rays = jnp.concatenate(
+        [o, d, mint[:, None], maxt[:, None]], axis=1).astype(jnp.float32)
+    if pad:
+        filler = jnp.concatenate(
+            [jnp.zeros((pad, 3)), jnp.ones((pad, 3)),
+             jnp.zeros((pad, 1)), jnp.full((pad, 1), -1.0)], axis=1)
+        rays = jnp.concatenate([rays, filler.astype(jnp.float32)], axis=0)
+
+    order, scnt = _v7_phase1(rays, G, RB, cbounds)
+    mb = _member_slabs(cbounds)                            # [S, 8, SC]
+
+    st0 = jnp.concatenate(
+        [rays[:, 7:8], jnp.zeros((Np, 3), jnp.float32)], axis=1)
+    pr0 = jnp.full((Np, 1), -1, jnp.int32)
+    cursor0 = jnp.zeros((G,), jnp.int32)
+
+    ray_spec = pl.BlockSpec((NB * RB, 8), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((NB * RB, 4), lambda i, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+    pr_spec = pl.BlockSpec((NB * RB, 1), lambda i, *_: (i, 0),
+                           memory_space=pltpu.VMEM)
+
+    def sweep(st, pr, rec, rc):
+        return pl.pallas_call(
+            kernel_fn,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(NS,),
+                in_specs=[ray_spec, st_spec, pr_spec,
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[st_spec, pr_spec],
+                scratch_shapes=[
+                    pltpu.VMEM((2 * PAIR_GW, 16, 4 * window),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((2 * PAIR_GW,)),
+                    pltpu.SMEM((2 * PAIR_GW,), jnp.int32),
+                    pltpu.SMEM((2, NB * RPB, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((NB * RB, 16), jnp.float32),
+                ]),
+            out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
+                       jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
+        )(rc, rays, st, pr, slabs, rec)
+
+    def round_body(carry):
+        cursor, st, pr = carry
+        rec, rc, cursor2 = _v7_expand(rays, st, order, scnt, cursor,
+                                      mb, G, RB)
+        st2, pr2 = sweep(st, pr, rec, rc)
+        return (cursor2, st2, pr2)
+
+    def round_cond(carry):
+        cursor, _, _ = carry
+        return jnp.any(cursor < scnt)
+
+    _, st, pr = jax.lax.while_loop(round_cond, round_body,
+                                   (cursor0, st0, pr0))
+    return (st[:N, 0], st[:N, 1], st[:N, 2], pr[:N, 0])
+
+
+def make_pair_intersector(window: int, n_clusters: int):
+    kernel = _v7_kernel(window, n_clusters, any_hit=False)
+
+    @jax.jit
+    def intersect(o, d, mint, maxt, slabs, cbounds):
+        t, u, v, p = _v7_run(kernel, window, o, d, mint, maxt, slabs,
+                             cbounds)
+        return Hit(t=jnp.where(p >= 0, t, F32_MAX), u=u, v=v, prim=p,
+                   valid=p >= 0)
+
+    return intersect
+
+
+def make_pair_occluder(window: int, n_clusters: int):
+    kernel = _v7_kernel(window, n_clusters, any_hit=True)
+
+    @jax.jit
+    def occluded(o, d, mint, maxt, slabs, cbounds):
+        _, _, _, p = _v7_run(kernel, window, o, d, mint, maxt, slabs,
+                             cbounds)
+        return p >= 0
+
+    return occluded

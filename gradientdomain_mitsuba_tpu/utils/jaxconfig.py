@@ -49,8 +49,14 @@ def configure():
         # results baked for another machine type can SIGILL/SIGSEGV when
         # loaded (observed as sporadic pytest segfaults when the repo
         # moves between sandbox hosts), so hosts with different ISAs
-        # must not share entries
-        cache_dir = os.path.join(root, ".jax_cache", _host_tag())
+        # must not share entries.  Also scope by the requested platform:
+        # concurrent CPU pytest processes and a TPU bench sharing one
+        # directory have produced truncated entries that ABORT the
+        # reader (jax compilation_cache zstd decompress), so keep their
+        # write sets disjoint.
+        plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        cache_dir = os.path.join(root, ".jax_cache",
+                                 f"{_host_tag()}-{plat or 'default'}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -281,3 +281,65 @@ def test_sweep_kernel_matches_matmul(interpret_sweep):
         ro = isec.occluded_matmul(o, d, mint, maxt, linC)
         go = ps.make_sweep_occluder(T)(o, d, mint, maxt, linC)
         np.testing.assert_array_equal(np.asarray(ro), np.asarray(go))
+
+
+# --- v7: bitmask pair records + grouped member sweeps ----------------------
+
+def test_v7_pair_intersector_matches_brute(interpret_pallas):
+    scene, st, slabs = _mats_scene_with_slabs()
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(0)
+    N = 2048
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.full(N, 3e38)
+    f = ptr.make_pair_intersector(st.cluster_window, K)
+    h = f(o, d, mint, maxt, slabs, scene.geom.cbounds)
+    h2 = isec.intersect_brute(o, d, mint, maxt, scene.geom.tris,
+                              chunk=1024)
+    valid_agree = (np.asarray(h.valid) == np.asarray(h2.valid)).mean()
+    assert valid_agree > 0.998, valid_agree
+    m = np.asarray(h2.valid) & np.asarray(h.valid)
+    prim_agree = (np.asarray(h.prim)[m] == np.asarray(h2.prim)[m])
+    assert prim_agree.mean() > 0.995
+    mm = m.copy()
+    mm[m] &= prim_agree
+    np.testing.assert_allclose(np.asarray(h.t)[mm], np.asarray(h2.t)[mm],
+                               rtol=1e-2)
+
+
+def test_v7_pair_occluder_matches_brute(interpret_pallas):
+    scene, st, slabs = _mats_scene_with_slabs()
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(3)
+    N = 1024
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.full(N, 400.0)
+    f = ptr.make_pair_occluder(st.cluster_window, K)
+    occ = f(o, d, mint, maxt, slabs, scene.geom.cbounds)
+    occ2 = isec.occluded_brute(o, d, mint, maxt, scene.geom.tris,
+                               chunk=1024)
+    agree = (np.asarray(occ) == np.asarray(occ2)).mean()
+    assert agree > 0.998, agree
+
+
+def test_v7_pair_dead_lanes(interpret_pallas):
+    """maxt = -1 lanes (dead rays) must come back unhit and cost nothing."""
+    scene, st, slabs = _mats_scene_with_slabs()
+    K = scene.geom.clusters.offset.shape[0]
+    rs = np.random.RandomState(5)
+    N = 256
+    o = jnp.asarray(np.float32(rs.uniform(50, 500, (N, 3))))
+    d = jnp.asarray(np.float32(rs.normal(size=(N, 3))))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    mint = jnp.zeros(N)
+    maxt = jnp.where(jnp.arange(N) % 2 == 0, -1.0, 3e38)
+    f = ptr.make_pair_intersector(st.cluster_window, K)
+    h = f(o, d, mint, maxt, slabs, scene.geom.cbounds)
+    dead = np.arange(N) % 2 == 0
+    assert not np.asarray(h.valid)[dead].any()
