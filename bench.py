@@ -1,7 +1,8 @@
 """Headline benchmark: G-PT render + screened-Poisson reconstruction on the
 Cornell box at 256x256, 64 spp (BASELINE.json config #1 geometry/settings).
 
-Prints ONE JSON line:
+Prints JSON lines, ONE per metric; the LAST line is always the cbox
+headline:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: total rays traced per second during the G-PT render (camera + NEE
@@ -12,13 +13,22 @@ no numbers; see BASELINE.md provenance caveat).  XLA compile time is
 excluded (warm-up pass first; the persistent compilation cache makes
 subsequent processes start warm).
 
+Watchdog architecture (VERDICT.md round-4 weak #1 / next-item #1): round 4
+lost ALL perf evidence because one wedged Mosaic dispatch in the forest
+metric — which ran first, in-process — hung the whole benchmark (rc=124).
+Now every metric runs in its OWN subprocess with a hard timeout
+(`BENCH_CHILD=<name> python bench.py`), and the proven cbox headline runs
+FIRST so nothing can starve it.  Output lines are buffered and re-ordered
+so the cbox line still prints LAST (the driver parses the last stdout
+line).  A hang or crash in any metric costs only that metric.
+
 Robustness (VERDICT.md round-1 weak #1): backend init is retried with
 backoff; if the accelerator backend never comes up, the benchmark falls
 back to the CPU backend at reduced size so the driver still records a
 parseable number (flagged by a "_cpufallback" metric suffix and a
 "backend" field); any other failure emits a JSON line with an "error"
 field instead of a raw traceback.  Progress goes to stderr — stdout
-carries exactly one JSON line.
+carries exactly the JSON metric lines.
 """
 import json
 import os
@@ -36,8 +46,16 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", "256"))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", "256"))
 SPP = int(os.environ.get("BENCH_SPP", "64"))
 MAXDEPTH = int(os.environ.get("BENCH_MAXDEPTH", "6"))
-INIT_RETRIES = int(os.environ.get("BENCH_INIT_RETRIES", "2"))
+INIT_RETRIES = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
 PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "90"))
+
+# Per-metric hard timeouts (seconds).  Compile-from-cold for the forest
+# kernels has been observed at ~105 s; budget generously but finitely.
+TIMEOUTS = {
+    "cbox": int(os.environ.get("BENCH_TIMEOUT_CBOX", "900")),
+    "forest": int(os.environ.get("BENCH_TIMEOUT_FOREST", "900")),
+    "forest10m": int(os.environ.get("BENCH_TIMEOUT_FOREST10M", "900")),
+}
 
 
 def log(msg):
@@ -46,6 +64,24 @@ def log(msg):
 
 def emit(obj):
     print(json.dumps(obj), flush=True)
+
+
+def guard_timing(wall, rays, where):
+    """Timing-methodology guard (VERDICT r4 next-item #8): the wall is
+    synced by a host read of the device ray counter because
+    block_until_ready() returns early on the axon backend.  If that sync
+    ever silently degrades to dispatch time, the implied throughput
+    blows past any physical bound.  1e9 rays/s on one chip is ~10x above
+    the speed of light for this workload (each ray costs >=10^3 device
+    FLOPs + HBM traffic); flag anything beyond it rather than publish a
+    dispatch-time wall as a render wall."""
+    if rays > 0 and wall < rays / 1e9:
+        log(f"TIMING GUARD TRIPPED ({where}): wall {wall:.6f}s for "
+            f"{rays:.3e} rays implies {rays / wall / 1e6:.0f} Mrays/s "
+            "(> 1000 Mrays/s physical bound) — wall is likely dispatch "
+            "time, NOT render time. Marking metric suspect.")
+        return False
+    return True
 
 
 def count_rays_per_sample(max_depth):
@@ -62,9 +98,15 @@ def probe_backend_subprocess(timeout_s=PROBE_TIMEOUT_S):
     cannot wedge the benchmark process itself."""
     import subprocess
     try:
+        # the probe EXECUTES a tiny reduction, not just jax.devices():
+        # on the axon backend a wedged runtime still answers device
+        # enumeration while every execution hangs (observed round 4), so
+        # an enumeration-only probe green-lights a dead backend.
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; d=jax.devices(); print(d[0].platform)"],
+             "import jax, jax.numpy as jnp; d = jax.devices(); "
+             "assert float(jnp.arange(8.0).sum()) == 28.0; "
+             "print(d[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s)
         if r.returncode == 0 and r.stdout.strip():
             return r.stdout.strip().splitlines()[-1]
@@ -80,7 +122,7 @@ def init_backend():
     accelerator in a subprocess with a timeout, retrying with backoff;
     fall back to CPU if it never comes up.  Returns (backend_name, devices).
     """
-    delay = 15.0
+    delay = 30.0
     platform = None
     for attempt in range(1, INIT_RETRIES + 1):
         platform = probe_backend_subprocess()
@@ -147,9 +189,10 @@ def run(width, height, spp, max_depth, backend):
         f"{wall:.3f}s (all: {[f'{w:.3f}s/{r:.2e}' for w, r, _ in runs]})")
     log(f"measured rays: {rays:.0f} (formula would say "
         f"{width * height * spp * count_rays_per_sample(max_depth)})")
+    timing_ok = guard_timing(wall, rays, "cbox")
     mrays = rays / wall / 1e6
     suffix = "_cpufallback" if backend == "cpu_fallback" else ""
-    emit({
+    out = {
         "metric": (f"gpt_cbox_{width}x{height}_{spp}spp_"
                    f"render+reconstruct_mrays_per_sec{suffix}"),
         "value": round(mrays, 3),
@@ -158,16 +201,16 @@ def run(width, height, spp, max_depth, backend):
         "backend": backend,
         "wall_s": round(wall, 3),
         "rays_measured": measured,
-    })
+    }
+    if not timing_ok:
+        out["suspect_timing"] = True
+    emit(out)
 
 
 def run_forest(backend):
-    """Second metric line (VERDICT r2 next-item #2): the 3.2M-tri forest
-    through the Pallas batched-chunk BVH traversal kernel, measured
-    device-side rays — so the large-scene traversal path gets an
-    externally captured number every round, not just the 36-tri matmul
-    sweep.  Emitted BEFORE the cbox headline so the driver's last-line
-    parse still records the headline metric."""
+    """3.2M-tri forest through the Pallas BVH traversal kernel, measured
+    device-side rays — the large-scene traversal path gets an externally
+    captured number every round, not just the 36-tri matmul sweep."""
     from gradientdomain_mitsuba_tpu.models.path import PathTracer
     from gradientdomain_mitsuba_tpu.scene import scene as sc
     import jax
@@ -209,7 +252,8 @@ def run_forest(backend):
     mrays = rays / wall / 1e6
     log(f"forest runs: {[f'{w:.3f}s/{r:.2e}' for w, r in runs]}")
     log(f"forest timed render: {wall:.3f}s, {rays:.0f} rays")
-    emit({
+    timing_ok = guard_timing(wall, rays, "forest")
+    out = {
         "metric": (f"pt_forest{n_tris // 1000000}M_{size}x{size}_"
                    f"{spp}spp_pallas_bvh_mrays_per_sec"),
         "value": round(mrays, 3),
@@ -225,13 +269,17 @@ def run_forest(backend):
         "scene_prep_s": round(build_s, 1),
         "scene_prep_breakdown": prep,
         "rays_measured": True,
-    })
+        "kernel": os.environ.get("GDMT_KERNEL", "pairs"),
+    }
+    if not timing_ok:
+        out["suspect_timing"] = True
+    emit(out)
 
 
 def run_forest10m(backend):
-    """Third metric line (VERDICT r3 next-item #9): the 10.6M-tri forest
-    rendered on-device — proves the BVH/slab tables at San-Miguel scale
-    fit HBM and traverse; reports measured Mrays/s + HBM footprint."""
+    """10.6M-tri forest rendered on-device — proves the BVH/slab tables
+    at San-Miguel scale fit HBM and traverse; reports measured Mrays/s +
+    HBM footprint (BASELINE config #5)."""
     from gradientdomain_mitsuba_tpu.models.path import PathTracer
     from gradientdomain_mitsuba_tpu.scene import scene as sc
     import jax
@@ -270,7 +318,8 @@ def run_forest10m(backend):
     except Exception:
         hbm_gb = None
     log(f"forest10m render: {wall:.3f}s, {rays:.0f} rays, HBM {hbm_gb} GB")
-    emit({
+    timing_ok = guard_timing(wall, rays, "forest10m")
+    out = {
         "metric": (f"pt_forest{n_tris // 1000000}M_{size}x{size}_"
                    f"{spp}spp_pallas_bvh_mrays_per_sec"),
         "value": round(mrays, 3),
@@ -283,42 +332,106 @@ def run_forest10m(backend):
         "hbm_in_use_gb": hbm_gb,
         "scene_prep_s": round(build_s, 1),
         "rays_measured": True,
-    })
+        "kernel": os.environ.get("GDMT_KERNEL", "pairs"),
+    }
+    if not timing_ok:
+        out["suspect_timing"] = True
+    emit(out)
 
 
-def main():
-    try:
-        backend, _ = init_backend()
-        if backend == "cpu_fallback":
-            # keep the CPU fallback cheap so it finishes in minutes
+def child_main(which):
+    """Run exactly one metric in this process (spawned by the
+    orchestrator).  stdout: that metric's JSON line(s).  rc!=0 or no
+    output → the orchestrator records the failure and moves on."""
+    backend, _ = init_backend()
+    if backend == "cpu_fallback":
+        if which == "cbox":
             run(min(WIDTH, 128), min(HEIGHT, 128), min(SPP, 8),
                 min(MAXDEPTH, 4), backend)
         else:
-            if os.environ.get("BENCH_FOREST", "1") != "0":
-                try:
-                    run_forest(backend)
-                except Exception:
-                    log("forest metric failed (headline continues):\n" +
-                        traceback.format_exc())
-            if os.environ.get("BENCH_FOREST10M", "1") != "0":
-                try:
-                    run_forest10m(backend)
-                except Exception:
-                    log("forest10m metric failed (headline continues):\n" +
-                        traceback.format_exc())
-            run(WIDTH, HEIGHT, SPP, MAXDEPTH, backend)
+            log(f"{which}: skipped on cpu fallback")
+        return
+    if which == "cbox":
+        run(WIDTH, HEIGHT, SPP, MAXDEPTH, backend)
+    elif which == "forest":
+        run_forest(backend)
+    elif which == "forest10m":
+        run_forest10m(backend)
+    else:
+        raise ValueError(f"unknown BENCH_CHILD {which!r}")
+
+
+def run_child(which):
+    """Spawn `BENCH_CHILD=which python bench.py` with a hard timeout.
+    Returns (json_lines, status).  The child's stderr streams through to
+    our stderr live (no capture deadlock; progress stays visible)."""
+    import subprocess
+    env = dict(os.environ, BENCH_CHILD=which)
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=None, text=True,
+            timeout=TIMEOUTS[which], env=env)
+        lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+        status = "ok" if (r.returncode == 0 and lines) else \
+            f"rc={r.returncode}"
+        log(f"child {which}: {status} in {time.time() - t0:.1f}s, "
+            f"{len(lines)} line(s)")
+        return lines, status
+    except subprocess.TimeoutExpired:
+        log(f"child {which}: TIMED OUT after {TIMEOUTS[which]}s (killed)")
+        return [], "timeout"
     except Exception as e:
-        log(traceback.format_exc())
+        log(f"child {which}: {type(e).__name__}: {e}")
+        return [], "error"
+
+
+def main():
+    """Orchestrator: cbox FIRST (the proven headline can never be starved
+    by a fragile metric), forest metrics after, each in its own
+    subprocess with a hard timeout; print forest lines first and the
+    cbox line LAST (the driver parses the last stdout line)."""
+    order = ["cbox"]
+    if os.environ.get("BENCH_FOREST", "1") != "0":
+        order.append("forest")
+    if os.environ.get("BENCH_FOREST10M", "1") != "0":
+        order.append("forest10m")
+    results = {}
+    for which in order:
+        results[which], _ = run_child(which)
+    if not results.get("cbox") and len(order) > 1:
+        # a TPU wedge drains on its own in tens of minutes (observed
+        # round 4); the forest children above may have burned enough
+        # wall for the queue to clear — one more shot at the headline
+        log("cbox produced no output earlier; retrying once...")
+        results["cbox"], _ = run_child("cbox")
+    for which in order:
+        if which != "cbox":
+            for ln in results[which]:
+                print(ln, flush=True)
+    if results.get("cbox"):
+        for ln in results["cbox"]:
+            print(ln, flush=True)
+    else:
         emit({
             "metric": f"gpt_cbox_{WIDTH}x{HEIGHT}_{SPP}spp_"
                       "render+reconstruct_mrays_per_sec",
             "value": 0.0,
             "unit": "Mrays/s",
             "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}",
+            "error": "cbox child produced no output (crash or timeout)",
         })
-        sys.exit(0)  # parseable output was produced; don't fail the driver
+    sys.exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    child = os.environ.get("BENCH_CHILD")
+    if child:
+        try:
+            child_main(child)
+        except Exception:
+            log(traceback.format_exc())
+            sys.exit(1)
+    else:
+        main()

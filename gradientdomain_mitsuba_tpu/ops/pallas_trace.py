@@ -1097,7 +1097,11 @@ def _v7_phase1(rays, G, RB, cbounds):
         t1 = (scb[None, :, 3:6] - o) * invd
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        pend = (tn <= tf) & (tf >= mint) & (tn <= maxt)
+        # maxt >= mint: dead/padding lanes carry maxt = -1, but an
+        # origin sitting >1 unit inside a super's AABB still passes
+        # tn <= -1 — without the liveness term those lanes enqueue
+        # supers and burn expand rounds + kernel sweeps (ADVICE r4 #3).
+        pend = (tn <= tf) & (tf >= mint) & (tn <= maxt) & (maxt >= mint)
         tn_min = jnp.min(jnp.where(pend, jnp.maximum(tn, 0.0), big),
                          axis=0)
         return jnp.any(pend, axis=0), tn_min
@@ -1119,7 +1123,10 @@ def _v7_expand(rays, st, order, scnt, cursor, mb, G, RB):
     """One round's records: window of SS supers per block starting at
     cursor, member bitmasks from EXACT per-ray member-AABB tests bounded
     by the current per-ray hit distance (st[:, 0]).  Returns
-    (rec [G*SS + SS, 8] i32, off [G+1] i32, cursor')."""
+    (rec2d [G*RPB, 128] i32 — FIXED per-block record slots, 16 records
+    of 8 i32 per row, RPB = SS//16 rows per block, compacted within the
+    block; rc [G] i32 per-block record counts for the scalar prefetch;
+    cursor')."""
     SS = PAIR_SS
     SC = SUPER_FACTOR
     S = mb.shape[0]
@@ -1148,6 +1155,7 @@ def _v7_expand(rays, st, order, scnt, cursor, mb, G, RB):
             tf = jnp.minimum(tf, jnp.maximum(lo, hi))
         pend = ((tn <= tf) & (tf >= mint[:, None, None]) &
                 (tn <= tcg[:, None, None]) &
+                (tcg[:, None, None] >= mint[:, None, None]) &
                 (mbs[None, :, 0, :] >= 0))
         anyp = jnp.any(pend, axis=0)                       # [SS, SC]
         w32 = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))
@@ -1259,7 +1267,24 @@ def _v7_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
     return (st[:N, 0], st[:N, 1], st[:N, 2], pr[:N, 0])
 
 
+def _check_pair_super_factor():
+    """The v7 record format packs each super's member pend mask into
+    exactly four 32-bit words (`_v7_expand` reshapes to [SS, 4, 32]; the
+    kernel scans `w in range(4)`), so the pair kernels require
+    SUPER_FACTOR == 128.  Fail with a clear message instead of the
+    opaque reshape error an env override would otherwise produce
+    (ADVICE r4 #1)."""
+    if SUPER_FACTOR != 128:
+        raise ValueError(
+            f"GDMT_SUPER_FACTOR={SUPER_FACTOR} is incompatible with the "
+            "default pair-record kernel (v7), whose 4x32-bit member "
+            "bitmasks hardcode 128 members per super.  Use "
+            "GDMT_SUPER_FACTOR=128 (default) or select another kernel "
+            "with GDMT_KERNEL=v4.")
+
+
 def make_pair_intersector(window: int, n_clusters: int):
+    _check_pair_super_factor()
     kernel = _v7_kernel(window, n_clusters, any_hit=False)
 
     @jax.jit
@@ -1273,6 +1298,7 @@ def make_pair_intersector(window: int, n_clusters: int):
 
 
 def make_pair_occluder(window: int, n_clusters: int):
+    _check_pair_super_factor()
     kernel = _v7_kernel(window, n_clusters, any_hit=True)
 
     @jax.jit

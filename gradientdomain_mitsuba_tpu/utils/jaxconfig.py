@@ -54,7 +54,20 @@ def configure():
         # directory have produced truncated entries that ABORT the
         # reader (jax compilation_cache zstd decompress), so keep their
         # write sets disjoint.
-        plat = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+        plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+        if not plat:
+            # JAX_PLATFORMS unset: resolve the backend NOW rather than
+            # share a 'default' directory between a TPU process and a
+            # concurrent CPU-fallback process (ADVICE r4 #4 — that
+            # collision produced truncated entries that abort the
+            # reader).  default_backend() initializes the backend; any
+            # process reaching this point uses it immediately anyway,
+            # and processes that want CPU set JAX_PLATFORMS / the
+            # jax_platforms config before importing this package.
+            try:
+                plat = jax.default_backend()
+            except Exception:
+                plat = "default"
         cache_dir = os.path.join(root, ".jax_cache",
                                  f"{_host_tag()}-{plat or 'default'}")
     try:
