@@ -18,9 +18,11 @@ lost ALL perf evidence because one wedged Mosaic dispatch in the forest
 metric — which ran first, in-process — hung the whole benchmark (rc=124).
 Now every metric runs in its OWN subprocess with a hard timeout
 (`BENCH_CHILD=<name> python bench.py`), and the proven cbox headline runs
-FIRST so nothing can starve it.  Output lines are buffered and re-ordered
-so the cbox line still prints LAST (the driver parses the last stdout
-line).  A hang or crash in any metric costs only that metric.
+FIRST so nothing can starve it.  The cbox headline line is printed as
+soon as it exists and RE-printed after every other metric's line, so the
+last stdout line is always the headline (the driver parses the last
+line) even if the whole orchestrator is killed mid-run.  A hang or crash
+in any metric costs only that metric.
 
 Robustness (VERDICT.md round-1 weak #1): backend init is retried with
 backoff; if the accelerator backend never comes up, the benchmark falls
@@ -390,38 +392,45 @@ def run_child(which):
 def main():
     """Orchestrator: cbox FIRST (the proven headline can never be starved
     by a fragile metric), forest metrics after, each in its own
-    subprocess with a hard timeout; print forest lines first and the
-    cbox line LAST (the driver parses the last stdout line)."""
+    subprocess with a hard timeout; the cbox line is re-printed after
+    every metric so it is always the last stdout line."""
     order = ["cbox"]
     if os.environ.get("BENCH_FOREST", "1") != "0":
         order.append("forest")
     if os.environ.get("BENCH_FOREST10M", "1") != "0":
         order.append("forest10m")
+    t_start = time.time()
+    budget = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "2700"))
     results = {}
-    for which in order:
-        results[which], _ = run_child(which)
-    if not results.get("cbox") and len(order) > 1:
+    results["cbox"], _ = run_child("cbox")
+    if not results["cbox"]:
         # a TPU wedge drains on its own in tens of minutes (observed
-        # round 4); the forest children above may have burned enough
-        # wall for the queue to clear — one more shot at the headline
-        log("cbox produced no output earlier; retrying once...")
+        # round 4) — one more shot at the headline before giving up
+        log("cbox produced no output; retrying once...")
         results["cbox"], _ = run_child("cbox")
-    for which in order:
-        if which != "cbox":
-            for ln in results[which]:
-                print(ln, flush=True)
-    if results.get("cbox"):
-        for ln in results["cbox"]:
+    cbox_lines = results.get("cbox") or [json.dumps({
+        "metric": f"gpt_cbox_{WIDTH}x{HEIGHT}_{SPP}spp_"
+                  "render+reconstruct_mrays_per_sec",
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        "error": "cbox child produced no output (crash or timeout)"})]
+
+    def print_cbox():
+        # the driver parses the LAST stdout line; re-printing the
+        # headline after every metric keeps it last no matter where an
+        # external kill lands mid-run (duplicates are harmless)
+        for ln in cbox_lines:
             print(ln, flush=True)
-    else:
-        emit({
-            "metric": f"gpt_cbox_{WIDTH}x{HEIGHT}_{SPP}spp_"
-                      "render+reconstruct_mrays_per_sec",
-            "value": 0.0,
-            "unit": "Mrays/s",
-            "vs_baseline": 0.0,
-            "error": "cbox child produced no output (crash or timeout)",
-        })
+
+    print_cbox()
+    for which in order[1:]:
+        if time.time() - t_start + TIMEOUTS[which] > budget:
+            log(f"skipping {which}: would exceed BENCH_TOTAL_BUDGET_S="
+                f"{budget} ({time.time() - t_start:.0f}s elapsed)")
+            continue
+        lines, _ = run_child(which)
+        for ln in lines:
+            print(ln, flush=True)
+        print_cbox()
     sys.exit(0)
 
 
