@@ -93,6 +93,47 @@ class LightStart(NamedTuple):
     pdf_rev: jnp.ndarray   # [N] area pdf of re-sampling y_0 from y_1
 
 
+class SlotOverlay:
+    """Read-only stand-in for a SubPath with individual (field, slot)
+    columns replaced, resolved by STATIC slot comparison at trace time.
+
+    G-BDPT's t=1 image-space shift replaces one light-subpath vertex
+    (plus one pdf_rev column) per strategy; materializing that view with
+    `.at[:, kl].set()` copies every [N, D, ...] field and re-reads them
+    all through _strategy_t1/_eval_at/_mis_sum — measured at 41% of the
+    light-image gradient pass's memory traffic (0.86 GB of 2.06 GB at
+    64^2/depth 6, XLA cost analysis).  The overlay keeps the base arrays
+    and serves overridden columns only where a static slot index
+    matches, so nothing is copied.
+
+    Only column access (`_col(sp, name, k)`) sees overrides; whole-array
+    attribute access passes through to the base SubPath (used only for
+    shapes / fields that are never overridden)."""
+
+    def __init__(self, base: "SubPath", overrides):
+        object.__setattr__(self, "_base", base)
+        object.__setattr__(self, "_ov", dict(overrides))
+
+    def col(self, name, k):
+        v = self._ov.get((name, int(k)))
+        if v is not None:
+            return v
+        base_f = getattr(self._base, name)
+        return None if base_f is None else base_f[:, k]
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_base"), name)
+
+
+def _col(sp, name, k):
+    """Column k of SubPath field `name`, honoring SlotOverlay overrides
+    (static k: the branch resolves at trace time)."""
+    if isinstance(sp, SlotOverlay):
+        return sp.col(name, k)
+    f = getattr(sp, name)
+    return None if f is None else f[:, k]
+
+
 def _remap0(x):
     return jnp.where(x > 0, x, 1.0)
 
@@ -439,15 +480,17 @@ class BDPTracer:
         azimuth (SubPath.aux).  None when the scene has no cloth."""
         if sp.aux is None:
             return None
-        return synth_bary_from_az(sp.aux[:, k])
+        return synth_bary_from_az(_col(sp, "aux", k))
 
     def _eval_at(self, scene, sp: SubPath, k, wo_world):
         """(f*cos, pdf_sa, None) at vertex k toward world direction wo."""
-        ss, ts = m.build_frame(sp.ns[:, k])
-        wi = m.to_local(sp.wi[:, k], ss, ts, sp.ns[:, k])
-        wo = m.to_local(wo_world, ss, ts, sp.ns[:, k])
+        ns_k = _col(sp, "ns", k)
+        ss, ts = m.build_frame(ns_k)
+        wi = m.to_local(_col(sp, "wi", k), ss, ts, ns_k)
+        wo = m.to_local(wo_world, ss, ts, ns_k)
         par = common.material_params(scene, self.has_textures,
-                                     sp.bsdf_id[:, k], sp.uv[:, k],
+                                     _col(sp, "bsdf_id", k),
+                                     _col(sp, "uv", k),
                                      bary=self._vertex_bary(sp, k))
         f = self._beval(par, wi, wo)
         pdf = self._bpdf(par, wi, wo)
@@ -458,16 +501,18 @@ class BDPTracer:
         """Area pdf at sp[k] of sampling the direction toward prev_p given
         the NEW incoming direction d_new_in (strategy-specific pdf_rev
         fixup for the vertex behind a connection endpoint)."""
-        to_prev = prev_p - sp.p[:, k]
+        to_prev = prev_p - _col(sp, "p", k)
         d2 = jnp.maximum(m.squared_length(to_prev), 1e-12)
         dirp = to_prev / jnp.sqrt(d2)[..., None]
-        ssf, tsf = m.build_frame(sp.ns[:, k])
+        ns_k = _col(sp, "ns", k)
+        ssf, tsf = m.build_frame(ns_k)
         par = common.material_params(scene, self.has_textures,
-                                     sp.bsdf_id[:, k], sp.uv[:, k],
+                                     _col(sp, "bsdf_id", k),
+                                     _col(sp, "uv", k),
                                      bary=self._vertex_bary(sp, k))
         pdf_sa = self._bpdf(
-            par, m.to_local(d_new_in, ssf, tsf, sp.ns[:, k]),
-            m.to_local(dirp, ssf, tsf, sp.ns[:, k]))
+            par, m.to_local(d_new_in, ssf, tsf, ns_k),
+            m.to_local(dirp, ssf, tsf, ns_k))
         return _dir_to_area(pdf_sa, dirp, d2, prev_ng)
 
     # -- MIS ------------------------------------------------------------
@@ -493,12 +538,12 @@ class BDPTracer:
             elif i == t - 2:
                 num = pdf_rev_pt_minus
             else:
-                num = eye.pdf_rev[:, idx]
-            den = eye.pdf_fwd[:, idx]
+                num = _col(eye, "pdf_rev", idx)
+            den = _col(eye, "pdf_fwd", idx)
             ri = ri * (_remap0(num) / _remap0(den))
-            v_delta = eye.delta[:, idx]
+            v_delta = _col(eye, "delta", idx)
             if i >= 2:
-                prev_delta = eye.delta[:, idx - 1]
+                prev_delta = _col(eye, "delta", idx - 1)
             else:
                 # z_0 = camera: connectable only when light tracing is on
                 prev_delta = jnp.full(N, not self.camera_connectable, bool)
@@ -515,20 +560,20 @@ class BDPTracer:
             elif i == 0:
                 num = y0.pdf_rev
             else:
-                num = light.pdf_rev[:, i - 1]
+                num = _col(light, "pdf_rev", i - 1)
             if i == 0:
                 den = y0.pdf_pos
                 v_delta = jnp.zeros(N, bool)
             else:
-                den = light.pdf_fwd[:, i - 1]
-                v_delta = light.delta[:, i - 1]
+                den = _col(light, "pdf_fwd", i - 1)
+                v_delta = _col(light, "delta", i - 1)
             ri = ri * (_remap0(num) / _remap0(den))
             if i == 0:
                 prev_delta = jnp.zeros(N, bool)  # area light origin
             elif i == 1:
                 prev_delta = jnp.zeros(N, bool)  # y_0 not delta
             else:
-                prev_delta = light.delta[:, i - 2]
+                prev_delta = _col(light, "delta", i - 2)
             use = ~v_delta & ~prev_delta
             sum_ri = sum_ri + jnp.where(use, ri * ri, 0.0)
 
@@ -816,10 +861,10 @@ class BDPTracer:
         hit along the retraced camera ray (visibility by construction)."""
         cam_pos, cam_fwd, a_img = self._camera_info(scene)
         kl = s - 2
-        yp = light.p[:, kl]
-        yng = light.ng[:, kl]
-        beta = light.beta[:, kl]
-        ok = light.valid[:, kl] & ~light.delta[:, kl]
+        yp = _col(light, "p", kl)
+        yng = _col(light, "ng", kl)
+        beta = _col(light, "beta", kl)
+        ok = _col(light, "valid", kl) & ~_col(light, "delta", kl)
 
         film, we, in_frustum = sensor_ops.importance_sample_direct(
             scene.camera, W, H, yp)
@@ -841,8 +886,8 @@ class BDPTracer:
         pdf_rev_qs = self._camera_pdf_area(scene, yp, yng)
         if s >= 3:
             pdf_rev_qs_minus = self._pdf_toward_prev(
-                scene, light, kl, d, light.p[:, kl - 1],
-                light.ng[:, kl - 1])
+                scene, light, kl, d, _col(light, "p", kl - 1),
+                _col(light, "ng", kl - 1))
         else:
             pdf_rev_qs_minus = self._pdf_toward_prev(
                 scene, light, kl, d, y0.p, y0.ng)

