@@ -29,14 +29,20 @@ def _time_render(cls, integrator, size, spp, depth, props=None):
         st.integrator_props.update(props)
     tr = cls(scene, st)
     render = getattr(tr, "render_buffers", None) or tr.render
-    out = render(scene, seed=0, spp=spp)
-    import jax
-    jax.tree.map(lambda a: a.block_until_ready()
-                 if hasattr(a, "block_until_ready") else a, out)
+    import numpy as np
+
+    def sync(out):
+        # HOST-READ one element of every leaf: block_until_ready can
+        # return before execution finishes on the axon backend (bench.py
+        # run() docstring), which would turn these walls into dispatch
+        # times and the ratio into noise
+        for a in __import__("jax").tree_util.tree_leaves(out):
+            if hasattr(a, "ravel"):
+                np.asarray(a.ravel()[:1])
+
+    sync(render(scene, seed=0, spp=spp))
     t0 = time.time()
-    out = render(scene, seed=1, spp=spp)
-    jax.tree.map(lambda a: a.block_until_ready()
-                 if hasattr(a, "block_until_ready") else a, out)
+    sync(render(scene, seed=1, spp=spp))
     return (time.time() - t0) * 1000.0 / spp
 
 

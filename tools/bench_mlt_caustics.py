@@ -71,11 +71,19 @@ def main():
     for name, cls in (("mlt", MLTracer), ("erpt", ERPTracer)):
         tr = cls(scene, st)
         probe = max(2, args.spp // 4)
-        tr.render(scene, seed=0, spp=probe)           # warm compile
+        np.asarray(tr.render(scene, seed=0, spp=probe))  # warm compile
         t0 = time.time()
-        tr.render(scene, seed=0, spp=probe)
+        # np.asarray: a true host sync — the axon backend returns from
+        # dispatch before execution finishes, and an unsynced probe
+        # under-measured per-mutation cost by ~1000x (round-5 first run)
+        np.asarray(tr.render(scene, seed=0, spp=probe))
         per_spp = (time.time() - t0) / probe
         spp_eq = max(1, int(round(wall_bd / max(per_spp, 1e-9))))
+        # warm-compile at the equal-time mutation count too: spp is a
+        # static arg of render_chunk, so the first spp_eq call compiles
+        # (the round-5 first run charged a fresh MLT compile to the
+        # timed wall)
+        np.asarray(tr.render(scene, seed=0, spp=spp_eq))
         t0 = time.time()
         img = np.asarray(tr.render(scene, seed=1, spp=spp_eq))
         wall = time.time() - t0

@@ -131,8 +131,9 @@ def main():
         rcn = np.asarray(rc)
         print(f"  records/block (round 1): mean {rcn.mean():.1f} "
               f"max {rcn.max()}", flush=True)
-        bits = np.asarray(rec).reshape(-1, 16, 8)[:, :, 1:5]
-        popc = np.vectorize(lambda x: bin(x & 0xFFFFFFFF).count("1"))
+        bits = (np.asarray(rec).reshape(-1, 16, 8)[:, :, 1:5]
+                .astype(np.int64) & 0xFFFFFFFF)
+        popc = np.vectorize(lambda x: bin(int(x)).count("1"))
         members = popc(bits).sum()
         print(f"  member visits (round 1): {members} "
               f"({members / G:.1f}/block)", flush=True)
