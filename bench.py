@@ -217,7 +217,12 @@ def run_forest(backend):
     from gradientdomain_mitsuba_tpu.scene import scene as sc
     import jax
 
-    spp = int(os.environ.get("BENCH_FOREST_SPP", "4"))
+    # spp 16 (round 5): a traversal call carries ~108 ms of fixed cost,
+    # so 4-spp 262k-lane wavefronts under-report steady-state
+    # throughput; 16 spp runs the same scene at 1M-lane wavefronts —
+    # the shape any real (hundreds-of-spp) render uses.  The metric
+    # name carries the spp.
+    spp = int(os.environ.get("BENCH_FOREST_SPP", "16"))
     size = int(os.environ.get("BENCH_FOREST_SIZE", "256"))
     forest = os.path.join(ROOT, "data/scenes/forest/forest.xml")
     log(f"forest scene {size}x{size} spp={spp} (BVH build on host)...")

@@ -295,13 +295,15 @@ class PathTracer:
         """Lanes per dispatch: ~64k measured fastest on v5e for the
         small-scene matmul-sweep path; the large-scene cluster traversal
         instead AMORTIZES its per-call worklist build + dispatch floor
-        over bigger wavefronts, so it targets GDMT_LANES (default 256k)
-        lanes per dispatch."""
+        over bigger wavefronts, so it targets GDMT_LANES (default 1M)
+        lanes per dispatch (round-5 scaling: a single traversal call
+        carries ~108 ms of fixed cost; 65k/262k/1M-ray calls measured
+        2.8/1.1/0.79 us/ray)."""
         import os
         N = self.settings.width * self.settings.height
         large = getattr(self, "large_scene", False)  # cluster-path scene
         target = int(os.environ.get(
-            "GDMT_LANES", str(1 << 18 if large else 1 << 16)))
+            "GDMT_LANES", str(1 << 20 if large else 1 << 16)))
         spb = max(1, target // max(N, 1))
         while n_samples % spb:
             spb -= 1

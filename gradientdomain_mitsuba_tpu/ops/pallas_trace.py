@@ -857,15 +857,20 @@ def make_pallas_mt_occluder(window: int, n_clusters: int):
 # src/librender/skdtree.cpp + triaccel.h [unverifiable - mount empty];
 # exact linear-MT arithmetic shared with v3/v4 (build_mt_slabs).
 
-PAIR_RB = int(os.environ.get("GDMT_PAIR_RB", "8"))
+PAIR_RB = int(os.environ.get("GDMT_PAIR_RB", "32"))
 PAIR_SS = int(os.environ.get("GDMT_PAIR_SS", "16"))
 PAIR_GW = 8
-# Ray BLOCKS per grid STEP: at RB=8 a 256k-ray wavefront is 32k grid
-# steps, and the per-step fixed cost (two sub-KB state copies, a record
-# DMA, pipeline bookkeeping — measured ~15 us/step on the forest) is 20x
-# the per-block compute.  One step now walks NB blocks from one record
-# DMA, amortizing the fixed cost NB-fold; the per-BLOCK record layout
-# (and so the XLA expand stage) is unchanged.
+# RB default 32 (round-5 sweep, tools/sweep_v7.py at 1M rays): camera
+# 837 -> 560 ms, bounce 1409 -> 992 ms vs RB=8.  Bigger blocks cut the
+# per-block expand/phase1/record overhead faster than the block-union
+# growth adds member sweeps.  Hit results differ from RB=8 only at the
+# MXU default-precision noise level (99.5% same prim, valid-rate equal;
+# interpret mode is exact for every RB).
+# Ray BLOCKS per grid STEP: the per-step fixed cost (two sub-KB state
+# copies, a record DMA, pipeline bookkeeping — measured ~15 us/step on
+# the forest) is 20x the per-block compute.  One step walks NB blocks
+# from one record DMA, amortizing the fixed cost NB-fold; the per-BLOCK
+# record layout (and so the XLA expand stage) is unchanged.
 PAIR_NB = int(os.environ.get("GDMT_PAIR_NB", "32"))
 # Any-hit early-out: stop walking a block's records once every lane is
 # occluded.  MEASURED SLOWER on the forest (1.72 s vs 1.66 s walls): the
