@@ -859,7 +859,10 @@ def make_pallas_mt_occluder(window: int, n_clusters: int):
 
 PAIR_RB = int(os.environ.get("GDMT_PAIR_RB", "32"))
 PAIR_SS = int(os.environ.get("GDMT_PAIR_SS", "16"))
-PAIR_GW = 8
+# GW default 32 (round-5 sweep at 1M rays): camera 560 -> 508 ms,
+# bounce 1007 -> 899 ms vs GW=8 — wider flush groups mean fewer argmin
+# epilogues and a deeper slab-DMA ring (64 x 32 KB = 2 MB VMEM).
+PAIR_GW = int(os.environ.get("GDMT_PAIR_GW", "32"))
 # RB default 32 (round-5 sweep, tools/sweep_v7.py at 1M rays): camera
 # 837 -> 560 ms, bounce 1409 -> 992 ms vs RB=8.  Bigger blocks cut the
 # per-block expand/phase1/record overhead faster than the block-union
