@@ -1157,21 +1157,28 @@ def _v7_phase1(rays, G, RB, cbounds):
     return order, scnt
 
 
-def _v7_expand(rays, st, order, scnt, cursor, mb, G, RB):
-    """One round's records: window of SS supers per block starting at
-    cursor, member bitmasks from EXACT per-ray member-AABB tests bounded
-    by the current per-ray hit distance (st[:, 0]).  Returns
+def _v7_expand(rays, st, order, scnt, r, mb, G, RB):
+    """One round's records: the r-th window of SS supers per block,
+    member bitmasks from EXACT per-ray member-AABB tests bounded by the
+    current per-ray hit distance (st[:, 0]).  Returns
     (rec2d [G*RPB, 128] i32 — FIXED per-block record slots, 16 records
     of 8 i32 per row, RPB = SS//16 rows per block, compacted within the
-    block; rc [G] i32 per-block record counts for the scalar prefetch;
-    cursor')."""
+    block; rc [G] i32 per-block record counts for the scalar prefetch).
+
+    r is a GLOBAL round index, not a per-block cursor: a per-block
+    cursor min(r*SS, scnt) selects exactly the same valid window
+    entries (everything at idx >= scnt is masked either way), and the
+    global form turns the window select into one dynamic SLICE of the
+    order table — the per-block take_along_axis gather it replaces was
+    155 ms per two traversal calls (xplane profile, round 5)."""
     SS = PAIR_SS
     SC = SUPER_FACTOR
-    S = mb.shape[0]
-    idx = cursor[:, None] + jnp.arange(SS, dtype=jnp.int32)[None, :]
+    # caller pads order's super axis to a multiple of SS, so the last
+    # window's slice never clamps (a clamped start would desync sel
+    # from the idx-based validity mask)
+    idx = r * SS + jnp.arange(SS, dtype=jnp.int32)[None, :]
     valid = idx < scnt[:, None]
-    sel = jnp.take_along_axis(order, jnp.minimum(idx, S - 1),
-                              axis=1)                     # [G, SS]
+    sel = jax.lax.dynamic_slice_in_dim(order, r * SS, SS, axis=1)
     t_cur = st[:, 0].reshape(G, RB)
 
     def blk_members(args):
@@ -1202,7 +1209,7 @@ def _v7_expand(rays, st, order, scnt, cursor, mb, G, RB):
                        dtype=jnp.int32)                    # [SS, 4]
         return bits
 
-    bsz = max(1, (1 << 22) // max(RB * SS * SC, 1))
+    bsz = max(1, (1 << 24) // max(RB * SS * SC, 1))
     bits = jax.lax.map(blk_members,
                        (rays.reshape(G, RB, 8), sel, t_cur),
                        batch_size=bsz)                     # [G, SS, 4]
@@ -1228,8 +1235,7 @@ def _v7_expand(rays, st, order, scnt, cursor, mb, G, RB):
     rc = jnp.sum(has, axis=1, dtype=jnp.int32)             # [G]
     RPB = SS // 16
     rec2d = rows.reshape(G * RPB, 128)
-    cursor2 = jnp.minimum(cursor + SS, scnt)
-    return rec2d, rc, cursor2
+    return rec2d, rc
 
 
 def _v7_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
@@ -1252,12 +1258,18 @@ def _v7_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
         rays = jnp.concatenate([rays, filler.astype(jnp.float32)], axis=0)
 
     order, scnt = _v7_phase1(rays, G, RB, cbounds)
+    # pad the super axis to a multiple of SS so every round's window is
+    # a clean dynamic slice (see _v7_expand)
+    S = order.shape[1]
+    Sp = -(-S // SS) * SS
+    if Sp != S:
+        order = jnp.concatenate(
+            [order, jnp.zeros((G, Sp - S), jnp.int32)], axis=1)
     mb = _member_slabs(cbounds)                            # [S, 8, SC]
 
     st0 = jnp.concatenate(
         [rays[:, 7:8], jnp.zeros((Np, 3), jnp.float32)], axis=1)
     pr0 = jnp.full((Np, 1), -1, jnp.int32)
-    cursor0 = jnp.zeros((G,), jnp.int32)
 
     ray_spec = pl.BlockSpec((NB * RB, 8), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1289,19 +1301,20 @@ def _v7_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
                        jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
         )(rc, rays, st, pr, slabs, rec)
 
+    max_scnt = jnp.max(scnt)
+
     def round_body(carry):
-        cursor, st, pr = carry
-        rec, rc, cursor2 = _v7_expand(rays, st, order, scnt, cursor,
-                                      mb, G, RB)
+        r, st, pr = carry
+        rec, rc = _v7_expand(rays, st, order, scnt, r, mb, G, RB)
         st2, pr2 = sweep(st, pr, rec, rc)
-        return (cursor2, st2, pr2)
+        return (r + 1, st2, pr2)
 
     def round_cond(carry):
-        cursor, _, _ = carry
-        return jnp.any(cursor < scnt)
+        r, _, _ = carry
+        return r * SS < max_scnt
 
     _, st, pr = jax.lax.while_loop(round_cond, round_body,
-                                   (cursor0, st0, pr0))
+                                   (jnp.int32(0), st0, pr0))
     return (st[:N, 0], st[:N, 1], st[:N, 2], pr[:N, 0])
 
 

@@ -109,8 +109,15 @@ def main():
         Np = rays.shape[0]
         st0 = jnp.concatenate(
             [rays[:, 7:8], jnp.zeros((Np, 3), jnp.float32)], 1)
-        cur = jnp.zeros((G,), jnp.int32)
-        return ptr._v7_expand(rays, st0, order, scnt, cur, mb, G, RB)
+        SS = ptr.PAIR_SS
+        S = order.shape[1]
+        Sp = -(-S // SS) * SS
+        if Sp != S:
+            order = jnp.concatenate(
+                [order, jnp.zeros((order.shape[0], Sp - S), jnp.int32)],
+                axis=1)
+        return ptr._v7_expand(rays, st0, order, scnt, jnp.int32(0), mb,
+                              G, RB)
 
     for label, (o, d, mi, ma) in (
             ("camera", (o_cam, d_cam, mint, maxt)),
@@ -127,7 +134,7 @@ def main():
               f"mean {np.ceil(sn / ptr.PAIR_SS).mean():.2f} "
               f"max {int(np.ceil(sn.max() / ptr.PAIR_SS))}", flush=True)
         timeit("expand (round 1)", expand1, rays, order, scnt)
-        rec, rc, _ = expand1(rays, order, scnt)
+        rec, rc = expand1(rays, order, scnt)
         rcn = np.asarray(rc)
         print(f"  records/block (round 1): mean {rcn.mean():.1f} "
               f"max {rcn.max()}", flush=True)
