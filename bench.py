@@ -324,7 +324,13 @@ def run_forest10m(backend):
         hbm_gb = round(ms.get("bytes_in_use", 0) / 2 ** 30, 2)
     except Exception:
         hbm_gb = None
-    log(f"forest10m render: {wall:.3f}s, {rays:.0f} rays, HBM {hbm_gb} GB")
+    # the axon backend reports no memory_stats (0.0) — also compute the
+    # scene's device-table footprint directly from the uploaded arrays
+    scene_gb = round(sum(
+        a.nbytes for a in jax.tree_util.tree_leaves(scene)
+        if hasattr(a, "nbytes")) / 2 ** 30, 2)
+    log(f"forest10m render: {wall:.3f}s, {rays:.0f} rays, HBM {hbm_gb} GB"
+        f", scene tables {scene_gb} GB")
     timing_ok = guard_timing(wall, rays, "forest10m")
     out = {
         "metric": (f"pt_forest{n_tris // 1000000}M_{size}x{size}_"
@@ -337,6 +343,7 @@ def run_forest10m(backend):
         "wall_s": round(wall, 3),
         "n_tris": n_tris,
         "hbm_in_use_gb": hbm_gb,
+        "device_scene_gb": scene_gb,
         "scene_prep_s": round(build_s, 1),
         "rays_measured": True,
         "kernel": os.environ.get("GDMT_KERNEL", "pairs"),
