@@ -290,17 +290,30 @@ def pack_cluster_bounds(clusters: ClusterArrays) -> np.ndarray:
 
 def build_mt_slabs(linC: np.ndarray, window: int) -> np.ndarray:
     """Reshape the scene-wide [10, 4*Tp] linear-MT coefficient matrix
-    into per-cluster DMA slabs [K + SPAN-1, 16, 4*window] (rows padded
-    10 -> 16 for the 8-sublane DMA granule; zero rows are harmless under
-    the matmul).  The SPAN-1 all-zero tail clusters let the kernel's
-    span DMA of [k, k+SPAN) run off the end of the table safely (zero
-    coefficients => det = 0 => never hit)."""
+    into per-cluster DMA slabs [K + SPAN-1, 8, 4*window] — HALF the
+    bytes of the historical 16-row layout on every member DMA (round 5).
+
+    The 8-row packing exploits build_linear_mt's exact zero structure
+    (ops/intersect.py): the det/u/v column groups only carry (o x d, d)
+    feature coefficients (rows 0:6), and the t group only carries (o, 1)
+    (rows 6:10).  So:
+      - columns [0 : 3W]  (det|u|v): slab rows 0:6 = linC rows 0:6
+      - columns [3W : 4W] (t):       slab rows 0:4 = linC rows 6:10
+    and the kernels run TWO matmuls per member — [RB,8] @ [8,3W] with
+    the (o x d, d) features and [RB,8] @ [8,W] with the (o, 1) features
+    — reading disjoint column ranges of one fully tile-aligned 8-row
+    slab (a 10-row DMA slice violates Mosaic's (8,128) tiling).  The
+    SPAN-1 all-zero tail clusters let a span DMA of [k, k+SPAN) run off
+    the end of the table safely (zero coefficients => det = 0 => never
+    hit)."""
     Tp = linC.shape[1] // 4
     K = Tp // window
     seg = linC.reshape(10, 4, K, window)          # [10, out, K, W]
-    slabs = np.zeros((K + SPAN - 1, 16, 4 * window), np.float32)
-    slabs[:K, :10, :] = seg.transpose(2, 0, 1, 3).reshape(
-        K, 10, 4 * window)
+    per = seg.transpose(2, 0, 1, 3)               # [K, 10, out, W]
+    slabs = np.zeros((K + SPAN - 1, 8, 4 * window), np.float32)
+    slabs[:K, 0:6, 0:3 * window] = per[:, 0:6, 0:3, :].reshape(
+        K, 6, 3 * window)
+    slabs[:K, 0:4, 3 * window:] = per[:, 6:10, 3, :]
     return slabs
 
 
@@ -348,10 +361,14 @@ def _mt_kernel(window, sc_pad, n_clusters, any_hit):
         inv = lambda c: jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, 1e30)
         ix, iy, iz = inv(dx), inv(dy), inv(dz)
         zeros = jnp.zeros_like(ox)
-        feats = jnp.concatenate(
+        # two 8-wide feature groups matching the 8-row slab split
+        # (build_mt_slabs): A = (o x d, d) for det|u|v, B = (o, 1) for t
+        featsA = jnp.concatenate(
             [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx,
-             dx, dy, dz, ox, oy, oz, jnp.ones_like(ox),
-             zeros, zeros, zeros, zeros, zeros, zeros], axis=1)
+             dx, dy, dz, zeros, zeros], axis=1)
+        featsB = jnp.concatenate(
+            [ox, oy, oz, jnp.ones_like(ox),
+             zeros, zeros, zeros, zeros], axis=1)
 
         out_ref[:, 0:1] = rays_ref[:, 7:8]           # t := maxt
         out_ref[:, 1:2] = zeros
@@ -387,15 +404,20 @@ def _mt_kernel(window, sc_pad, n_clusters, any_hit):
             DEFAULT precision = bf16x3 passes (~f32 accuracy for these
             sums); HIGHEST (bf16x6) doubled the MXU passes and was half
             the measured large-scene wall."""
-            F = jax.lax.dot_general(
-                feats, slab_vmem[slot],
+            FA = jax.lax.dot_general(
+                featsA, slab_vmem[slot][:, :3 * W],
                 (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)      # [RBLK, 4W]
-            dinv = 1.0 / F[:, :W]
-            u = F[:, W:2 * W] * dinv
-            v = F[:, 2 * W:3 * W] * dinv
-            t = F[:, 3 * W:] * dinv
+                preferred_element_type=jnp.float32)      # [RBLK, 3W]
+            FB = jax.lax.dot_general(
+                featsB, slab_vmem[slot][:, 3 * W:],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)      # [RBLK, W]
+            dinv = 1.0 / FA[:, :W]
+            u = FA[:, W:2 * W] * dinv
+            v = FA[:, 2 * W:3 * W] * dinv
+            t = FB * dinv
             ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
                   (t > mint) & (t < out_ref[:, 0:1]))
             if any_hit:
@@ -726,7 +748,7 @@ def _mt_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[out_spec, prim_spec],
             scratch_shapes=[
-                pltpu.VMEM((DEPTH, 16, 4 * window), jnp.float32),
+                pltpu.VMEM((DEPTH, 8, 4 * window), jnp.float32),
                 pltpu.SemaphoreType.DMA((DEPTH,)),
                 pltpu.SMEM((DEPTH,), jnp.int32),
                 pltpu.SMEM((8, WL_CHUNK), jnp.float32),
@@ -942,7 +964,9 @@ def _v7_kernel(window, n_clusters, any_hit):
         prout_ref[:] = prin_ref[:]
 
         # --- whole-step ray features (linear-MT lhs), staged to VMEM so
-        # per-block flushes can slice rows dynamically ------------------
+        # per-block flushes can slice rows dynamically.  Two 8-wide
+        # planes matching the 8-row slab split (build_mt_slabs): plane 0
+        # = (o x d, d) for det|u|v, plane 1 = (o, 1) for t -------------
         ox = rays_ref[:, 0:1]
         oy = rays_ref[:, 1:2]
         oz = rays_ref[:, 2:3]
@@ -950,10 +974,12 @@ def _v7_kernel(window, n_clusters, any_hit):
         dy = rays_ref[:, 4:5]
         dz = rays_ref[:, 5:6]
         zeros = jnp.zeros_like(ox)
-        feat_vmem[:] = jnp.concatenate(
+        feat_vmem[0] = jnp.concatenate(
             [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx,
-             dx, dy, dz, ox, oy, oz, jnp.ones_like(ox),
-             zeros, zeros, zeros, zeros, zeros, zeros], axis=1)
+             dx, dy, dz, zeros, zeros], axis=1)
+        feat_vmem[1] = jnp.concatenate(
+            [ox, oy, oz, jnp.ones_like(ox),
+             zeros, zeros, zeros, zeros], axis=1)
         lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, GW), 1)
 
         pltpu.make_async_copy(
@@ -980,7 +1006,8 @@ def _v7_kernel(window, n_clusters, any_hit):
 
             jax.lax.fori_loop(0, nv, wait_body, 0)
 
-            feats = feat_vmem[pl.ds(row0, RB), :]
+            featsA = feat_vmem[0, pl.ds(row0, RB), :]
+            featsB = feat_vmem[1, pl.ds(row0, RB), :]
             mint = rays_ref[pl.ds(row0, RB), 6:7]
             t_cur = stout_ref[pl.ds(row0, RB), 0:1]
 
@@ -991,16 +1018,21 @@ def _v7_kernel(window, n_clusters, any_hit):
             kvec = jnp.zeros((1, GW), jnp.int32)
             for p in range(GW):
                 slot_s = half * GW + p
-                F = jax.lax.dot_general(
-                    feats, slab_vmem[slot_s],
+                FA = jax.lax.dot_general(
+                    featsA, slab_vmem[slot_s][:, :3 * W],
                     (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.DEFAULT,
-                    preferred_element_type=jnp.float32)   # [RB, 4W]
-                den = F[:, :W]
+                    preferred_element_type=jnp.float32)   # [RB, 3W]
+                FB = jax.lax.dot_general(
+                    featsB, slab_vmem[slot_s][:, 3 * W:],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)   # [RB, W]
+                den = FA[:, :W]
                 r = 1.0 / den
-                u = F[:, W:2 * W] * r
-                v = F[:, 2 * W:3 * W] * r
-                t = F[:, 3 * W:] * r
+                u = FA[:, W:2 * W] * r
+                v = FA[:, 2 * W:3 * W] * r
+                t = FB * r
                 ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) &
                       (t > mint) & (t < t_cur) & (p < nv))
                 tts.append(jnp.where(ok, t, F32_MAX))
@@ -1289,13 +1321,13 @@ def _v7_run(kernel_fn, window, o, d, mint, maxt, slabs, cbounds):
                           pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=[st_spec, pr_spec],
                 scratch_shapes=[
-                    pltpu.VMEM((2 * PAIR_GW, 16, 4 * window),
+                    pltpu.VMEM((2 * PAIR_GW, 8, 4 * window),
                                jnp.float32),
                     pltpu.SemaphoreType.DMA((2 * PAIR_GW,)),
                     pltpu.SMEM((2 * PAIR_GW,), jnp.int32),
                     pltpu.SMEM((2, NB * RPB, 128), jnp.int32),
                     pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.VMEM((NB * RB, 16), jnp.float32),
+                    pltpu.VMEM((2, NB * RB, 8), jnp.float32),
                 ]),
             out_shape=[jax.ShapeDtypeStruct((Np, 4), jnp.float32),
                        jax.ShapeDtypeStruct((Np, 1), jnp.int32)],

@@ -67,7 +67,7 @@ def build_geometry(p0, p1, p2, target: int, times=None) -> dict:
       window, c_off/c_cnt [K], c_min/c_max [K,3],
       psel [Tp] (padded slot -> bvh-order idx, clamped), valid_slot [Tp],
       v0/e1/e2 [Tp,3], orig_id [Tp], tri9 [K,16,window],
-      mt_slabs [K,16,4*window] or dummy, linC [10,4*Tp] or dummy,
+      mt_slabs [K,8,4*window] or dummy, linC [10,4*Tp] or dummy,
       cbounds [K,6].
     """
     times = times if times is not None else {}
@@ -141,7 +141,7 @@ def build_geometry(p0, p1, p2, target: int, times=None) -> dict:
     if T <= BRUTE_FORCE_MAX_TRIS:
         # small scene: single-level matmul sweep over the whole soup
         linC = build_linear_mt(v0, e1, e2)
-        mt_slabs = np.zeros((1, 16, 4), np.float32)
+        mt_slabs = np.zeros((1, 8, 4), np.float32)
     else:
         # large scene: per-cluster slabs for the Pallas v3 kernel
         linC_full = build_linear_mt(v0, e1, e2)

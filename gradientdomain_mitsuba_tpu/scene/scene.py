@@ -30,8 +30,8 @@ class Geometry(NamedTuple):
     cbounds: np.ndarray      # [K, 6] packed cluster bounds (pallas_trace.py)
     linC: np.ndarray         # [10, 4*Tp] linear-MT matmul coefficients
     #                          (ops/intersect.py; [10,4] dummy when unused)
-    mt_slabs: np.ndarray     # [K, 16, 4*window] per-cluster linear-MT DMA
-    #                          slabs (pallas_trace.py v3; dummy when small)
+    mt_slabs: np.ndarray     # [K, 8, 4*window] per-cluster linear-MT DMA
+    #                          slabs (pallas_trace.py; dummy when small)
     # packed per-triangle shading rows in BVH ORDER — ONE gather per hit
     # instead of a 13-gather dependent chain (TPU gathers are the wavefront
     # hot spot; see ops/common.fill_intersection):
@@ -635,9 +635,21 @@ def compile_scene(desc: SceneDesc,
         child0=geo["tree_c0"], child1=geo["tree_c1"])
 
     # linear-MT coefficient table (small scenes) / per-cluster Pallas v3
-    # slabs (large scenes) — built by prep_cache alongside the BVH
+    # slabs (large scenes) — built by prep_cache alongside the BVH.
+    # Fresh builds are [K, 8, 4W] (round 5: HALF the bytes per member
+    # DMA; see build_mt_slabs); cache entries from before round 5 store
+    # the 16-row padded layout and are converted here WITHOUT
+    # invalidating the cache: det|u|v columns keep rows 0:6, the t
+    # column group's rows 6:10 move to rows 0:4.
     linC = geo["linC"]
     mt_slabs = geo["mt_slabs"]
+    if mt_slabs.shape[1] != 8:
+        W4 = mt_slabs.shape[2]
+        W3 = (W4 // 4) * 3
+        slim = np.zeros((mt_slabs.shape[0], 8, W4), np.float32)
+        slim[:, 0:6, :W3] = mt_slabs[:, 0:6, :W3]
+        slim[:, 0:4, W3:] = mt_slabs[:, 6:10, W3:]
+        mt_slabs = slim
 
     if ana_spheres:
         sph_center = np.stack([a[0] for a in ana_spheres])
