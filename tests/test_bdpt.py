@@ -165,3 +165,82 @@ def test_gbdpt_scan_matches_unrolled():
         assert np.isfinite(a).all(), k
         np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-6,
                                    err_msg=k)
+
+
+def test_slot_overlay_matches_materialized_view(cbox):
+    """SlotOverlay (G-BDPT's copy-free t=1 shifted view) must be
+    indistinguishable from a materialized `.at[:, k].set()` view for
+    every reader: _mis_sum, _eval_at, _pdf_toward_prev and the column
+    helper itself."""
+    import jax.numpy as jnp
+    scene, st = cbox
+    tr = bdpt_mod.BDPTracer(scene, st)
+    rng = np.random.default_rng(7)
+    N, D = 64, 3
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    unit = lambda *s: (lambda a: a / np.linalg.norm(a, axis=-1,
+                                                   keepdims=True))(
+        rng.standard_normal(s)).astype(np.float32)
+    sp = bdpt_mod.SubPath(
+        p=f32(N, D, 3), ng=jnp.asarray(unit(N, D, 3)),
+        ns=jnp.asarray(unit(N, D, 3)), wi=jnp.asarray(unit(N, D, 3)),
+        uv=jnp.abs(f32(N, D, 2)) % 1.0,
+        bsdf_id=jnp.zeros((N, D), jnp.int32),
+        emitter_id=jnp.full((N, D), -1, jnp.int32),
+        beta=jnp.abs(f32(N, D, 3)),
+        pdf_fwd=jnp.abs(f32(N, D)) + 0.1,
+        pdf_rev=jnp.abs(f32(N, D)) + 0.1,
+        delta=jnp.zeros((N, D), bool), valid=jnp.ones((N, D), bool))
+    y0 = bdpt_mod.LightStart(
+        p=f32(N, 3), ng=jnp.asarray(unit(N, 3)),
+        rad=jnp.abs(f32(N, 3)), pdf_pos=jnp.abs(f32(N)) + 0.1,
+        beta=jnp.abs(f32(N, 3)), ok=jnp.ones(N, bool),
+        pdf_rev=jnp.abs(f32(N)) + 0.1)
+
+    kl = 1
+    over = {("p", kl): f32(N, 3), ("ns", kl): jnp.asarray(unit(N, 3)),
+            ("ng", kl): jnp.asarray(unit(N, 3)),
+            ("wi", kl): jnp.asarray(unit(N, 3)),
+            ("uv", kl): jnp.abs(f32(N, 2)) % 1.0,
+            ("bsdf_id", kl): jnp.zeros((N,), jnp.int32),
+            ("beta", kl): jnp.abs(f32(N, 3)),
+            ("pdf_fwd", kl): jnp.abs(f32(N)) + 0.1,
+            ("pdf_rev", 0): jnp.abs(f32(N)) + 0.1,
+            ("delta", kl): jnp.zeros((N,), bool),
+            ("valid", kl): jnp.ones((N,), bool)}
+    ov = bdpt_mod.SlotOverlay(sp, over)
+    mat = sp._replace(
+        p=sp.p.at[:, kl].set(over[("p", kl)]),
+        ns=sp.ns.at[:, kl].set(over[("ns", kl)]),
+        ng=sp.ng.at[:, kl].set(over[("ng", kl)]),
+        wi=sp.wi.at[:, kl].set(over[("wi", kl)]),
+        uv=sp.uv.at[:, kl].set(over[("uv", kl)]),
+        bsdf_id=sp.bsdf_id.at[:, kl].set(over[("bsdf_id", kl)]),
+        beta=sp.beta.at[:, kl].set(over[("beta", kl)]),
+        pdf_fwd=sp.pdf_fwd.at[:, kl].set(over[("pdf_fwd", kl)]),
+        pdf_rev=sp.pdf_rev.at[:, 0].set(over[("pdf_rev", 0)]),
+        delta=sp.delta.at[:, kl].set(over[("delta", kl)]),
+        valid=sp.valid.at[:, kl].set(over[("valid", kl)]))
+
+    for name in ("p", "ns", "beta", "pdf_fwd", "pdf_rev", "delta"):
+        for k in range(D):
+            np.testing.assert_array_equal(
+                np.asarray(bdpt_mod._col(ov, name, k)),
+                np.asarray(getattr(mat, name)[:, k]), err_msg=(name, k))
+
+    # _mis_sum parity over the s=3, t=1 strategy (the overlay's use)
+    args = (jnp.abs(f32(N)) + 0.1, jnp.abs(f32(N)) + 0.1,
+            jnp.abs(f32(N)) + 0.1, jnp.abs(f32(N)) + 0.1)
+    a = np.asarray(tr._mis_sum(ov, ov, y0, 3, 1, *args))
+    b = np.asarray(tr._mis_sum(mat, mat, y0, 3, 1, *args))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    # _eval_at / _pdf_toward_prev parity at the overridden slot
+    wo = jnp.asarray(unit(N, 3))
+    fa, pa = tr._eval_at(scene, ov, kl, wo)
+    fb, pb = tr._eval_at(scene, mat, kl, wo)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-6)
+    qa = tr._pdf_toward_prev(scene, ov, kl, wo, y0.p, y0.ng)
+    qb = tr._pdf_toward_prev(scene, mat, kl, wo, y0.p, y0.ng)
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), rtol=1e-6)
